@@ -1,0 +1,119 @@
+"""Classification engine: hash -> sketch -> compare -> argmax, fully on
+device, replicating rkmh's exact scan/filter semantics.
+
+Two argmax flavors exist in the reference:
+
+* stream/classify (rkmh.cpp:874-889): running max starts at -1, strict
+  `>` updates (first reference wins ties), and `diff` is the margin of the
+  final update — max_shared minus the running max just before it, i.e.
+  max(-1, max(counts[:argmax])).  Filters: diff_filter = diff > min_diff
+  (pass), depth_filter = sketch_len <= min_matches (fail tag),
+  match_filter = max_shared < min_matches (fail tag).
+* filter (equiv.hpp:324-353 classify_and_count_diff_filter): running max
+  starts at 0 (a read matching nothing keeps sample="", i.e. best_idx =
+  -1), prev_best likewise starts 0, pass condition
+  (max_shared - prev_best) > min_diff.
+
+Both are closed-form vectorizable: argmax is jnp.argmax (first-index
+tie-break matches the strict-> scan), and the "previous best" is the max
+over counts left of the argmax with the appropriate initial value.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rkmh_tpu.ops.hashing import multi_k_window_hashes
+from rkmh_tpu.ops.sketch import bottom_s_sketch
+from rkmh_tpu.ops.intersect import intersection_counts
+
+
+def prev_best_before_argmax(counts, init: int):
+    """max(init, max(counts[:, :argmax])) per row, argmax = first max."""
+    best = jnp.argmax(counts, axis=-1)
+    R = counts.shape[-1]
+    iota = jnp.arange(R, dtype=jnp.int32)
+    before = jnp.where(iota[None, :] < best[:, None], counts, init)
+    pm = jnp.max(before, axis=-1, initial=init)
+    return best, pm
+
+
+def argmax_stream(counts, min_diff: int, min_matches: int, sketch_lens):
+    """rkmh stream semantics -> (best_idx, max_shared, pass/fail flags)."""
+    max_shared = jnp.max(counts, axis=-1)
+    best, pm = prev_best_before_argmax(counts, init=-1)
+    diff = max_shared - pm
+    diff_ok = diff > min_diff                      # True = no FAIL:DIFF
+    depth_fail = sketch_lens <= min_matches        # FAIL:DEPTH tag
+    match_fail = max_shared < min_matches          # FAIL:MATCHES tag
+    return best, max_shared, diff_ok, depth_fail, match_fail
+
+
+def argmax_filter(counts, min_diff: int, min_matches: int, sketch_lens):
+    """rkmh filter semantics -> (best_idx or -1, shared, keep mask)."""
+    max_shared = jnp.max(counts, axis=-1)
+    best, pm = prev_best_before_argmax(counts, init=0)
+    updated = max_shared > 0
+    best = jnp.where(updated, best, -1)
+    shared = jnp.where(updated, max_shared, 0)
+    diff_ok = (shared - jnp.where(updated, pm, 0)) > min_diff
+    depth_fail = sketch_lens <= 0                  # rkmh.cpp:1292
+    match_fail = shared < min_matches              # rkmh.cpp:1293
+    keep = (~depth_fail) & (~match_fail) & diff_ok
+    return best, shared, keep
+
+
+@partial(jax.jit, static_argnames=("ks", "sketch_size"))
+def sketch_batch(codes, ks: tuple, sketch_size: int):
+    """codes [B, L] -> (sorted bottom-s sketches [B, s], lens [B])."""
+    hashes = multi_k_window_hashes(codes, list(ks))
+    return bottom_s_sketch(hashes, sketch_size)
+
+
+@partial(jax.jit, static_argnames=("ks", "sketch_size", "min_diff", "min_matches"))
+def classify_batch(
+    codes,
+    ref_sk,
+    ref_lens,
+    ks: tuple,
+    sketch_size: int,
+    min_diff: int = 0,
+    min_matches: int = -1,
+):
+    """End-to-end stream/classify step for one read batch.
+
+    Returns (best_idx, max_shared, sketch_lens, diff_ok, depth_fail,
+    match_fail) — everything the output formatter needs (rkmh.cpp:892).
+    """
+    sk, sk_lens = sketch_batch(codes, ks, sketch_size)
+    counts = intersection_counts(sk, sk_lens, ref_sk, ref_lens)
+    best, max_shared, diff_ok, depth_fail, match_fail = argmax_stream(
+        counts, min_diff, min_matches, sk_lens
+    )
+    return best, max_shared, sk_lens, diff_ok, depth_fail, match_fail
+
+
+@partial(jax.jit, static_argnames=("ks", "sketch_size", "min_diff", "min_matches"))
+def filter_batch(
+    codes,
+    ref_sk,
+    ref_lens,
+    ks: tuple,
+    sketch_size: int,
+    min_diff: int = 0,
+    min_matches: int = -1,
+):
+    """Filter-command step: returns (best_idx, shared, keep mask)."""
+    sk, sk_lens = sketch_batch(codes, ks, sketch_size)
+    counts = intersection_counts(sk, sk_lens, ref_sk, ref_lens)
+    return argmax_filter(counts, min_diff, min_matches, sk_lens)
+
+
+def build_ref_sketches(ref_codes, ks: tuple, sketch_size: int):
+    """Reference panel -> sorted bottom-s sketch matrix (built once,
+    replicated across chips; ~R*s*8 bytes, e.g. 182*4000*8 = 5.8 MB)."""
+    return sketch_batch(ref_codes, tuple(ks), sketch_size)

@@ -8,7 +8,7 @@ paths a real slice would.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,3 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import rkmh_tpu  # noqa: F401,E402  (enables x64 before tests import jax)
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers a remote TPU backend and
+# sets JAX_PLATFORMS=axon; the config override below wins over both.
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
