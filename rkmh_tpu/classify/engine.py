@@ -117,3 +117,55 @@ def build_ref_sketches(ref_codes, ks: tuple, sketch_size: int):
     """Reference panel -> sorted bottom-s sketch matrix (built once,
     replicated across chips; ~R*s*8 bytes, e.g. 182*4000*8 = 5.8 MB)."""
     return sketch_batch(ref_codes, tuple(ks), sketch_size)
+
+
+# ---------------------------------------------------------------------------
+# -M / -I depth-filtered variants (HASHTCounter-backed)
+# ---------------------------------------------------------------------------
+
+from rkmh_tpu.ops.counter import counter_get  # noqa: E402
+from rkmh_tpu.ops.hashing import window_mask  # noqa: E402
+from rkmh_tpu.ops.sketch import (  # noqa: E402
+    mask_by_frequency,
+    mask_by_frequency_range,
+)
+
+
+@partial(jax.jit, static_argnames=("ks",))
+def hash_batch_with_mask(codes, lengths, ks: tuple):
+    """Window hashes plus true-window mask (for counter population)."""
+    hashes = multi_k_window_hashes(codes, list(ks))
+    mask = window_mask(lengths, codes.shape[-1], list(ks))
+    return hashes, mask
+
+
+@partial(jax.jit, static_argnames=("ks", "sketch_size", "min_occ"))
+def sketch_batch_depth_filtered(
+    codes, lengths, table, ks: tuple, sketch_size: int, min_occ: int
+):
+    """stream -M read path (rkmh.cpp:903-917): hash, zero out hashes whose
+    counted depth < min_occ, then bottom-s sketch."""
+    hashes = multi_k_window_hashes(codes, list(ks))
+    counts = counter_get(table, hashes)
+    hashes = mask_by_frequency(hashes, counts, min_occ)
+    return bottom_s_sketch(hashes, sketch_size)
+
+
+@partial(jax.jit, static_argnames=("ks", "sketch_size", "max_occ"))
+def sketch_batch_informative(
+    codes, table, ks: tuple, sketch_size: int, max_occ: int
+):
+    """stream -I reference path (rkmh.cpp:829-837
+    minhashes_frequency_filter bounds (0, max_samples)): keep hashes whose
+    occurrence count <= max_occ, then bottom-s sketch."""
+    hashes = multi_k_window_hashes(codes, list(ks))
+    counts = counter_get(table, hashes)
+    hashes = mask_by_frequency_range(hashes, counts, 0, max_occ)
+    return bottom_s_sketch(hashes, sketch_size)
+
+
+@partial(jax.jit, static_argnames=("min_diff", "min_matches"))
+def classify_sketches(sk, sk_lens, ref_sk, ref_lens, min_diff: int, min_matches: int):
+    """Classify pre-built read sketches (used by the -M/-I paths)."""
+    counts = intersection_counts(sk, sk_lens, ref_sk, ref_lens)
+    return argmax_stream(counts, min_diff, min_matches, sk_lens)

@@ -1,0 +1,203 @@
+"""rkmh-compatible command line: rkmh-tpu {classify|stream|filter|hash|count|search|call|hpv16}.
+
+Flag names and defaults mirror the reference's getopt tables
+(rkmh.cpp:626-647 stream, 1037-1056 filter, 1479-1490 call, 1963-1979
+hash, 2148-2156 search, 2284-2290 count, 2392-2405 hpv16) so existing
+rkmh invocations work unchanged.  TPU-specific knobs (--batch-size,
+--counter-size, --devices) are additive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _common_classify_flags(p):
+    p.add_argument("-r", "--reference", action="append", default=[], dest="refs")
+    p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
+    p.add_argument("-k", "--kmer", action="append", type=int, default=[], dest="ks")
+    p.add_argument("-s", "--sketch-size", type=int, default=1000)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-M", "--min-kmer-occurence", type=int, default=-1, dest="min_kmer_occ")
+    p.add_argument("-N", "--min-matches", type=int, default=-1, dest="min_matches")
+    p.add_argument("-D", "--min-diff", type=int, default=0, dest="min_diff")
+    p.add_argument("-I", "--max-samples", type=int, default=None, dest="max_samples")
+    p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("--counter-size", type=int, default=200_000_000)
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="rkmh-tpu",
+        description="TPU-native MinHash read classification (rkmh capabilities).",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    for name in ("classify", "stream"):
+        p = sub.add_parser(name)
+        _common_classify_flags(p)
+        p.add_argument("-S", "--ref-sketch", type=int, default=None,
+                       help="parsed for parity; unused by the reference too (rkmh.cpp:697-700)")
+        p.add_argument("-i", "--in-stream", action="store_true", dest="in_stream")
+        p.add_argument("-z", "--output-reads", action="store_true")
+        p.add_argument("-m", "--merge-sketch", action="store_true")
+
+    p = sub.add_parser("filter")
+    _common_classify_flags(p)
+    p.add_argument("-S", "--ref-sketch", type=int, default=None)
+    p.add_argument("-i", "--in-stream", action="store_true", dest="in_stream")
+
+    p = sub.add_parser("hash")
+    p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
+    p.add_argument("-r", "--reference", action="append", default=[], dest="refs")
+    p.add_argument("-k", "--kmer", action="append", type=int, default=[], dest="ks")
+    p.add_argument("-s", "--sketch-size", type=int, default=0)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-K", "--output-kmers", action="store_true")
+    p.add_argument("-w", "--wabbitize", action="store_true")
+    p.add_argument("-c", "--count", action="store_true", dest="output_counts")
+    p.add_argument("-M", "--min-kmer-occurence", type=int, default=0, dest="min_kmer_occ")
+    p.add_argument("-I", "--max-samples", type=int, default=None, dest="max_samples")
+    p.add_argument("-o", "--out-prefix", default="")
+    p.add_argument("--json", action="store_true", help="emit Mash/sourmash-style JSON sketches")
+    p.add_argument("--batch-size", type=int, default=2048)
+
+    p = sub.add_parser("count")
+    p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
+    p.add_argument("-k", "--kmer", action="append", type=int, default=[], dest="ks")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("--counter-size", type=int, default=640_000)  # rkmh.cpp:2322
+    p.add_argument("--batch-size", type=int, default=2048)
+
+    p = sub.add_parser("search")
+    p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
+    p.add_argument("-r", "--reference", action="append", default=[], dest="refs")
+    p.add_argument("-k", "--kmer", action="append", type=int, default=[], dest="ks")
+    p.add_argument("-t", "--threads", type=int, default=1)
+
+    p = sub.add_parser("call")
+    p.add_argument("-r", "--reference", action="append", default=[], dest="refs")
+    p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
+    p.add_argument("-k", "--kmer", action="append", type=int, default=[], dest="ks")
+    p.add_argument("-s", "--sketch", type=int, default=1000)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-w", "--window-len", type=int, default=100)
+    p.add_argument("-d", "--show-depth", action="store_true")
+
+    p = sub.add_parser("hpv16")
+    p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
+    p.add_argument("-R", "--refpath", default="data")
+    p.add_argument("-k", "--kmer", action="append", type=int, default=[], dest="ks")
+    p.add_argument("-s", "--sketch", type=int, default=4000)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-M", "--min-kmer-occurence", type=int, default=0, dest="min_kmer_occ")
+    p.add_argument("-N", "--min-matches", type=int, default=-1, dest="min_matches")
+    p.add_argument("-D", "--min-diff", type=int, default=0, dest="min_diff")
+    p.add_argument("--counter-size", type=int, default=800_000_000)  # rkmh.cpp:2516
+    p.add_argument("--batch-size", type=int, default=512)
+
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command in ("classify", "stream"):
+        if args.command == "classify":
+            print("classify is an alias of stream in rkmh; running stream.", file=sys.stderr)
+        from rkmh_tpu.commands.stream import StreamConfig, run
+
+        return run(
+            StreamConfig(
+                ref_files=args.refs,
+                read_files=args.reads,
+                ks=tuple(args.ks),
+                sketch_size=args.sketch_size,
+                min_kmer_occ=args.min_kmer_occ,
+                min_matches=args.min_matches,
+                min_diff=args.min_diff,
+                max_samples=args.max_samples,
+                counter_size=args.counter_size,
+                batch_size=args.batch_size,
+            )
+        )
+    if args.command == "filter":
+        from rkmh_tpu.commands.filter_cmd import FilterConfig, run
+
+        return run(
+            FilterConfig(
+                ref_files=args.refs,
+                read_files=args.reads,
+                ks=tuple(args.ks),
+                sketch_size=args.sketch_size,
+                min_kmer_occ=args.min_kmer_occ,
+                min_matches=args.min_matches,
+                min_diff=args.min_diff,
+                max_samples=args.max_samples,
+                in_stream=args.in_stream,
+                batch_size=args.batch_size,
+            )
+        )
+    if args.command == "hash":
+        from rkmh_tpu.commands.hash_cmd import HashConfig, run
+
+        return run(
+            HashConfig(
+                read_files=args.reads + args.refs,
+                ks=tuple(args.ks),
+                sketch_size=args.sketch_size,
+                output_kmers=args.output_kmers,
+                wabbitize=args.wabbitize,
+                json_out=args.json,
+                batch_size=args.batch_size,
+            )
+        )
+    if args.command == "count":
+        from rkmh_tpu.commands.count_cmd import CountConfig, run
+
+        return run(
+            CountConfig(
+                read_files=args.reads,
+                ks=tuple(args.ks),
+                counter_size=args.counter_size,
+                batch_size=args.batch_size,
+            )
+        )
+    if args.command == "search":
+        from rkmh_tpu.commands.search_cmd import SearchConfig, run
+
+        return run(
+            SearchConfig(ref_files=args.refs, read_files=args.reads, ks=tuple(args.ks))
+        )
+    if args.command == "call":
+        from rkmh_tpu.commands.call_cmd import CallConfig, run
+
+        return run(
+            CallConfig(
+                ref_files=args.refs,
+                read_files=args.reads,
+                ks=tuple(args.ks),
+                window_len=args.window_len,
+                show_depth=args.show_depth,
+            )
+        )
+    if args.command == "hpv16":
+        from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
+
+        return run(
+            Hpv16Config(
+                read_files=args.reads,
+                refpath=args.refpath,
+                ks=tuple(args.ks),
+                sketch_size=args.sketch,
+                min_kmer_occ=args.min_kmer_occ,
+                counter_size=args.counter_size,
+                batch_size=args.batch_size,
+            )
+        )
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

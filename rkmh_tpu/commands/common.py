@@ -1,0 +1,76 @@
+"""Shared command plumbing: reference-panel building and read batching."""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from rkmh_tpu.io.fastx import SeqRecord, read_fastx
+from rkmh_tpu.io.packing import encode_seqs, bucket_length
+from rkmh_tpu.classify import engine
+from rkmh_tpu.ops.counter import HashCounter
+
+DEFAULT_KMER = 16        # rkmh.cpp:728-731
+DEFAULT_SKETCH = 1000    # rkmh.cpp:592
+DEFAULT_BATCH = 2048
+
+
+def log(msg: str):
+    print(msg, file=sys.stderr)
+
+
+@dataclass
+class RefPanel:
+    keys: list[str]
+    sketches: jnp.ndarray  # [R, s] sorted uint64, SENTINEL-padded
+    lens: jnp.ndarray      # [R] int32
+
+
+def build_ref_panel(
+    ref_records: list[SeqRecord],
+    ks: tuple,
+    sketch_size: int,
+    max_samples: int | None = None,
+    counter_size: int = 200_000_000,
+) -> RefPanel:
+    """Hash+sketch a reference panel.  With max_samples set, replicates
+    stream -I (rkmh.cpp:828-837): count every reference k-mer occurrence in
+    a HASHTCounter, then sketch only hashes occurring <= max_samples times.
+    """
+    seqs = [r.seq for r in ref_records]
+    codes, lens = encode_seqs(seqs)
+    if max_samples is None:
+        sk, sk_lens = engine.sketch_batch(codes, tuple(ks), sketch_size)
+    else:
+        hc = HashCounter(counter_size)
+        hashes, mask = engine.hash_batch_with_mask(codes, lens, tuple(ks))
+        hc.add(hashes, mask)
+        sk, sk_lens = engine.sketch_batch_informative(
+            codes, hc.table, tuple(ks), sketch_size, max_samples
+        )
+    return RefPanel([r.name for r in ref_records], sk, sk_lens)
+
+
+def load_records(paths) -> list[SeqRecord]:
+    recs = read_fastx(paths)
+    return recs
+
+
+def batch_iter(records: list[SeqRecord], batch_size: int, pad_to: int | None = None):
+    """Yield (records_chunk, codes, lens) with a fixed padded length across
+    the whole input (one compiled program); last chunk keeps its own size
+    only if smaller (at most 2 compiled batch shapes)."""
+    if not records:
+        return
+    if pad_to is None:
+        pad_to = bucket_length(max(len(r.seq) for r in records))
+    for i in range(0, len(records), batch_size):
+        chunk = records[i : i + batch_size]
+        seqs = [r.seq for r in chunk]
+        if len(chunk) < batch_size:
+            seqs = seqs + [b""] * (batch_size - len(chunk))  # pad rows
+        codes, lens = encode_seqs(seqs, pad_to=pad_to)
+        yield chunk, codes, lens

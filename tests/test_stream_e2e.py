@@ -1,0 +1,98 @@
+"""End-to-end `stream`/`classify` parity on real zika data (subset).
+
+Expected output is computed by a pure-Python pipeline that mirrors
+rkmh main_stream's exact semantics (rkmh.cpp:845-898): bottom-s sketches,
+min-multiplicity sorted intersection, scan-argmax starting at -1 with
+strict >, and the FAIL-tag line format of rkmh.cpp:892.
+"""
+
+import io
+import os
+
+import pytest
+
+from rkmh_tpu import oracle
+from rkmh_tpu.io.fastx import read_fastx
+from rkmh_tpu.commands.stream import StreamConfig, run
+
+DATA = "/root/reference/data"
+
+
+def oracle_stream_lines(refs, reads, ks, s, min_diff=0, min_matches=-1):
+    ref_sk = [oracle.minhashes(oracle.calc_hashes(r.seq, list(ks)), s) for r in refs]
+    lines = []
+    for rec in reads:
+        mins = oracle.minhashes(oracle.calc_hashes(rec.seq, list(ks)), s)
+        shared = [oracle.intersection_size(mins, rs) for rs in ref_sk]
+        max_shared, max_id, diff = -1, 0, 0
+        for j, c in enumerate(shared):
+            if c > max_shared:
+                diff = c - max_shared
+                max_shared = c
+                max_id = j
+        diff_ok = diff > min_diff
+        depth_fail = len(mins) <= min_matches
+        match_fail = max_shared < min_matches
+        lines.append(
+            f"{refs[max_id].name}\t{rec.name}\t{max_shared}\t{s}"
+            f"{'FAIL:DEPTH' if depth_fail else ''}\t"
+            f"{'FAIL:MATCHES' if match_fail else ''}\t"
+            f"{'' if diff_ok else 'FAIL:DIFF'}\n"
+        )
+    return "".join(lines)
+
+
+def write_fasta(path, recs):
+    with open(path, "wb") as f:
+        for r in recs:
+            f.write(b">" + r.name.encode() + b"\n" + r.seq + b"\n")
+
+
+def write_fastq(path, recs):
+    with open(path, "wb") as f:
+        for r in recs:
+            f.write(
+                b"@" + r.name.encode() + b"\n" + r.seq + b"\n+\n"
+                + (r.qual or b"I" * len(r.seq)) + b"\n"
+            )
+
+
+@pytest.fixture(scope="module")
+def zika_subset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("zika")
+    refs = read_fastx(f"{DATA}/zika.refs.fa")[:5]
+    reads = read_fastx(f"{DATA}/z1.fq")[:16]
+    rp, fp = str(tmp / "refs.fa"), str(tmp / "reads.fq")
+    write_fasta(rp, refs)
+    write_fastq(fp, reads)
+    return refs, reads, rp, fp
+
+
+def test_stream_matches_oracle_zika(zika_subset):
+    refs, reads, rp, fp = zika_subset
+    ks, s = (12,), 1000
+    expected = oracle_stream_lines(refs, reads, ks, s)
+    buf = io.StringIO()
+    run(StreamConfig(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=s,
+                     batch_size=8), out=buf)
+    assert buf.getvalue() == expected
+
+
+def test_stream_with_filters_matches_oracle(zika_subset):
+    refs, reads, rp, fp = zika_subset
+    ks, s = (12,), 200
+    expected = oracle_stream_lines(refs, reads, ks, s, min_diff=3, min_matches=20)
+    buf = io.StringIO()
+    run(StreamConfig(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=s,
+                     min_diff=3, min_matches=20, batch_size=16), out=buf)
+    assert buf.getvalue() == expected
+
+
+def test_stream_multi_k(zika_subset):
+    refs, reads, rp, fp = zika_subset
+    ks, s = (12, 14), 300
+    expected = oracle_stream_lines(refs, reads, ks, s)
+    buf = io.StringIO()
+    run(StreamConfig(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=s,
+                     batch_size=16), out=buf)
+    assert buf.getvalue() == expected
