@@ -53,18 +53,28 @@ def argmax_stream(counts, min_diff: int, min_matches: int, sketch_lens):
     return best, max_shared, diff_ok, depth_fail, match_fail
 
 
-def argmax_filter(counts, min_diff: int, min_matches: int, sketch_lens):
-    """rkmh filter semantics -> (best_idx or -1, shared, keep mask)."""
+def argmax_filter(counts, min_diff: int, min_matches: int, sketch_lens, ref_lens):
+    """rkmh filter semantics (equiv.hpp:324-353) ->
+    (best_idx or -1, shared, total_union, keep, depth_fail, match_fail, diff_ok).
+
+    total_union = min(read_sketch_len, best_ref_sketch_len), set only when
+    some count exceeded 0 (equiv.hpp:347); 0 otherwise.
+    """
     max_shared = jnp.max(counts, axis=-1)
-    best, pm = prev_best_before_argmax(counts, init=0)
+    best_raw, pm = prev_best_before_argmax(counts, init=0)
     updated = max_shared > 0
-    best = jnp.where(updated, best, -1)
+    best = jnp.where(updated, best_raw, -1)
     shared = jnp.where(updated, max_shared, 0)
+    tu = jnp.where(
+        updated,
+        jnp.minimum(sketch_lens, ref_lens[jnp.clip(best_raw, 0, None)]),
+        0,
+    )
     diff_ok = (shared - jnp.where(updated, pm, 0)) > min_diff
-    depth_fail = sketch_lens <= 0                  # rkmh.cpp:1292
-    match_fail = shared < min_matches              # rkmh.cpp:1293
+    depth_fail = sketch_lens <= 0                  # rkmh.cpp:1292/1394
+    match_fail = shared < min_matches              # rkmh.cpp:1293/1395
     keep = (~depth_fail) & (~match_fail) & diff_ok
-    return best, shared, keep
+    return best, shared, tu, keep, depth_fail, match_fail, diff_ok
 
 
 @partial(jax.jit, static_argnames=("ks", "sketch_size"))
@@ -107,10 +117,17 @@ def filter_batch(
     min_diff: int = 0,
     min_matches: int = -1,
 ):
-    """Filter-command step: returns (best_idx, shared, keep mask)."""
+    """Filter-command step (no -M): full argmax_filter tuple."""
     sk, sk_lens = sketch_batch(codes, ks, sketch_size)
     counts = intersection_counts(sk, sk_lens, ref_sk, ref_lens)
-    return argmax_filter(counts, min_diff, min_matches, sk_lens)
+    return argmax_filter(counts, min_diff, min_matches, sk_lens, ref_lens)
+
+
+@partial(jax.jit, static_argnames=("min_diff", "min_matches"))
+def filter_sketches(sk, sk_lens, ref_sk, ref_lens, min_diff: int, min_matches: int):
+    """Filter-semantics classify of pre-built sketches (-M path, -i path)."""
+    counts = intersection_counts(sk, sk_lens, ref_sk, ref_lens)
+    return argmax_filter(counts, min_diff, min_matches, sk_lens, ref_lens)
 
 
 def build_ref_sketches(ref_codes, ks: tuple, sketch_size: int):
@@ -169,3 +186,23 @@ def classify_sketches(sk, sk_lens, ref_sk, ref_lens, min_diff: int, min_matches:
     """Classify pre-built read sketches (used by the -M/-I paths)."""
     counts = intersection_counts(sk, sk_lens, ref_sk, ref_lens)
     return argmax_stream(counts, min_diff, min_matches, sk_lens)
+
+
+@partial(jax.jit, static_argnames=("ks",))
+def distinct_hash_mask(codes, lengths, ks: tuple):
+    """(sorted window hashes, first-occurrence-within-row mask).
+
+    Used by filter -I, which counts each hash once per reference *sample*
+    (set semantics — rkmh.cpp:340-357 builds a std::set per ref before
+    incrementing).  Zeros are included, as the reference's set contains
+    the 0 sentinel too.
+    """
+    from rkmh_tpu.ops.intersect import occ_ranks, sort_hashes_padded
+
+    hashes = multi_k_window_hashes(codes, list(ks))
+    wmask = window_mask(lengths, codes.shape[-1], list(ks))
+    x, _ = sort_hashes_padded(hashes, wmask)
+    occ = occ_ranks(x)
+    from rkmh_tpu.ops.sketch import SENTINEL as _S
+
+    return x, (occ == 0) & (x != _S)
