@@ -35,4 +35,20 @@ if os.environ.get("RKMH_TPU_NO_X64", "0") != "1":
 
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the classify program is compile-once,
+# run-forever (fixed shapes per length bucket).  ~60 s of XLA work on the
+# first-ever run, ~0 after.
+if os.environ.get("RKMH_TPU_NO_COMPILE_CACHE", "0") != "1":
+    import jax
+
+    _cache_dir = os.environ.get(
+        "RKMH_TPU_COMPILE_CACHE", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 __version__ = "0.1.0"

@@ -27,6 +27,11 @@ class RefPanel:
     keys: list[str]
     sketches: jnp.ndarray  # [R, s] sorted uint64, SENTINEL-padded
     lens: jnp.ndarray      # [R] int32
+    table: tuple           # device arrays of the ops.lookup cuckoo table
+
+    @property
+    def num_refs(self) -> int:
+        return len(self.keys)
 
 
 def build_ref_panel(
@@ -35,23 +40,37 @@ def build_ref_panel(
     sketch_size: int,
     max_samples: int | None = None,
     counter_size: int = 200_000_000,
+    distinct_counter: bool = False,
 ) -> RefPanel:
-    """Hash+sketch a reference panel.  With max_samples set, replicates
-    stream -I (rkmh.cpp:828-837): count every reference k-mer occurrence in
-    a HASHTCounter, then sketch only hashes occurring <= max_samples times.
+    """Hash+sketch a reference panel and build its lookup table.
+
+    With max_samples set, replicates the -I informative filter: count
+    reference k-mer occurrences in a HASHTCounter (every occurrence for
+    stream, rkmh.cpp:828-837; once per sample when distinct_counter=True,
+    for filter, rkmh.cpp:340-357), then sketch only hashes occurring
+    <= max_samples times.
     """
+    from rkmh_tpu.ops.lookup import build_panel_table
+    from rkmh_tpu.utils import to_host
+
     seqs = [r.seq for r in ref_records]
     codes, lens = encode_seqs(seqs)
     if max_samples is None:
         sk, sk_lens = engine.sketch_batch(codes, tuple(ks), sketch_size)
     else:
         hc = HashCounter(counter_size)
-        hashes, mask = engine.hash_batch_with_mask(codes, lens, tuple(ks))
-        hc.add(hashes, mask)
+        if distinct_counter:
+            x, first = engine.distinct_hash_mask(codes, lens, tuple(ks))
+            hc.add(x, first)
+        else:
+            hashes, mask = engine.hash_batch_with_mask(codes, lens, tuple(ks))
+            hc.add(hashes, mask)
         sk, sk_lens = engine.sketch_batch_informative(
             codes, hc.table, tuple(ks), sketch_size, max_samples
         )
-    return RefPanel([r.name for r in ref_records], sk, sk_lens)
+    sk_np, lens_np = to_host((sk, sk_lens))
+    table = build_panel_table(sk_np, lens_np).device_arrays()
+    return RefPanel([r.name for r in ref_records], sk, sk_lens, table)
 
 
 def load_records(paths) -> list[SeqRecord]:

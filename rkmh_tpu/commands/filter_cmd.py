@@ -53,29 +53,21 @@ class FilterConfig:
     batch_size: int = DEFAULT_BATCH
 
 
-def _build_panel(refs, ks, cfg):
-    codes, lens = encode_seqs([r.seq for r in refs])
-    if cfg.max_samples is not None:
-        hc = HashCounter(cfg.counter_size)
-        x, first = engine.distinct_hash_mask(codes, lens, ks)
-        hc.add(x, first)
-        sk, sk_lens = engine.sketch_batch_informative(
-            codes, hc.table, ks, cfg.sketch_size, cfg.max_samples
-        )
-    else:
-        sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
-    return sk, sk_lens
-
-
 def run(cfg: FilterConfig, out=None, stdin=None) -> int:
+    from rkmh_tpu.commands.common import build_ref_panel
+
     out = out or sys.stdout
     ks = tuple(cfg.ks) if cfg.ks else (DEFAULT_KMER,)
     if not cfg.ks:
         log("No kmer size(s) provided. Will use a default kmer size of 16.")
 
     refs = load_records(cfg.ref_files)
-    ref_sk, ref_lens = _build_panel(refs, ks, cfg)
-    ref_keys = [r.name for r in refs]
+    panel = build_ref_panel(
+        refs, ks, cfg.sketch_size,
+        max_samples=cfg.max_samples, counter_size=cfg.counter_size,
+        distinct_counter=True,  # filter -I counts once per sample
+    )
+    ref_keys = panel.keys
 
     read_counter = None
     reads = load_records(cfg.read_files) if cfg.read_files else []
@@ -95,14 +87,17 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
             )
         else:
             sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
-        return engine.filter_sketches(
-            sk, sk_lens, ref_sk, ref_lens, cfg.min_diff, cfg.min_matches
+        return engine.filter_sketches_table(
+            sk, sk_lens, *panel.table, panel.lens,
+            num_refs=panel.num_refs, min_diff=cfg.min_diff, min_matches=cfg.min_matches,
         )
 
     # ---- file mode: emit passing reads ------------------------------------
+    from rkmh_tpu.utils import to_host
+
     for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
         best, shared, tu, keep, *_ = classify(codes, lens)
-        keep = np.asarray(keep)
+        keep = to_host(keep)
         for i, rec in enumerate(chunk):
             if keep[i]:
                 qual = rec.qual if rec.qual is not None else b"I" * len(rec.seq)
@@ -118,15 +113,9 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
             if len(seqs) < cfg.batch_size:
                 pass  # variable last batch: accept one extra compile
             codes, lens = encode_seqs(seqs)
-            best, shared, tu, keep, depth_fail, match_fail, diff_ok = classify(
-                codes, lens
+            best, shared, tu, keep, depth_fail, match_fail, diff_ok = to_host(
+                classify(codes, lens)
             )
-            best = np.asarray(best)
-            shared = np.asarray(shared)
-            tu = np.asarray(tu)
-            depth_fail = np.asarray(depth_fail)
-            match_fail = np.asarray(match_fail)
-            diff_ok = np.asarray(diff_ok)
             for i, rec in enumerate(chunk):
                 name = ref_keys[int(best[i])] if best[i] >= 0 else ""
                 out.write(

@@ -49,11 +49,11 @@ class StreamConfig:
 
 
 def format_lines(ref_keys, chunk, best, shared, sk_lens, diff_ok, depth_fail, match_fail, sketch_size):
-    best = np.asarray(best)
-    shared = np.asarray(shared)
-    diff_ok = np.asarray(diff_ok)
-    depth_fail = np.asarray(depth_fail)
-    match_fail = np.asarray(match_fail)
+    from rkmh_tpu.utils import to_host
+
+    best, shared, diff_ok, depth_fail, match_fail = to_host(
+        (best, shared, diff_ok, depth_fail, match_fail)
+    )
     out = []
     for i, rec in enumerate(chunk):
         out.append(
@@ -97,8 +97,9 @@ def run(cfg: StreamConfig, out=None) -> int:
             )
         else:
             sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
-        best, shared, diff_ok, depth_fail, match_fail = engine.classify_sketches(
-            sk, sk_lens, panel.sketches, panel.lens, cfg.min_diff, cfg.min_matches
+        best, shared, diff_ok, depth_fail, match_fail = engine.classify_sketches_table(
+            sk, sk_lens, *panel.table, panel.lens,
+            num_refs=panel.num_refs, min_diff=cfg.min_diff, min_matches=cfg.min_matches,
         )
         out.write(
             format_lines(

@@ -55,6 +55,23 @@ def _ref_chunk(B: int, s: int, target_bytes: int = 1 << 26) -> int:
     return max(1, min(64, target_bytes // per_ref))
 
 
+def _chunked_ref_map(per_ref, ref_sk, B: int, s: int):
+    """Apply per_ref: [t] -> [B] over every ref row with bounded memory and
+    bounded compile size: a rolled lax.map over chunks of vmapped rows.
+    Rows added for padding are all-SENTINEL and count 0 (sliced off)."""
+    R, t = ref_sk.shape
+    chunk = _ref_chunk(B, s)
+    if R <= chunk:
+        return jax.vmap(per_ref)(ref_sk)  # [R, B]
+    Rpad = ((R + chunk - 1) // chunk) * chunk
+    if Rpad != R:
+        pad = jnp.full((Rpad - R, t), SENTINEL, dtype=ref_sk.dtype)
+        ref_sk = jnp.concatenate([ref_sk, pad], axis=0)
+    grouped = ref_sk.reshape(Rpad // chunk, chunk, t)
+    out = jax.lax.map(jax.vmap(per_ref), grouped)  # [nc, chunk, B]
+    return out.reshape(Rpad, -1)[:R]
+
+
 def intersection_counts(read_sk, read_lens, ref_sk, ref_lens=None):
     """[B, s] sorted read sketches vs [R, t] sorted ref sketches -> [B, R]
     int32 intersection sizes (min-multiplicity, zeros/sentinels excluded).
@@ -65,7 +82,6 @@ def intersection_counts(read_sk, read_lens, ref_sk, ref_lens=None):
     unnecessary).
     """
     B, s = read_sk.shape
-    R = ref_sk.shape[0]
     occ = occ_ranks(read_sk)
     qmask = (jnp.arange(s, dtype=jnp.int32)[None, :] < read_lens[:, None]) & (
         read_sk != SENTINEL
@@ -78,12 +94,7 @@ def intersection_counts(read_sk, read_lens, ref_sk, ref_lens=None):
         hit = (occ < cb) & qmask
         return jnp.sum(hit, axis=-1, dtype=jnp.int32)  # [B]
 
-    chunk = _ref_chunk(B, s)
-    parts = []
-    for c0 in range(0, R, chunk):
-        parts.append(jax.vmap(per_ref)(ref_sk[c0 : c0 + chunk]))  # [rc, B]
-    counts = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-    return counts.T  # [B, R]
+    return _chunked_ref_map(per_ref, ref_sk, B, s).T  # [B, R]
 
 
 def distinct_intersection_counts(read_sorted, read_lens, ref_sorted, ref_lens=None):
@@ -105,12 +116,7 @@ def distinct_intersection_counts(read_sorted, read_lens, ref_sorted, ref_lens=No
         hit = (right > left) & qmask
         return jnp.sum(hit, axis=-1, dtype=jnp.int32)
 
-    chunk = _ref_chunk(B, s)
-    parts = []
-    for c0 in range(0, R, chunk):
-        parts.append(jax.vmap(per_ref)(ref_sorted[c0 : c0 + chunk]))
-    counts = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-    return counts.T
+    return _chunked_ref_map(per_ref, ref_sorted, B, s).T
 
 
 def sort_hashes_padded(hashes, mask):

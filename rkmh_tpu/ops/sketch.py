@@ -29,11 +29,10 @@ def bottom_s_sketch(hashes, sketch_size: int):
     x = jnp.where(hashes == np.uint64(0), SENTINEL, hashes)
     x = jnp.sort(x, axis=-1)
     W = x.shape[-1]
-    if W >= sketch_size:
-        sk = x[..., :sketch_size]
-    else:
-        pad_shape = x.shape[:-1] + (sketch_size - W,)
-        sk = jnp.concatenate([x, jnp.full(pad_shape, SENTINEL, dtype=x.dtype)], axis=-1)
+    # rows hold at most min(s, W) real values; keep the array that wide —
+    # downstream intersection cost is proportional to this width, so
+    # sentinel-padding short reads up to s would only waste queries
+    sk = x[..., : min(sketch_size, W)]
     lens = jnp.sum(sk != SENTINEL, axis=-1).astype(jnp.int32)
     return sk, lens
 

@@ -1,0 +1,84 @@
+"""Device-mesh parallelism for the classify pipeline.
+
+The reference's only parallelism is shared-memory OpenMP loops over reads
+(rkmh.cpp:813-898).  Here scaling is a jax.sharding Mesh with two axes:
+
+* ``dp`` — reads are data-parallel on the batch axis (the dominant axis;
+  embarrassingly parallel, no collectives in the hot loop).
+* ``tp`` — the reference panel can shard across chips for very large
+  panels; per-shard intersection counts are merged with a tiled
+  all_gather (counts are [B_local, R] int32 — tiny) before the exact
+  rkmh argmax/diff scan, so tensor-parallel results are bit-identical to
+  single-chip results.
+
+Sequence parallelism (long-genome sketching) lives in parallel/sp.py.
+There is no pipeline or expert parallelism in this workload: no layered
+model to pipeline, no MoE to route (SURVEY.md §2.4); the counter tables
+could shard hash-wise as an EP analog if panels ever outgrow HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rkmh_tpu.classify.engine import argmax_stream, sketch_batch
+from rkmh_tpu.ops.hashing import multi_k_window_hashes
+from rkmh_tpu.ops.sketch import bottom_s_sketch
+from rkmh_tpu.ops.intersect import intersection_counts
+
+
+def make_mesh(devices=None, dp: int | None = None, tp: int = 1) -> Mesh:
+    """Build a (dp, tp) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def sharded_classify_fn(mesh: Mesh, ks: tuple, sketch_size: int,
+                        min_diff: int = 0, min_matches: int = -1):
+    """Build a jitted SPMD classify step over `mesh`.
+
+    Inputs: codes [B, L] (B divisible by dp), ref_sk [R, s] / ref_lens [R]
+    (R divisible by tp).  Outputs replicate the single-chip
+    engine.classify_batch tuple, sharded on dp.
+    """
+
+    def local_step(codes, ref_sk, ref_lens):
+        hashes = multi_k_window_hashes(codes, list(ks))
+        sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
+        counts = intersection_counts(sk, sk_lens, ref_sk, ref_lens)  # [B/dp, R/tp]
+        # merge the panel axis: tiled gather keeps original ref order,
+        # so the first-reference tie-break stays exact.
+        counts = jax.lax.all_gather(counts, "tp", axis=1, tiled=True)  # [B/dp, R]
+        return argmax_stream(counts, min_diff, min_matches, sk_lens)
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("tp", None), P("tp")),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        # outputs are value-replicated over tp after the all_gather, which
+        # the static varying-manual-axes check cannot infer
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_batch(mesh: Mesh, codes):
+    """Place a host batch onto the mesh sharded along dp."""
+    sharding = jax.sharding.NamedSharding(mesh, P("dp", None))
+    return jax.device_put(codes, sharding)
+
+
+def replicate(mesh: Mesh, x):
+    sharding = jax.sharding.NamedSharding(mesh, P())
+    return jax.device_put(x, sharding)

@@ -1,0 +1,46 @@
+"""Panel lookup table (ops/lookup.py) must be bit-identical to the
+searchsorted reference kernel (ops/intersect.py) incl. duplicates."""
+
+import numpy as np
+
+from rkmh_tpu.io.packing import encode_seqs
+from rkmh_tpu.ops.hashing import kmer_window_hashes
+from rkmh_tpu.ops.sketch import SENTINEL, bottom_s_sketch
+from rkmh_tpu.ops.intersect import intersection_counts
+from rkmh_tpu.ops.lookup import build_panel_table, lookup_intersection_counts
+
+
+def random_dna(rng, n, with_n=False):
+    alphabet = b"ACGT" + (b"N" if with_n else b"")
+    return bytes(rng.choice(np.frombuffer(alphabet, dtype=np.uint8), size=n))
+
+
+def test_lookup_matches_searchsorted_random():
+    rng = np.random.default_rng(5)
+    k, s = 12, 64
+    # repeat-rich refs to force duplicate hashes in sketches
+    unit = random_dna(rng, 80)
+    refs = [unit * 3 + random_dna(rng, 200) for _ in range(70)]  # >64 refs: 3 mask words
+    reads = [random_dna(rng, 70, with_n=True) for _ in range(33)]
+    rc, _ = encode_seqs(reads, pad_to=80, granularity=1)
+    fc, _ = encode_seqs(refs, pad_to=512, granularity=1)
+    rsk, rlen = bottom_s_sketch(kmer_window_hashes(rc, k), s)
+    fsk, flen = bottom_s_sketch(kmer_window_hashes(fc, k), s)
+    want = np.asarray(intersection_counts(rsk, rlen, fsk, flen))
+
+    table = build_panel_table(np.asarray(fsk), np.asarray(flen))
+    got = np.asarray(
+        lookup_intersection_counts(rsk, rlen, table.device_arrays(), len(refs))
+    )
+    assert np.array_equal(got, want)
+
+
+def test_lookup_duplicate_multiplicity():
+    # hand-built multisets: value 3 x2 in read, x3 in ref -> min = 2
+    read = np.array([[3, 3, 5, 9, int(SENTINEL), int(SENTINEL)]], dtype=np.uint64)
+    rlen = np.array([4], dtype=np.int32)
+    ref = np.array([[3, 3, 3, 5, 11, int(SENTINEL)]], dtype=np.uint64)
+    flen = np.array([5], dtype=np.int32)
+    table = build_panel_table(ref, flen)
+    got = np.asarray(lookup_intersection_counts(read, rlen, table.device_arrays(), 1))
+    assert got[0, 0] == 3  # min(2,3) for value 3 + 1 for value 5
