@@ -25,6 +25,10 @@ def _common_classify_flags(p):
     p.add_argument("-I", "--max-samples", type=int, default=None, dest="max_samples")
     p.add_argument("--batch-size", type=int, default=2048)
     p.add_argument("--counter-size", type=int, default=200_000_000)
+    p.add_argument("--ref-sketches", default="",
+                   help="load pre-hashed reference sketches from a JSON dump "
+                        "(rkmh hash -o schema) instead of hashing -r files; "
+                        "implements what rkmh's load_hashes stubs (rkmh.cpp:552-561)")
 
 
 def build_parser():
@@ -69,6 +73,8 @@ def build_parser():
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("--counter-size", type=int, default=640_000)  # rkmh.cpp:2322
     p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("-o", "--out-file", default="", help="save counter table (npz)")
+    p.add_argument("--dump", action="store_true", help="print occupied slots")
 
     p = sub.add_parser("search")
     p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
@@ -120,6 +126,7 @@ def main(argv=None) -> int:
                 max_samples=args.max_samples,
                 counter_size=args.counter_size,
                 batch_size=args.batch_size,
+                ref_sketches=args.ref_sketches,
             )
         )
     if args.command == "filter":
@@ -137,6 +144,7 @@ def main(argv=None) -> int:
                 max_samples=args.max_samples,
                 in_stream=args.in_stream,
                 batch_size=args.batch_size,
+                ref_sketches=args.ref_sketches,
             )
         )
     if args.command == "hash":
@@ -150,6 +158,7 @@ def main(argv=None) -> int:
                 output_kmers=args.output_kmers,
                 wabbitize=args.wabbitize,
                 json_out=args.json,
+                out_prefix=args.out_prefix,
                 batch_size=args.batch_size,
             )
         )
@@ -162,6 +171,8 @@ def main(argv=None) -> int:
                 ks=tuple(args.ks),
                 counter_size=args.counter_size,
                 batch_size=args.batch_size,
+                out_file=args.out_file,
+                dump=args.dump,
             )
         )
     if args.command == "search":

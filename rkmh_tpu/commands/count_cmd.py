@@ -1,0 +1,69 @@
+"""`count` command — streaming k-mer depth counting into a lossy table.
+
+Reference behavior (rkmh.cpp:2268-2360): hash every k-mer of every read
+into a HASHTCounter(640000) ... and then exit without printing anything —
+the counter is built and discarded (the "outputs their counts in a map"
+comment is aspirational; SURVEY.md §8 B2).  We replicate the counting
+exactly (same lossy ``hash % size`` table, zeros included) and make the
+result actually usable:
+
+* default        — count silently, print a one-line summary to stderr
+  (parity: stdout stays empty, like the reference).
+* -o table.npz   — save the counter table (+ size/ks metadata); stream's
+  -M/-I paths and `call` can reuse it.
+* --dump         — print ``slot\\tcount`` for occupied slots to stdout.
+
+Counting is a single device scatter-add per batch (ops/counter.py).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from rkmh_tpu.classify import engine
+from rkmh_tpu.commands.common import DEFAULT_KMER, batch_iter, load_records, log
+from rkmh_tpu.ops.counter import HashCounter
+
+
+@dataclass
+class CountConfig:
+    read_files: list = field(default_factory=list)
+    ks: tuple = ()
+    counter_size: int = 640_000     # rkmh.cpp:2322
+    batch_size: int = 2048
+    out_file: str = ""              # -o: save table as npz
+    dump: bool = False              # --dump: print occupied slots
+
+
+def run(cfg: CountConfig, out=None) -> int:
+    out = out or sys.stdout
+    ks = tuple(cfg.ks) if cfg.ks else (DEFAULT_KMER,)
+    if not cfg.ks:
+        log("Using default kmer size of 16.")
+
+    reads = load_records(cfg.read_files)
+    hc = HashCounter(cfg.counter_size)
+    total_kmers = 0
+    for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+        hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+        hc.add(hashes, mask)
+        total_kmers += int(np.asarray(mask).sum())
+
+    table = hc.to_numpy()
+    occupied = int((table > 0).sum())
+    log(f"Counted {total_kmers} kmers from {len(reads)} reads into "
+        f"{cfg.counter_size}-slot table ({occupied} slots occupied).")
+
+    if cfg.out_file:
+        np.savez_compressed(
+            cfg.out_file, table=table, size=cfg.counter_size, ks=np.asarray(ks)
+        )
+        log(f"Saved counter table to {cfg.out_file}")
+    if cfg.dump:
+        (nz,) = np.nonzero(table)
+        for slot in nz:
+            out.write(f"{slot}\t{int(table[slot])}\n")
+    return 0

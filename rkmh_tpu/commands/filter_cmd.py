@@ -51,6 +51,7 @@ class FilterConfig:
     in_stream: bool = False         # -i
     counter_size: int = 10_000_000  # rkmh.cpp:1187-1188
     batch_size: int = DEFAULT_BATCH
+    ref_sketches: str = ""          # JSON panel dump (hash -o) to load
 
 
 def run(cfg: FilterConfig, out=None, stdin=None) -> int:
@@ -61,12 +62,18 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
     if not cfg.ks:
         log("No kmer size(s) provided. Will use a default kmer size of 16.")
 
-    refs = load_records(cfg.ref_files)
-    panel = build_ref_panel(
-        refs, ks, cfg.sketch_size,
-        max_samples=cfg.max_samples, counter_size=cfg.counter_size,
-        distinct_counter=True,  # filter -I counts once per sample
-    )
+    if cfg.ref_sketches:
+        from rkmh_tpu.io.sketch_json import load_sketches, panel_from_sketches
+
+        with open(cfg.ref_sketches) as fh:
+            panel = panel_from_sketches(load_sketches(fh), cfg.sketch_size)
+    else:
+        refs = load_records(cfg.ref_files)
+        panel = build_ref_panel(
+            refs, ks, cfg.sketch_size,
+            max_samples=cfg.max_samples, counter_size=cfg.counter_size,
+            distinct_counter=True,  # filter -I counts once per sample
+        )
     ref_keys = panel.keys
 
     read_counter = None

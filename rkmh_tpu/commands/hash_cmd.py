@@ -1,0 +1,122 @@
+"""`hash` command — emit per-read k-mer hashes / k-mers / sketches.
+
+Reference behavior (rkmh.cpp:1931-2116): stream reads in buffered chunks;
+with -K print each read's raw k-mers (print_kmers), otherwise hash every
+k-mer (calc_hashes, multi-k concatenated) and print them (print_hashes).
+The reference's -M/-I branch is an empty block (rkmh.cpp:2109-2111), its
+-w wabbitize flag parses but never calls print_wabbit (rkmh.cpp:463-487),
+and its JSON dump/load (rkmh.cpp:489-582) is dead or stubbed.  Here all
+three are wired for real:
+
+* default      — one line per read: ``name\\th1 h2 h3 ...`` (hashes in
+  sequence order, 0 = invalid-kmer sentinel, multi-k concatenated).  The
+  exact print_hashes layout lives in the non-vendored mkmh submodule, so
+  this is a clean-room format: token[0] = name, whitespace-separated
+  values, one record per line — the shape `search` consumes.
+* -K           — one line per k-mer: ``kmer\\tname`` (sequence order).
+* -s S         — emit the bottom-S sketch instead of all hashes.
+* -w           — Vowpal Wabbit vectors, byte-matching print_wabbit
+  (rkmh.cpp:463-487): ``XYX 1.0 `key|vir h:1 ... |sketch k:K s:S`` with
+  '|' in names replaced by '_'.
+* --json / -o  — rkmh dump_hashes JSON schema (io/sketch_json.py), loadable
+  by `stream/filter --ref-sketches`.
+
+Hashing runs on device in fixed-shape batches; formatting is host-side.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from rkmh_tpu.classify import engine
+from rkmh_tpu.commands.common import DEFAULT_KMER, batch_iter, load_records, log
+from rkmh_tpu.io.sketch_json import SketchRecord, dump_sketches
+
+
+@dataclass
+class HashConfig:
+    read_files: list = field(default_factory=list)
+    ks: tuple = ()
+    sketch_size: int = 0          # 0 = all hashes (reference default)
+    output_kmers: bool = False    # -K
+    wabbitize: bool = False       # -w
+    json_out: bool = False        # --json to stdout
+    out_prefix: str = ""          # -o prefix -> prefix.rkmh.json
+    batch_size: int = 2048
+
+
+def _wabbit_line(name: str, mins: list[int], ks, sketch_size: int,
+                 label: str = "XYX", nspace: str = "vir") -> str:
+    """print_wabbit format (rkmh.cpp:463-487), counts-empty branch."""
+    key = "_".join(name.split("|"))
+    feats = " ".join(f"{m}:1" for m in mins)
+    return f"{label} 1.0 `{key}|{nspace} {feats} |sketch k:{ks[0]} s:{sketch_size}\n"
+
+
+def run(cfg: HashConfig, out=None) -> int:
+    out = out or sys.stdout
+    ks = tuple(cfg.ks) if cfg.ks else (DEFAULT_KMER,)
+    if not cfg.ks:
+        log("Using default kmer size of 16.")
+    else:
+        log(f"Using a kmer size of {ks[0]}")
+
+    reads = load_records(cfg.read_files)
+
+    if cfg.output_kmers:
+        # -K: raw k-mer strings need no device pass (rkmh.cpp:2078)
+        k = ks[0]
+        for rec in reads:
+            seq = rec.seq
+            for i in range(max(0, len(seq) - k + 1)):
+                out.write(f"{seq[i:i + k].decode()}\t{rec.name}\n")
+        return 0
+
+    json_records: list[SketchRecord] = []
+    want_json = cfg.json_out or bool(cfg.out_prefix)
+
+    for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+        if cfg.sketch_size > 0:
+            sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
+            sk_np = np.asarray(sk)
+            lens_np = np.asarray(sk_lens)
+            for i, rec in enumerate(chunk):
+                mins = sk_np[i, : lens_np[i]].tolist()
+                if cfg.wabbitize:
+                    out.write(_wabbit_line(rec.name, mins, ks, cfg.sketch_size))
+                elif want_json:
+                    json_records.append(
+                        SketchRecord(rec.name, mins, list(ks), cfg.sketch_size, len(rec.seq))
+                    )
+                else:
+                    out.write(f"{rec.name}\t{' '.join(map(str, mins))}\n")
+        else:
+            hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+            h_np = np.asarray(hashes)
+            m_np = np.asarray(mask)
+            for i, rec in enumerate(chunk):
+                vals = h_np[i][m_np[i]].tolist()
+                if cfg.wabbitize:
+                    mins = sorted(v for v in vals if v != 0)
+                    out.write(_wabbit_line(rec.name, mins, ks, cfg.sketch_size))
+                elif want_json:
+                    json_records.append(
+                        SketchRecord(
+                            rec.name, sorted(v for v in vals if v != 0),
+                            list(ks), cfg.sketch_size, len(rec.seq),
+                        )
+                    )
+                else:
+                    out.write(f"{rec.name}\t{' '.join(map(str, vals))}\n")
+
+    if want_json:
+        if cfg.out_prefix:
+            with open(f"{cfg.out_prefix}.rkmh.json", "w") as fh:
+                dump_sketches(json_records, fh)
+            log(f"Wrote {len(json_records)} sketches to {cfg.out_prefix}.rkmh.json")
+        else:
+            dump_sketches(json_records, out)
+    return 0

@@ -1,0 +1,85 @@
+"""`search` command — report which query k-mers appear in a reference set.
+
+Reference behavior (rkmh.cpp:2124-2256): reference files are *text* files
+whose lines start with a k-mer token; each token[0] is canonically hashed
+(calc_hash) into a HASHTCounter.  Each read is kmerized and every k-mer
+present in the reference set is collected; output is one line per read
+with >=1 k-mer window:
+
+    name\\tkmer1,kmer2,...\\n          (empty k-mer list -> "name\\t")
+
+The reference's membership test is broken — ``htc.get(kmers.kmers[j] > 0)``
+passes a bool as the key (rkmh.cpp:2231; SURVEY.md §8 B2), so it compares
+against slot 1 for every k-mer.  We implement the evident intent
+(``htc.get(calc_hash(kmer)) > 0``), with exact membership instead of the
+lossy table so there are no collision false-positives.
+
+Device path: canonical window hashes for the whole batch in one pass,
+membership via searchsorted against the sorted reference hash array; the
+matching k-mer strings are sliced host-side from the read.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from rkmh_tpu import oracle
+from rkmh_tpu.commands.common import DEFAULT_KMER, batch_iter, load_records, log
+from rkmh_tpu.ops.hashing import kmer_window_hashes
+
+
+@dataclass
+class SearchConfig:
+    ref_files: list = field(default_factory=list)   # text: kmer per line
+    read_files: list = field(default_factory=list)  # fasta/fastq
+    ks: tuple = ()
+    batch_size: int = 2048
+
+
+def load_ref_kmers(paths) -> np.ndarray:
+    """Hash token[0] of every line of every ref file (rkmh.cpp:2191-2199)."""
+    hashes = set()
+    for p in paths:
+        with open(p) as fh:
+            for line in fh:
+                tok = line.split()
+                if tok:
+                    h = oracle.calc_hash(tok[0])
+                    if h:
+                        hashes.add(h)
+    return np.asarray(sorted(hashes), dtype=np.uint64)
+
+
+def run(cfg: SearchConfig, out=None) -> int:
+    out = out or sys.stdout
+    ks = tuple(cfg.ks) if cfg.ks else (DEFAULT_KMER,)
+    if not cfg.ks:
+        log("Using default kmer size of 16.")
+    k = ks[0]  # reference kmerizes with kmer[0] only (rkmh.cpp:2228)
+
+    ref_hashes = load_ref_kmers(cfg.ref_files)
+    log(f"Loaded {len(ref_hashes)} reference kmers.")
+    ref_dev = jnp.asarray(ref_hashes)
+    reads = load_records(cfg.read_files)
+
+    for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+        wh = kmer_window_hashes(codes, k)                       # [B, W]
+        if ref_hashes.size:
+            pos = jnp.searchsorted(ref_dev, wh)
+            pos = jnp.clip(pos, 0, len(ref_hashes) - 1)
+            found = (ref_dev[pos] == wh) & (wh != np.uint64(0))
+        else:
+            found = jnp.zeros(wh.shape, dtype=bool)
+        found_np = np.asarray(found)
+        for i, rec in enumerate(chunk):
+            nwin = len(rec.seq) - k + 1
+            if nwin <= 0:
+                continue  # reference emits nothing for reads shorter than k
+            idx = np.nonzero(found_np[i, :nwin])[0]
+            mers = ",".join(rec.seq[j : j + k].decode() for j in idx)
+            out.write(f"{rec.name}\t{mers}\n")
+    return 0

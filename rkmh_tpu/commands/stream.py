@@ -46,6 +46,7 @@ class StreamConfig:
     counter_size: int = 200_000_000  # rkmh.cpp:739-742
     batch_size: int = DEFAULT_BATCH
     threads: int = 1             # accepted for CLI parity; no-op on TPU
+    ref_sketches: str = ""       # JSON panel dump (hash -o) to load
 
 
 def format_lines(ref_keys, chunk, best, shared, sk_lens, diff_ok, depth_fail, match_fail, sketch_size):
@@ -71,16 +72,22 @@ def run(cfg: StreamConfig, out=None) -> int:
     if not cfg.ks:
         log("No kmer size(s) provided. Will use a default kmer size of 16.")
 
-    refs = load_records(cfg.ref_files)
     reads = load_records(cfg.read_files)
 
-    panel = build_ref_panel(
-        refs,
-        ks,
-        cfg.sketch_size,
-        max_samples=cfg.max_samples,
-        counter_size=cfg.counter_size,
-    )
+    if cfg.ref_sketches:
+        from rkmh_tpu.io.sketch_json import load_sketches, panel_from_sketches
+
+        with open(cfg.ref_sketches) as fh:
+            panel = panel_from_sketches(load_sketches(fh), cfg.sketch_size)
+    else:
+        refs = load_records(cfg.ref_files)
+        panel = build_ref_panel(
+            refs,
+            ks,
+            cfg.sketch_size,
+            max_samples=cfg.max_samples,
+            counter_size=cfg.counter_size,
+        )
 
     read_counter = None
     if cfg.min_kmer_occ >= 0:

@@ -1,0 +1,183 @@
+"""hash / count / search commands + JSON sketch round-trip.
+
+Oracle-based: every device-produced value is checked against the scalar
+Python oracle (rkmh_tpu.oracle), which is itself validated bit-exactly
+against MurmurHash3_x64_128 golden vectors in test_murmur3.py.
+"""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from rkmh_tpu import oracle
+from rkmh_tpu.io.fastx import read_fastx
+
+DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="module")
+def zika_reads():
+    return read_fastx(f"{DATA}/z1.fq")[:40]
+
+
+def run_cmd(cfg_cls, run_fn, **kw):
+    buf = io.StringIO()
+    cfg = cfg_cls(**kw)
+    rc = run_fn(cfg, out=buf)
+    assert rc == 0
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# hash
+# ---------------------------------------------------------------------------
+
+def test_hash_lines_match_oracle(tmp_path, zika_reads):
+    from rkmh_tpu.commands.hash_cmd import HashConfig, run
+
+    fq = tmp_path / "reads.fq"
+    with open(fq, "w") as fh:
+        for r in zika_reads[:8]:
+            fh.write(f"@{r.name}\n{r.seq.decode()}\n+\n{(r.qual or b'I'*len(r.seq)).decode()}\n")
+
+    out = run_cmd(HashConfig, run, read_files=[str(fq)], ks=(12,))
+    lines = out.strip().split("\n")
+    assert len(lines) == 8
+    for line, rec in zip(lines, zika_reads[:8]):
+        name, vals = line.split("\t")
+        assert name == rec.name
+        got = [int(v) for v in vals.split()]
+        assert got == oracle.calc_hashes(rec.seq, 12)
+
+
+def test_hash_multi_k_concatenates(tmp_path, zika_reads):
+    from rkmh_tpu.commands.hash_cmd import HashConfig, run
+
+    fq = tmp_path / "r.fa"
+    rec = zika_reads[0]
+    fq.write_text(f">{rec.name}\n{rec.seq.decode()}\n")
+    out = run_cmd(HashConfig, run, read_files=[str(fq)], ks=(12, 16))
+    _, vals = out.strip().split("\t")
+    got = [int(v) for v in vals.split()]
+    assert got == oracle.calc_hashes(rec.seq, [12, 16])
+
+
+def test_hash_kmers_output(tmp_path):
+    from rkmh_tpu.commands.hash_cmd import HashConfig, run
+
+    fa = tmp_path / "x.fa"
+    fa.write_text(">s\nACGTAC\n")
+    out = run_cmd(HashConfig, run, read_files=[str(fa)], ks=(4,), output_kmers=True)
+    assert out == "ACGT\ts\nCGTA\ts\nGTAC\ts\n"
+
+
+def test_hash_wabbitize_format(tmp_path):
+    from rkmh_tpu.commands.hash_cmd import HashConfig, run
+
+    fa = tmp_path / "x.fa"
+    fa.write_text(">a|b\nACGTACGTACGT\n")
+    out = run_cmd(
+        HashConfig, run, read_files=[str(fa)], ks=(4,), sketch_size=3, wabbitize=True
+    )
+    mins = oracle.minhashes(oracle.calc_hashes(b"ACGTACGTACGT", 4), 3)
+    feats = " ".join(f"{m}:1" for m in mins)
+    # print_wabbit layout (rkmh.cpp:463-487): '|' in key -> '_'
+    assert out == f"XYX 1.0 `a_b|vir {feats} |sketch k:4 s:3\n"
+
+
+def test_hash_json_roundtrip_classify(tmp_path, zika_reads):
+    """hash -o panel.json on refs, then stream --ref-sketches gives
+    byte-identical output to the direct hashing path."""
+    from rkmh_tpu.commands.hash_cmd import HashConfig, run as run_hash
+    from rkmh_tpu.commands.stream import StreamConfig, run as run_stream
+
+    prefix = str(tmp_path / "panel")
+    rc = run_hash(
+        HashConfig(
+            read_files=[f"{DATA}/zika.refs.fa"], ks=(12,), sketch_size=1000,
+            out_prefix=prefix,
+        )
+    )
+    assert rc == 0
+
+    with open(f"{prefix}.rkmh.json") as fh:
+        data = json.load(fh)
+    assert len(data) == 60 and data[0]["hash_seed"] == 42
+
+    buf_a, buf_b = io.StringIO(), io.StringIO()
+    common = dict(read_files=[f"{DATA}/z1.fq"], ks=(12,), sketch_size=1000)
+    run_stream(StreamConfig(ref_files=[f"{DATA}/zika.refs.fa"], **common), out=buf_a)
+    run_stream(
+        StreamConfig(ref_sketches=f"{prefix}.rkmh.json", **common), out=buf_b
+    )
+    assert buf_a.getvalue() == buf_b.getvalue()
+    assert buf_a.getvalue().count("\n") == 1000
+
+
+# ---------------------------------------------------------------------------
+# count
+# ---------------------------------------------------------------------------
+
+def test_count_table_matches_oracle(tmp_path, zika_reads):
+    from rkmh_tpu.commands.count_cmd import CountConfig, run
+
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as fh:
+        for r in zika_reads[:10]:
+            fh.write(f"@{r.name}\n{r.seq.decode()}\n+\n{'I'*len(r.seq)}\n")
+
+    size = 4096
+    npz = tmp_path / "table.npz"
+    run_cmd(
+        CountConfig, run,
+        read_files=[str(fq)], ks=(12,), counter_size=size, out_file=str(npz),
+    )
+    table = np.load(npz)["table"]
+
+    want = np.zeros(size, dtype=np.int64)
+    for r in zika_reads[:10]:
+        for h in oracle.calc_hashes(r.seq, 12):
+            want[h % size] += 1  # zeros counted too, like HASHTCounter
+    assert np.array_equal(table, want)
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+def test_search_finds_ref_kmers(tmp_path, zika_reads):
+    from rkmh_tpu.commands.search_cmd import SearchConfig, run
+
+    k = 12
+    rec = zika_reads[0]
+    # ref kmer list: every 7th kmer of the first read
+    ref_kmers = [rec.seq[i : i + k].decode() for i in range(0, len(rec.seq) - k + 1, 7)]
+    ref_txt = tmp_path / "ref.txt"
+    ref_txt.write_text("".join(f"{m} extra tokens\n" for m in ref_kmers))
+
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as fh:
+        for r in zika_reads[:5]:
+            fh.write(f"@{r.name}\n{r.seq.decode()}\n+\n{'I'*len(r.seq)}\n")
+
+    out = run_cmd(
+        SearchConfig, run, ref_files=[str(ref_txt)], read_files=[str(fq)], ks=(k,)
+    )
+    lines = out.strip("\n").split("\n")
+    assert len(lines) == 5
+
+    ref_set = {oracle.calc_hash(m) for m in ref_kmers} - {0}
+    for line, r in zip(lines, zika_reads[:5]):
+        name, mers = (line.split("\t") + [""])[:2]
+        assert name == r.name
+        want = [
+            r.seq[i : i + k].decode()
+            for i in range(len(r.seq) - k + 1)
+            if oracle.calc_hash(r.seq[i : i + k]) in ref_set
+        ]
+        got = mers.split(",") if mers else []
+        assert got == want
+    # the read that supplied the kmers must recover them all
+    assert set(ref_kmers) <= set(lines[0].split("\t")[1].split(","))
