@@ -1,0 +1,152 @@
+"""`call` command — alignment-free variant calling, VCF output.
+
+Mirrors rkmh main_call (rkmh.cpp:1455-1904) with the enumeration kernel
+in call_engine.py.  Flow: hash all reads -> exact hash->depth map
+(ops/hashmap) -> per reference: positional depth, trailing-window
+average, low-depth sites, SNP/DEL mutation rescue -> aggregate into VCF
+records keyed and sorted exactly like the reference's std::map<string>
+(lexicographic over "ref\\tpos\\t.\\tREF\\tALT" — so positions sort as
+strings, 10 < 2, matching rkmh's output order).
+
+Header quirks preserved byte-for-byte (rkmh.cpp:1740-1747): INFO declares
+ID=KD but records emit KC=; the RD and OD INFO lines are concatenated on
+one line (missing endl in the reference).
+
+One deliberate improvement: the reference's -d/--show-depth path builds
+its per-position "j\\tavg\\tdepth\\trescue" lines in a stringstream it
+never prints (SURVEY.md §8 Q7-adjacent dead path); we actually emit them.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from rkmh_tpu import call_engine
+from rkmh_tpu.classify import engine
+from rkmh_tpu.commands.common import batch_iter, load_records, log
+from rkmh_tpu.io.packing import bucket_length, encode_seqs
+from rkmh_tpu.ops.hashmap import depth_map_from_hashes
+
+_BASE = "ACGT"
+
+
+@dataclass
+class CallConfig:
+    ref_files: list = field(default_factory=list)
+    read_files: list = field(default_factory=list)
+    ks: tuple = ()
+    window_len: int = 100
+    show_depth: bool = False
+    batch_size: int = 2048
+
+
+def _code_char(c: int) -> str:
+    return _BASE[c] if c < 4 else "N"
+
+
+def run(cfg: CallConfig, out=None) -> int:
+    out = out or sys.stdout
+    if not cfg.ks:
+        log("No kmer size(s) provided. Will use a default kmer size of 16.")
+        ks = (16,)
+    elif len(cfg.ks) > 1:
+        log("Only a single kmer size may be used for calling.")
+        return 1
+    else:
+        ks = tuple(cfg.ks)
+    k = ks[0]
+
+    log("Parsing sequences...")
+    refs = load_records(cfg.ref_files)
+    reads = load_records(cfg.read_files)
+    if not refs or not reads:
+        log("call requires at least one reference and one read file.")
+        return 1
+
+    # read depth map: every k-mer occurrence, zeros included (rkmh.cpp:1616-23)
+    all_h, all_m = [], []
+    for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+        hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+        all_h.append(np.asarray(hashes))
+        all_m.append(np.asarray(mask))
+    table = depth_map_from_hashes(
+        np.concatenate([h.ravel() for h in all_h]),
+        np.concatenate([m.ravel() for m in all_m]),
+    ).device_arrays()
+
+    if len(refs) > 1:
+        log("WARNING: more than one ref provided. VCF will not be correct")
+
+    output_vcf = not cfg.show_depth
+    if output_vcf:
+        # header quirks preserved: KD vs KC, RD+OD on one line (rkmh.cpp:1740-47)
+        out.write(
+            "##fileformat=VCF4.2\n##source=rkmh\n"
+            f"##reference={cfg.ref_files[0]}\n"
+            '##INFO=<ID=KD,Number=1,Type=Integer,Description="Number of times call for specific kmer appears">\n'
+            '##INFO=<ID=MD,Number=1,Type=Integer,Description="Maximum depth found for the rescue kmer.">\n'
+            '##INFO=<ID=RD,Number=1,Type=Integer,Description="Average depth in region">'
+            '##INFO=<ID=OD,Number=1,Type=Integer,Description="Depth of original kmer at site before modification.">\n'
+        )
+
+    call_count: dict[str, int] = {}
+    call_max_depth: dict[str, int] = {}
+    call_avg_depth: dict[str, int] = {}
+    call_orig_depth: dict[str, int] = {}
+
+    def record(key: str, alt_depth: int, avg_d: int, depth: int):
+        call_count[key] = call_count.get(key, 0) + 1
+        call_avg_depth[key] = max(avg_d, call_avg_depth.get(key, 0))
+        call_orig_depth[key] = max(depth, call_orig_depth.get(key, 0))
+        if alt_depth > call_max_depth.get(key, 0):
+            call_max_depth[key] = alt_depth
+
+    for ref in refs:
+        L = bucket_length(len(ref.seq))
+        if len(ref.seq) < k:
+            continue
+        codes, _ = encode_seqs([ref.seq], pad_to=L)
+        res = call_engine.call_scan_ref(codes[0], table, k, cfg.window_len)
+        P = len(ref.seq) - k + 1
+
+        depth = np.asarray(res["depth"])[:P]
+        avg = np.asarray(res["avg"])[:P]
+
+        if cfg.show_depth:
+            rescue = np.asarray(res["max_rescue"])[:P]
+            shown = np.where(rescue > 0, rescue, depth)
+            for j in range(P):
+                out.write(f"{j}\t{avg[j]}\t{depth[j]}\t{shown[j]}\n")
+            continue
+
+        win = np.asarray(res["win"])[:P]
+        dwin = np.asarray(res["dwin"])[:P]
+        snp_call = np.asarray(res["snp_call"])[:P]
+        snp_depth = np.asarray(res["snp_depth"])[:P]
+        del_call = np.asarray(res["del_call"])[:P]
+        del_depth = np.asarray(res["del_depth"])[:P]
+
+        for j, ap, b in zip(*np.nonzero(snp_call)):
+            orig = _code_char(int(win[j, ap]))
+            alt = _code_char(int(call_engine.ROT[int(win[j, ap]), b]))
+            pos = int(j) + int(ap) + 1
+            key = f"{ref.name}\t{pos}\t.\t{orig}\t{alt}"
+            record(key, int(snp_depth[j, ap, b]), int(avg[j]), int(depth[j]))
+
+        for j, api in zip(*np.nonzero(del_call)):
+            ap = int(api) + 1               # reference loops alt_pos in [1, k]
+            orig = _code_char(int(dwin[j, ap]))
+            pos = int(j) + ap + 1
+            key = f"{ref.name}\t{pos}\t.\t{orig}\t-"
+            record(key, int(del_depth[j, api]), int(avg[j]), int(depth[j]))
+
+    if output_vcf:
+        for key in sorted(call_count):  # std::map iteration order
+            out.write(
+                f"{key}\t99\tPASS\tKC={call_count[key]};MD={call_max_depth.get(key, 0)};"
+                f"RD={call_avg_depth.get(key, 0)};OD={call_orig_depth.get(key, 0)}\n"
+            )
+    return 0

@@ -83,3 +83,84 @@ def intersection_size(a: list[int], b: list[int]) -> int:
 def set_intersection_size(a: list[int], b: list[int]) -> int:
     """Distinct shared hash values (hpv16 type-level comparator)."""
     return len(set(a) & set(b))
+
+
+# ---------------------------------------------------------------------------
+# `call` oracle — scalar replication of rkmh.cpp:1766-1888
+# ---------------------------------------------------------------------------
+
+_ROTATE = {  # rotate_snps order, rkmh.cpp:1634-1654
+    "A": "CTG", "C": "TGA", "T": "CGA", "G": "ACT",
+}
+
+
+def call_variants(ref_name: str, ref_seq: bytes, read_depth: dict[int, int],
+                  k: int, window_len: int = 100):
+    """Replicates the reference's per-ref call loop exactly.
+
+    read_depth: hash -> count over every read k-mer occurrence (zeros
+    included).  Returns (calls, depth_rows) where calls maps the VCF key
+    string "ref\\tpos\\t.\\tREF\\tALT" -> [count, max_depth, avg_depth,
+    orig_depth] and depth_rows is the per-position (avg, depth,
+    max_rescue) list of the -d path.
+    """
+    seq = ref_seq.decode() if isinstance(ref_seq, bytes) else ref_seq
+    P = len(seq) - k + 1
+    hashes = [calc_hash(seq[j : j + k]) for j in range(P)]
+
+    calls: dict[str, list[int]] = {}
+    rows = []
+    window: list[int] = []
+
+    def record(key, alt_depth, avg_d, depth):
+        ent = calls.setdefault(key, [0, 0, 0, 0])
+        ent[0] += 1
+        ent[2] = max(ent[2], avg_d)
+        ent[3] = max(ent[3], depth)
+        if alt_depth > ent[1]:
+            ent[1] = alt_depth
+
+    for j in range(P):
+        depth = read_depth.get(hashes[j], 0)
+        window.append(depth)
+        if len(window) > window_len:
+            window.pop(0)
+        avg_d = int(sum(window) / len(window))  # (double) division, int trunc
+        max_rescue = 0
+
+        if depth < 0.5 * avg_d:
+            kmer = seq[j : j + k]
+            # SNPs (rkmh.cpp:1807-1838)
+            for ap in range(k):
+                orig = kmer[ap]
+                for x in _ROTATE.get(orig, ""):
+                    alt = kmer[:ap] + x + kmer[ap + 1 :]
+                    alt_depth = read_depth.get(calc_hash(alt), 0)
+                    max_rescue = max(max_rescue, alt_depth)
+                    if alt_depth >= 0.1 * avg_d and alt_depth > depth:
+                        pos = j + ap + 1
+                        record(f"{ref_name}\t{pos}\t.\t{orig}\t{x}",
+                               alt_depth, avg_d, depth)
+            # 1bp deletions (rkmh.cpp:1845-1865)
+            if j > 0:
+                d_alt = seq[j - 1 : j + k]  # k+1 chars
+                for ap in range(1, k + 1):
+                    mod = d_alt[:ap] + d_alt[ap + 1 :]
+                    alt_depth = read_depth.get(calc_hash(mod), 0)
+                    if alt_depth > 0.9 * avg_d:
+                        pos = j + ap + 1
+                        record(f"{ref_name}\t{pos}\t.\t{d_alt[ap]}\t-",
+                               alt_depth, avg_d, depth)
+
+        rows.append((avg_d, depth, max_rescue))
+    return calls, rows
+
+
+def read_depth_map(reads: list[bytes], k: int) -> dict[int, int]:
+    """hash -> occurrence count over all reads (zeros included,
+    rkmh.cpp:1616-1623)."""
+    d: dict[int, int] = {}
+    for seq in reads:
+        for h in calc_hashes(seq, k):
+            d[h] = d.get(h, 0) + 1
+    return d

@@ -1,0 +1,202 @@
+"""`call` variant caller: device kernel + command vs the scalar oracle."""
+
+import io
+
+import numpy as np
+import pytest
+
+from rkmh_tpu import oracle
+
+DATA = "/root/reference/data"
+
+
+def _mutate(seq: bytes, pos: int, base: bytes) -> bytes:
+    return seq[:pos] + base + seq[pos + 1 :]
+
+
+@pytest.fixture(scope="module")
+def synthetic():
+    """240bp ref; reads overwhelmingly carry a SNP at 117, so the ref
+    k-mers crossing 117 are low-depth and the alt k-mers rescue them."""
+    rng = np.random.default_rng(7)
+    ref = bytes(rng.choice(list(b"ACGT"), size=240).tolist())
+    snp = _mutate(ref, 117, b"T" if ref[117:118] != b"T" else b"C")
+    reads = []
+    for i in range(8):
+        s = int(rng.integers(0, len(ref) - 80))
+        reads.append(ref[s : s + 80])
+    for i in range(80):
+        s = int(rng.integers(0, len(snp) - 80))
+        reads.append(snp[s : s + 80])
+    return ref, reads
+
+
+def test_hashmap_exact(synthetic):
+    from rkmh_tpu.ops.hashmap import build_hash_map, hashmap_get
+    import jax.numpy as jnp
+
+    ref, reads = synthetic
+    d = oracle.read_depth_map(reads, 12)
+    keys = np.array(sorted(d), dtype=np.uint64)
+    vals = np.array([d[k] for k in keys.tolist()], dtype=np.int32)
+    table = build_hash_map(keys, vals).device_arrays()
+
+    got = np.asarray(hashmap_get(table, jnp.asarray(keys)))
+    assert np.array_equal(got, vals)
+    # missing keys -> 0
+    miss = jnp.asarray(np.array([1, 2, 3, 10**18], dtype=np.uint64))
+    present = set(keys.tolist())
+    want = np.array([d.get(int(m), 0) if int(m) in present else 0 for m in miss])
+    assert np.array_equal(np.asarray(hashmap_get(table, miss)), want)
+
+
+def test_call_kernel_matches_oracle(synthetic):
+    from rkmh_tpu import call_engine
+    from rkmh_tpu.io.packing import bucket_length, encode_seqs
+    from rkmh_tpu.ops.hashmap import build_hash_map
+
+    ref, reads = synthetic
+    k, w = 12, 100
+    depth_map = oracle.read_depth_map(reads, k)
+    keys = np.array(sorted(depth_map), dtype=np.uint64)
+    vals = np.array([depth_map[x] for x in keys.tolist()], dtype=np.int32)
+    table = build_hash_map(keys, vals).device_arrays()
+
+    codes, _ = encode_seqs([ref], pad_to=bucket_length(len(ref)))
+    res = call_engine.call_scan_ref(codes[0], table, k, w)
+    P = len(ref) - k + 1
+
+    want_calls, want_rows = oracle.call_variants("ref", ref, depth_map, k, w)
+    avg = np.asarray(res["avg"])[:P]
+    depth = np.asarray(res["depth"])[:P]
+    rescue = np.asarray(res["max_rescue"])[:P]
+    for j, (a, dpt, r) in enumerate(want_rows):
+        assert (avg[j], depth[j], rescue[j]) == (a, dpt, r), f"row {j}"
+
+    # reconstruct device-side calls the way the command does
+    got_calls = {}
+    win = np.asarray(res["win"])[:P]
+    dwin = np.asarray(res["dwin"])[:P]
+    snp_call = np.asarray(res["snp_call"])[:P]
+    snp_depth = np.asarray(res["snp_depth"])[:P]
+    del_call = np.asarray(res["del_call"])[:P]
+    del_depth = np.asarray(res["del_depth"])[:P]
+
+    def record(key, alt_depth, avg_d, dpt):
+        e = got_calls.setdefault(key, [0, 0, 0, 0])
+        e[0] += 1
+        e[2] = max(e[2], avg_d)
+        e[3] = max(e[3], dpt)
+        if alt_depth > e[1]:
+            e[1] = alt_depth
+
+    B = "ACGT"
+    for j, ap, b in zip(*np.nonzero(snp_call)):
+        orig = B[win[j, ap]]
+        alt = B[call_engine.ROT[win[j, ap], b]]
+        record(f"ref\t{j + ap + 1}\t.\t{orig}\t{alt}",
+               int(snp_depth[j, ap, b]), int(avg[j]), int(depth[j]))
+    for j, api in zip(*np.nonzero(del_call)):
+        ap = int(api) + 1
+        record(f"ref\t{j + ap + 1}\t.\t{B[dwin[j, ap]] if dwin[j, ap] < 4 else 'N'}\t-",
+               int(del_depth[j, api]), int(avg[j]), int(depth[j]))
+
+    assert got_calls == want_calls
+    assert want_calls, "synthetic SNP should produce at least one call"
+    # the planted SNP position must be among the called positions
+    assert any(f"\t{117 + 1}\t" in key for key in want_calls), sorted(want_calls)
+
+
+def test_call_command_vcf(tmp_path, synthetic):
+    from rkmh_tpu.commands.call_cmd import CallConfig, run
+
+    ref, reads = synthetic
+    ref_fa = tmp_path / "ref.fa"
+    ref_fa.write_text(f">refA\n{ref.decode()}\n")
+    reads_fq = tmp_path / "reads.fq"
+    with open(reads_fq, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@r{i}\n{r.decode()}\n+\n{'I' * len(r)}\n")
+
+    buf = io.StringIO()
+    rc = run(
+        CallConfig(ref_files=[str(ref_fa)], read_files=[str(reads_fq)], ks=(12,)),
+        out=buf,
+    )
+    assert rc == 0
+    out = buf.getvalue()
+
+    # exact header bytes incl. the KD/KC mismatch and RD+OD one-liner
+    assert out.startswith(
+        "##fileformat=VCF4.2\n##source=rkmh\n"
+        f"##reference={ref_fa}\n"
+        '##INFO=<ID=KD,Number=1,Type=Integer,'
+    )
+    assert 'Description="Average depth in region">##INFO=<ID=OD' in out
+
+    depth_map = oracle.read_depth_map(reads, 12)
+    want_calls, _ = oracle.call_variants("refA", ref, depth_map, 12, 100)
+    body = [l for l in out.splitlines() if not l.startswith("##")]
+    want_body = [
+        f"{key}\t99\tPASS\tKC={v[0]};MD={v[1]};RD={v[2]};OD={v[3]}"
+        for key, v in sorted(want_calls.items())
+    ]
+    assert body == want_body
+
+
+def test_call_show_depth(tmp_path, synthetic):
+    from rkmh_tpu.commands.call_cmd import CallConfig, run
+
+    ref, reads = synthetic
+    ref_fa = tmp_path / "ref.fa"
+    ref_fa.write_text(f">refA\n{ref.decode()}\n")
+    reads_fq = tmp_path / "reads.fq"
+    with open(reads_fq, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@r{i}\n{r.decode()}\n+\n{'I' * len(r)}\n")
+
+    buf = io.StringIO()
+    run(
+        CallConfig(ref_files=[str(ref_fa)], read_files=[str(reads_fq)],
+                   ks=(12,), show_depth=True),
+        out=buf,
+    )
+    lines = buf.getvalue().splitlines()
+    P = len(ref) - 12 + 1
+    assert len(lines) == P
+    depth_map = oracle.read_depth_map(reads, 12)
+    _, rows = oracle.call_variants("refA", ref, depth_map, 12, 100)
+    for j, (a, d, r) in enumerate(rows):
+        shown = r if r > 0 else d
+        assert lines[j] == f"{j}\t{a}\t{d}\t{shown}"
+
+
+def test_call_on_zika_slice():
+    """Real data smoke: truncated zika genome vs the z1 read set."""
+    from rkmh_tpu.commands.call_cmd import CallConfig, run
+    from rkmh_tpu.io.fastx import read_fastx
+    import tempfile, os
+
+    zika = read_fastx(f"{DATA}/zika.fa")[0]
+    reads = [r.seq for r in read_fastx(f"{DATA}/z1.fq")]
+    ref_seq = zika.seq[:1500]
+
+    with tempfile.TemporaryDirectory() as td:
+        ref_fa = os.path.join(td, "ref.fa")
+        with open(ref_fa, "w") as fh:
+            fh.write(f">zslice\n{ref_seq.decode()}\n")
+        buf = io.StringIO()
+        rc = run(
+            CallConfig(ref_files=[ref_fa], read_files=[f"{DATA}/z1.fq"], ks=(16,)),
+            out=buf,
+        )
+    assert rc == 0
+    body = [l for l in buf.getvalue().splitlines() if not l.startswith("##")]
+
+    depth_map = oracle.read_depth_map(reads, 16)
+    want_calls, _ = oracle.call_variants("zslice", ref_seq, depth_map, 16, 100)
+    want_body = [
+        f"{key}\t99\tPASS\tKC={v[0]};MD={v[1]};RD={v[2]};OD={v[3]}"
+        for key, v in sorted(want_calls.items())
+    ]
+    assert body == want_body
