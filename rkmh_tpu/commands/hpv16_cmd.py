@@ -1,0 +1,191 @@
+"""`hpv16` command — tiered HPV type / lineage / sublineage classifier.
+
+Mirrors rkmh main_hpv16 (rkmh.cpp:2366-2723):
+
+1. Type step: each read's full hash set vs the 182-genome PAVE panel
+   (``refpath/all_pave_ref.fa``), argmax of distinct-set intersection
+   (hash_set_intersection_size, rkmh.cpp:2669-2678; first ref wins ties).
+2. Lineage/sublineage step: the 10 HPV16 sublineage genomes
+   (``refpath/new_refs.fa``, keys A1..D3) are grouped by lineage letter
+   (key[0]) and sublineage (key[:2]); each group's *unique* k-mer table is
+   its hash set minus the union of all other groups (iterated
+   set_difference, rkmh.cpp:2558-2653).  Reads are ranked against both
+   table families by similarity = |∩| / hashnum (sort_by_similarity),
+   descending, ties keeping map order (A,B,C,D / A1..D3).
+3. Output per read (rkmh.cpp:2681-2715):
+   ``read\\ttype\\tshared/hashnum\\tlin:sim;..\\tsublin:sim;..\\t
+   lin_count;..\\tsublin_count;..`` with C++ default double formatting
+   (6 significant digits).
+
+Side effects preserved: the lineage-unique table stats go to stderr and
+``lineage_specific_hashes.<k>.tst`` is written to CWD (rkmh.cpp:2600-2612;
+hashes tab-separated with a trailing tab — we write them sorted, where
+the reference's unordered_set order is arbitrary).
+
+Semantics notes (mkmh not vendored, SURVEY.md §2.3): set intersections
+exclude the 0 invalid-kmer sentinel; refs are hashed with kmer_sizes[0]
+while reads use all -k sizes, exactly as the reference does
+(rkmh.cpp:2546 vs 2661); sketch_size is accepted but the type_minhashes
+it would build are dead in the reference's live path (rkmh.cpp:2547 built,
+never read) so no sketching happens here either.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from rkmh_tpu.classify import engine
+from rkmh_tpu.commands.common import batch_iter, load_records, log
+from rkmh_tpu.ops.counter import HashCounter
+from rkmh_tpu.ops.lookup import build_sorted_panel
+
+
+@dataclass
+class Hpv16Config:
+    read_files: list = field(default_factory=list)
+    refpath: str = "data"
+    ks: tuple = ()
+    sketch_size: int = 4000        # parsed for parity; dead in the live path
+    min_kmer_occ: int = 0          # -M (>0 enables read-depth masking)
+    min_matches: int = -1          # parsed, unused (reference too)
+    min_diff: int = 0              # parsed, unused (reference too)
+    counter_size: int = 800_000_000  # rkmh.cpp:2516
+    batch_size: int = 512
+    tst_file: bool = True          # write lineage_specific_hashes.<k>.tst
+
+
+def _fmt_double(x: float) -> str:
+    """C++ `cout << double` default formatting: 6 significant digits."""
+    return f"{x:.6g}"
+
+
+def _distinct_rows(records, ks, batch_size):
+    """Hash records on device, return per-record distinct nonzero hashes."""
+    rows = []
+    for chunk, codes, lens in batch_iter(records, batch_size):
+        hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+        h_np = np.asarray(hashes)
+        m_np = np.asarray(mask)
+        for i in range(len(chunk)):
+            vals = np.unique(h_np[i][m_np[i]])
+            rows.append(vals[vals != 0])
+    return rows
+
+
+def _unique_tables(group_sets: list[np.ndarray]):
+    """Per-group unique hashes: set minus union of all other groups
+    (the iterated std::set_difference of rkmh.cpp:2575-2590)."""
+    out = []
+    for i, s in enumerate(group_sets):
+        uniq = s
+        for j, o in enumerate(group_sets):
+            if j != i:
+                uniq = np.setdiff1d(uniq, o, assume_unique=True)
+        out.append(uniq)
+    return out
+
+
+def run(cfg: Hpv16Config, out=None) -> int:
+    out = out or sys.stdout
+    if not cfg.ks:
+        log("NO KMER SIZE PROVIDED. USING A DEFAULT KMER SIZE OF 16")
+        ks = (16,)
+    else:
+        ks = tuple(cfg.ks)
+    k0 = ks[0]
+
+    type_recs = load_records([f"{cfg.refpath}/all_pave_ref.fa"])
+    sub_recs = load_records([f"{cfg.refpath}/new_refs.fa"])
+    reads = load_records(cfg.read_files)
+
+    # type panel: full distinct hash sets at kmer_sizes[0] (rkmh.cpp:2546)
+    type_rows = _distinct_rows(type_recs, (k0,), cfg.batch_size)
+    type_keys_np, type_masks_np = build_sorted_panel(type_rows)
+    type_names = [r.name for r in type_recs]
+
+    # sublineage hash sets at kmer_sizes[0] (rkmh.cpp:2553)
+    sub_rows = _distinct_rows(sub_recs, (k0,), cfg.batch_size)
+    lin_names = sorted({r.name[0] for r in sub_recs})            # map<char,..>
+    sublin_names = sorted({r.name[:2] for r in sub_recs})        # map<string,..>
+    lin_sets = [
+        np.unique(np.concatenate(
+            [row for rec, row in zip(sub_recs, sub_rows) if rec.name[0] == ln]
+        ))
+        for ln in lin_names
+    ]
+    sublin_sets = [
+        np.unique(np.concatenate(
+            [row for rec, row in zip(sub_recs, sub_rows) if rec.name[:2] == sn]
+        ))
+        for sn in sublin_names
+    ]
+    lin_uniqs = _unique_tables(lin_sets)
+    sublin_uniqs = _unique_tables(sublin_sets)
+
+    if cfg.tst_file:
+        with open(f"lineage_specific_hashes.{k0}.tst", "w") as fh:
+            for ln, uniq in zip(lin_names, lin_uniqs):
+                fh.write(ln + "\t" + "".join(f"{h}\t" for h in uniq.tolist()) + "\n")
+    log("Lineage specific kmer table created:")
+    for ln, uniq in zip(lin_names, lin_uniqs):
+        log(f"\t{ln}\t{len(uniq)}")
+    log("Sublineage specific kmer table created:")
+    for sn, uniq in zip(sublin_names, sublin_uniqs):
+        log(f"\t{sn}\t{len(uniq)}")
+
+    uniq_keys_np, uniq_masks_np = build_sorted_panel(lin_uniqs + sublin_uniqs)
+    n_lin, n_sub = len(lin_names), len(sublin_names)
+
+    type_keys = jnp.asarray(type_keys_np)
+    type_masks = jnp.asarray(type_masks_np)
+    uniq_keys = jnp.asarray(uniq_keys_np)
+    uniq_masks = jnp.asarray(uniq_masks_np)
+
+    counter_table = None
+    if cfg.min_kmer_occ > 0:
+        # -M: every read k-mer occurrence into the big lossy counter
+        # (rkmh.cpp:2513-2530; size 8e8)
+        hc = HashCounter(cfg.counter_size)
+        for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+            hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+            hc.add(hashes, mask)
+        counter_table = hc.table
+
+    from rkmh_tpu.ops.hashing import window_counts
+
+    for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+        tc, uc, best, max_shared = engine.hpv16_batch(
+            codes, jnp.asarray(lens),
+            type_keys, type_masks, uniq_keys, uniq_masks,
+            ks, len(type_names), n_lin + n_sub,
+            counter_table=counter_table, min_occ=cfg.min_kmer_occ,
+        )
+        uc_np = np.asarray(uc)
+        best_np = np.asarray(best)
+        shared_np = np.asarray(max_shared)
+        hashnum = np.asarray(window_counts(lens, list(ks)))
+
+        for i, rec in enumerate(chunk):
+            hn = int(hashnum[i])
+            lin_ints = uc_np[i, :n_lin]
+            sub_ints = uc_np[i, n_lin:]
+            lin_sims = lin_ints / hn if hn else np.zeros_like(lin_ints, dtype=float)
+            sub_sims = sub_ints / hn if hn else np.zeros_like(sub_ints, dtype=float)
+            lin_order = sorted(range(n_lin), key=lambda x: -lin_sims[x])
+            sub_order = sorted(range(n_sub), key=lambda x: -sub_sims[x])
+
+            parts = [
+                rec.name,
+                type_names[int(best_np[i])],
+                f"{int(shared_np[i])}/{hn}",
+                "".join(f"{lin_names[x]}:{_fmt_double(lin_sims[x])};" for x in lin_order),
+                "".join(f"{sublin_names[x]}:{_fmt_double(sub_sims[x])};" for x in sub_order),
+                "".join(f"{int(lin_ints[x])};" for x in lin_order),
+                "".join(f"{int(sub_ints[x])};" for x in sub_order),
+            ]
+            out.write("\t".join(parts) + "\n")
+    return 0

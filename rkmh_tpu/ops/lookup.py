@@ -168,6 +168,70 @@ def _query_masks(read_sk, occ_a, qmask, t_hi, t_lo, t_occ, t_masks):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Sorted-key panel: distinct-set membership for large full-hash panels
+# ---------------------------------------------------------------------------
+# The hpv16 type-level comparator intersects each read's *full* hash set
+# with 182 reference hash *sets* (hash_set_intersection_size,
+# rkmh.cpp:2669-2678) — ~1.4M distinct (hash, ref) pairs, too many for
+# the Python cuckoo builder.  Keys here are deduplicated, so occ
+# disambiguation is unnecessary: a sorted unique-key array + bitmask
+# matrix builds in O(n log n) numpy and queries with one searchsorted
+# (log2 U ~ 20 steps) per element.
+
+
+def build_sorted_panel(ref_hash_rows: list, num_refs: int | None = None):
+    """Per-ref distinct hash arrays -> (sorted unique keys [U] u64,
+    masks [U, Wm] u32).  Zeros (invalid k-mers) are excluded."""
+    R = num_refs if num_refs is not None else len(ref_hash_rows)
+    Wm = max(1, (R + 31) // 32)
+    keys_all = []
+    refs_all = []
+    for r, row in enumerate(ref_hash_rows):
+        row = np.unique(np.asarray(row, dtype=np.uint64))
+        row = row[row != 0]
+        keys_all.append(row)
+        refs_all.append(np.full(len(row), r, dtype=np.int64))
+    if not keys_all or sum(len(x) for x in keys_all) == 0:
+        return np.zeros(1, dtype=np.uint64), np.zeros((1, Wm), dtype=np.uint32)
+    keys_cat = np.concatenate(keys_all)
+    refs_cat = np.concatenate(refs_all)
+    uniq, inv = np.unique(keys_cat, return_inverse=True)
+    masks = np.zeros((len(uniq), Wm), dtype=np.uint32)
+    np.bitwise_or.at(
+        masks, (inv, refs_cat // 32), (np.uint32(1) << (refs_cat % 32)).astype(np.uint32)
+    )
+    return uniq, masks
+
+
+def sorted_panel_counts(read_sk, read_lens, keys, masks, num_refs: int):
+    """[B, s] sorted read hash arrays -> [B, R] *distinct* shared counts.
+
+    Duplicate read values are counted once (set semantics): only each
+    value's first occurrence queries the panel.
+    """
+    from rkmh_tpu.ops.intersect import occ_ranks
+
+    B, s = read_sk.shape
+    occ = occ_ranks(read_sk)
+    qmask = (
+        (jnp.arange(s, dtype=jnp.int32)[None, :] < read_lens[:, None])
+        & (read_sk != SENTINEL)
+        & (occ == 0)
+    )
+    pos = jnp.searchsorted(keys, read_sk)
+    pos = jnp.clip(pos, 0, keys.shape[0] - 1)
+    hit = (keys[pos] == read_sk) & qmask
+    mw = jnp.where(hit[..., None], masks[pos], np.uint32(0))  # [B, s, Wm]
+    counts = []
+    for r in range(num_refs):
+        w, b = divmod(r, 32)
+        counts.append(
+            jnp.sum((mw[..., w] >> np.uint32(b)) & np.uint32(1), axis=-1, dtype=jnp.int32)
+        )
+    return jnp.stack(counts, axis=-1)
+
+
 def lookup_intersection_counts(read_sk, read_lens, table_arrays, num_refs: int):
     """[B, s] sorted read sketches -> [B, R] intersection counts, exactly
     matching intersect.intersection_counts, via the panel table."""

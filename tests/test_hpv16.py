@@ -1,0 +1,221 @@
+"""hpv16 tiered classifier vs a scalar oracle on a synthetic refpath,
+plus sorted-panel op checks and a real-data smoke test."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from rkmh_tpu import oracle
+
+DATA = "/root/reference/data"
+
+
+# ---------------------------------------------------------------------------
+# sorted panel op
+# ---------------------------------------------------------------------------
+
+def test_sorted_panel_distinct_counts():
+    import jax.numpy as jnp
+    from rkmh_tpu.ops.lookup import build_sorted_panel, sorted_panel_counts
+    from rkmh_tpu.ops.sketch import SENTINEL
+
+    rng = np.random.default_rng(3)
+    rows = [np.unique(rng.integers(1, 60, size=30).astype(np.uint64)) for _ in range(5)]
+    keys, masks = build_sorted_panel(rows)
+
+    # queries: sorted arrays with duplicates + sentinel padding
+    q = np.sort(rng.integers(1, 60, size=(4, 20)).astype(np.uint64), axis=-1)
+    lens = np.array([20, 15, 7, 0], dtype=np.int32)
+    qpad = q.copy()
+    for b in range(4):
+        qpad[b, lens[b]:] = SENTINEL
+
+    got = np.asarray(
+        sorted_panel_counts(jnp.asarray(qpad), jnp.asarray(lens),
+                            jnp.asarray(keys), jnp.asarray(masks), 5)
+    )
+    for b in range(4):
+        qset = set(qpad[b, : lens[b]].tolist())
+        for r in range(5):
+            assert got[b, r] == len(qset & set(rows[r].tolist()))
+
+
+# ---------------------------------------------------------------------------
+# synthetic refpath oracle parity
+# ---------------------------------------------------------------------------
+
+def _rand_seq(rng, n):
+    return bytes(rng.choice(list(b"ACGT"), size=n).tolist())
+
+
+def _mut(seq, positions, rng):
+    s = bytearray(seq)
+    for p in positions:
+        cur = s[p]
+        s[p] = rng.choice([b for b in b"ACGT" if b != cur])
+    return bytes(s)
+
+
+@pytest.fixture(scope="module")
+def refpath(tmp_path_factory):
+    """Synthetic PAVE panel (6 types) + 6 sublineage genomes (A1,A2,B1,
+    B2,C1,D1) derived from type 0 with distinct mutation sets."""
+    rng = np.random.default_rng(11)
+    td = tmp_path_factory.mktemp("hpvdata")
+    types = [_rand_seq(rng, 900) for _ in range(6)]
+    with open(td / "all_pave_ref.fa", "w") as fh:
+        for i, s in enumerate(types):
+            fh.write(f">TYPE{i}REF extra comment\n{s.decode()}\n")
+
+    base = types[0]
+    subs = {}
+    for name in ("A1", "A2", "B1", "B2", "C1", "D1"):
+        positions = rng.choice(len(base) - 1, size=14, replace=False)
+        subs[name] = _mut(base, positions, rng)
+    with open(td / "new_refs.fa", "w") as fh:
+        for name, s in subs.items():
+            fh.write(f">{name} some description\n{s.decode()}\n")
+
+    reads = []
+    # reads drawn from A1 and D1 sublineages + one from type 3
+    for i in range(6):
+        s = int(rng.integers(0, 700))
+        reads.append((f"readA1_{i}", subs["A1"][s : s + 200]))
+    for i in range(4):
+        s = int(rng.integers(0, 700))
+        reads.append((f"readD1_{i}", subs["D1"][s : s + 200]))
+    reads.append(("readT3", types[3][100:300]))
+    fq = td / "reads.fq"
+    with open(fq, "w") as fh:
+        for name, s in reads:
+            fh.write(f"@{name}\n{s.decode()}\n+\n{'I' * len(s)}\n")
+    return td, types, subs, reads
+
+
+def _oracle_hpv16_lines(types, subs, reads, k):
+    type_sets = [set(oracle.calc_hashes(t, k)) - {0} for t in types]
+    type_names = [f"TYPE{i}REF" for i in range(len(types))]
+    sub_names = sorted(subs)
+    sub_sets = {n: set(oracle.calc_hashes(subs[n], k)) - {0} for n in sub_names}
+    lin_names = sorted({n[0] for n in sub_names})
+    lin_sets = {
+        ln: set().union(*[sub_sets[n] for n in sub_names if n[0] == ln])
+        for ln in lin_names
+    }
+    lin_uniq = {
+        ln: lin_sets[ln] - set().union(*[v for o, v in lin_sets.items() if o != ln])
+        for ln in lin_names
+    }
+    sub_uniq = {
+        sn: sub_sets[sn] - set().union(*[v for o, v in sub_sets.items() if o != sn])
+        for sn in sub_names
+    }
+
+    lines = []
+    for name, seq in reads:
+        hashes = oracle.calc_hashes(seq, k)
+        hn = len(hashes)
+        hset = set(hashes) - {0}
+        counts = [len(hset & ts) for ts in type_sets]
+        best, mx = 0, -1
+        for j, c in enumerate(counts):
+            if c > mx:
+                mx, best = c, j
+        lin_ints = [len(hset & lin_uniq[ln]) for ln in lin_names]
+        sub_ints = [len(hset & sub_uniq[sn]) for sn in sub_names]
+        lin_sims = [c / hn for c in lin_ints]
+        sub_sims = [c / hn for c in sub_ints]
+        lo = sorted(range(len(lin_names)), key=lambda x: -lin_sims[x])
+        so = sorted(range(len(sub_names)), key=lambda x: -sub_sims[x])
+        lines.append(
+            f"{name}\t{type_names[best]}\t{mx}/{hn}\t"
+            + "".join(f"{lin_names[x]}:{lin_sims[x]:.6g};" for x in lo)
+            + "\t"
+            + "".join(f"{sub_names[x]}:{sub_sims[x]:.6g};" for x in so)
+            + "\t"
+            + "".join(f"{lin_ints[x]};" for x in lo)
+            + "\t"
+            + "".join(f"{sub_ints[x]};" for x in so)
+        )
+    return lines
+
+
+def test_hpv16_matches_oracle(refpath, tmp_path, monkeypatch):
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
+
+    td, types, subs, reads = refpath
+    monkeypatch.chdir(tmp_path)  # .tst side-effect file lands here
+    buf = io.StringIO()
+    rc = run(
+        Hpv16Config(read_files=[str(td / "reads.fq")], refpath=str(td), ks=(16,)),
+        out=buf,
+    )
+    assert rc == 0
+    got = buf.getvalue().splitlines()
+    want = _oracle_hpv16_lines(types, subs, reads, 16)
+    assert got == want
+
+    # side-effect parity: lineage table file written to CWD
+    tst = tmp_path / "lineage_specific_hashes.16.tst"
+    assert tst.exists()
+    lines = tst.read_text().splitlines()
+    assert [l.split("\t")[0] for l in lines] == ["A", "B", "C", "D"]
+    assert all(l.endswith("\t") for l in lines)
+
+    # classification sanity: A1 reads -> type 0, top sublineage A1
+    for line in got[:6]:
+        f = line.split("\t")
+        assert f[1] == "TYPE0REF"
+        assert f[4].startswith("A1:")
+    assert got[10].split("\t")[1] == "TYPE3REF"
+
+
+def test_hpv16_min_kmer_occ(refpath, tmp_path, monkeypatch):
+    """-M with a huge threshold masks every hash -> all intersections 0."""
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
+
+    td, types, subs, reads = refpath
+    monkeypatch.chdir(tmp_path)
+    buf = io.StringIO()
+    run(
+        Hpv16Config(read_files=[str(td / "reads.fq")], refpath=str(td),
+                    ks=(16,), min_kmer_occ=10_000, counter_size=1 << 20),
+        out=buf,
+    )
+    for line in buf.getvalue().splitlines():
+        f = line.split("\t")
+        assert f[1] == "TYPE0REF" and f[2].startswith("0/")
+        assert all(int(c) == 0 for c in f[5].split(";") if c)
+
+
+@pytest.mark.slow
+def test_hpv16_real_data_smoke(tmp_path, monkeypatch):
+    """Real PAVE panel + minION reads: format + type plausibility."""
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
+
+    monkeypatch.chdir(tmp_path)
+    # subset of minION reads to keep runtime bounded
+    from rkmh_tpu.io.fastx import read_fastx
+
+    reads = read_fastx(f"{DATA}/minION25.fq")[:6]
+    fq = tmp_path / "m.fq"
+    with open(fq, "w") as fh:
+        for r in reads:
+            fh.write(f"@{r.name}\n{r.seq.decode()}\n+\n{(r.qual or b'I'*len(r.seq)).decode()}\n")
+
+    buf = io.StringIO()
+    rc = run(
+        Hpv16Config(read_files=[str(fq)], refpath=DATA, ks=(16,), batch_size=8),
+        out=buf,
+    )
+    assert rc == 0
+    lines = buf.getvalue().splitlines()
+    assert len(lines) == 6
+    for line in lines:
+        f = line.split("\t")
+        assert len(f) == 7
+        assert f[3].count(";") == 4 and f[4].count(";") == 10  # 4 lins, 10 sublins
+        # minION reads are HPV16 — the type step should say so
+        assert "HPV16" in f[1]
