@@ -198,12 +198,12 @@ from rkmh_tpu.ops.lookup import lookup_intersection_counts  # noqa: E402
 
 @partial(jax.jit, static_argnames=("ks", "sketch_size", "num_refs", "min_diff", "min_matches"))
 def classify_batch_table(
-    codes, t_hi, t_lo, t_occ, t_masks,
+    codes, table,
     ks: tuple, sketch_size: int, num_refs: int,
     min_diff: int = 0, min_matches: int = -1,
 ):
     sk, sk_lens = sketch_batch(codes, ks, sketch_size)
-    counts = lookup_intersection_counts(sk, sk_lens, (t_hi, t_lo, t_occ, t_masks), num_refs)
+    counts = lookup_intersection_counts(sk, sk_lens, (table,), num_refs)
     best, max_shared, diff_ok, depth_fail, match_fail = argmax_stream(
         counts, min_diff, min_matches, sk_lens
     )
@@ -212,19 +212,43 @@ def classify_batch_table(
 
 @partial(jax.jit, static_argnames=("num_refs", "min_diff", "min_matches"))
 def classify_sketches_table(
-    sk, sk_lens, t_hi, t_lo, t_occ, t_masks, ref_lens,
+    sk, sk_lens, table, ref_lens,
     num_refs: int, min_diff: int, min_matches: int,
 ):
-    counts = lookup_intersection_counts(sk, sk_lens, (t_hi, t_lo, t_occ, t_masks), num_refs)
+    counts = lookup_intersection_counts(sk, sk_lens, (table,), num_refs)
     return argmax_stream(counts, min_diff, min_matches, sk_lens)
 
 
 @partial(jax.jit, static_argnames=("num_refs", "min_diff", "min_matches"))
-def filter_sketches_table(
-    sk, sk_lens, t_hi, t_lo, t_occ, t_masks, ref_lens,
+def classify_sketches_table_packed(
+    sk, sk_lens, table, ref_lens,
     num_refs: int, min_diff: int, min_matches: int,
 ):
-    counts = lookup_intersection_counts(sk, sk_lens, (t_hi, t_lo, t_occ, t_masks), num_refs)
+    """classify_sketches_table with the result packed into ONE int64
+    [3, B] array (best, shared, flag bits diff_ok|depth<<1|match<<2).
+
+    A device->host fetch costs a full RTT per array on remote-TPU paths
+    (~28 ms observed through the tunnel); packing turns 5 fetches into 1.
+    int64 also rides the fast D2H path (see utils.to_host).
+    """
+    counts = lookup_intersection_counts(sk, sk_lens, (table,), num_refs)
+    best, shared, diff_ok, depth_fail, match_fail = argmax_stream(
+        counts, min_diff, min_matches, sk_lens
+    )
+    flags = (
+        diff_ok.astype(jnp.int64)
+        | (depth_fail.astype(jnp.int64) << 1)
+        | (match_fail.astype(jnp.int64) << 2)
+    )
+    return jnp.stack([best.astype(jnp.int64), shared.astype(jnp.int64), flags])
+
+
+@partial(jax.jit, static_argnames=("num_refs", "min_diff", "min_matches"))
+def filter_sketches_table(
+    sk, sk_lens, table, ref_lens,
+    num_refs: int, min_diff: int, min_matches: int,
+):
+    counts = lookup_intersection_counts(sk, sk_lens, (table,), num_refs)
     return argmax_filter(counts, min_diff, min_matches, sk_lens, ref_lens)
 
 

@@ -26,7 +26,7 @@ import numpy as np
 
 from rkmh_tpu import call_engine
 from rkmh_tpu.classify import engine
-from rkmh_tpu.commands.common import batch_iter, load_records, log
+from rkmh_tpu.commands.common import load_packed, load_records, packed_batches, log
 from rkmh_tpu.io.packing import bucket_length, encode_seqs
 from rkmh_tpu.ops.hashmap import depth_map_from_hashes
 
@@ -59,16 +59,19 @@ def run(cfg: CallConfig, out=None) -> int:
         ks = tuple(cfg.ks)
     k = ks[0]
 
+    if not cfg.ref_files or not cfg.read_files:
+        log("call requires at least one reference and one read file.")
+        return 1
     log("Parsing sequences...")
     refs = load_records(cfg.ref_files)
-    reads = load_records(cfg.read_files)
-    if not refs or not reads:
+    reads = load_packed(cfg.read_files)
+    if not refs or not len(reads):
         log("call requires at least one reference and one read file.")
         return 1
 
     # read depth map: every k-mer occurrence, zeros included (rkmh.cpp:1616-23)
     all_h, all_m = [], []
-    for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
         hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
         all_h.append(np.asarray(hashes))
         all_m.append(np.asarray(mask))

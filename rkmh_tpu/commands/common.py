@@ -35,7 +35,7 @@ class RefPanel:
 
 
 def build_ref_panel(
-    ref_records: list[SeqRecord],
+    ref_packed,
     ks: tuple,
     sketch_size: int,
     max_samples: int | None = None,
@@ -44,7 +44,8 @@ def build_ref_panel(
 ) -> RefPanel:
     """Hash+sketch a reference panel and build its lookup table.
 
-    With max_samples set, replicates the -I informative filter: count
+    ref_packed: a PackedReads/PyPacked (codes/lens/names).  With
+    max_samples set, replicates the -I informative filter: count
     reference k-mer occurrences in a HASHTCounter (every occurrence for
     stream, rkmh.cpp:828-837; once per sample when distinct_counter=True,
     for filter, rkmh.cpp:340-357), then sketch only hashes occurring
@@ -53,8 +54,7 @@ def build_ref_panel(
     from rkmh_tpu.ops.lookup import build_panel_table
     from rkmh_tpu.utils import to_host
 
-    seqs = [r.seq for r in ref_records]
-    codes, lens = encode_seqs(seqs)
+    codes, lens = ref_packed.codes, ref_packed.lens
     if max_samples is None:
         sk, sk_lens = engine.sketch_batch(codes, tuple(ks), sketch_size)
     else:
@@ -70,12 +70,90 @@ def build_ref_panel(
         )
     sk_np, lens_np = to_host((sk, sk_lens))
     table = build_panel_table(sk_np, lens_np).device_arrays()
-    return RefPanel([r.name for r in ref_records], sk, sk_lens, table)
+    return RefPanel(list(ref_packed.names), sk, sk_lens, table)
 
 
 def load_records(paths) -> list[SeqRecord]:
     recs = read_fastx(paths)
     return recs
+
+
+class PyPacked:
+    """Python-parser fallback with the native PackedReads interface."""
+
+    def __init__(self, records: list[SeqRecord], granularity: int = 128):
+        self.codes, self.lens = encode_seqs(
+            [r.seq for r in records], granularity=granularity
+        )
+        self.names = [r.name for r in records]
+        self.seqs = [r.seq for r in records]
+        self.quals = [r.qual for r in records]
+
+    def __len__(self):
+        return len(self.names)
+
+
+def load_packed(paths, granularity: int = 128):
+    """Parse files straight into device-ready [N, L] code tensors.
+
+    Uses the native C++ parser+packer (io/native, the kseq/KSEQ_Reader
+    equivalent) when available, the Python parser otherwise.  Multiple
+    files concatenate in order, padded to a common row length.
+    """
+    from rkmh_tpu.io.native import read_fastx_packed
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    parts = []
+    for p in paths:
+        pk = None
+        if p not in ("-", b"-"):
+            try:
+                pk = read_fastx_packed(p, granularity)
+            except OSError:
+                pk = None
+        if pk is None:
+            pk = PyPacked(read_fastx(p), granularity)
+        parts.append(pk)
+    if len(parts) == 1:
+        return parts[0]
+
+    L = max(p.codes.shape[1] for p in parts)
+    N = sum(len(p) for p in parts)
+    codes = np.full((N, L), 255, dtype=np.uint8)
+    lens = np.zeros((N,), dtype=np.int32)
+    names, seqs, quals = [], [], []
+    at = 0
+    for p in parts:
+        n = len(p)
+        codes[at : at + n, : p.codes.shape[1]] = p.codes
+        lens[at : at + n] = p.lens
+        names.extend(p.names)
+        seqs.extend(p.seqs)
+        quals.extend(p.quals)
+        at += n
+    merged = PyPacked.__new__(PyPacked)
+    merged.codes, merged.lens = codes, lens
+    merged.names, merged.seqs, merged.quals = names, seqs, quals
+    return merged
+
+
+def packed_batches(packed, batch_size: int):
+    """Yield (start, stop, codes [B, L], lens [B]) row slices with a fixed
+    batch shape (last chunk zero-padded) — at most 2 compiled shapes."""
+    N = len(packed)
+    for s in range(0, N, batch_size):
+        e = min(s + batch_size, N)
+        codes = packed.codes[s:e]
+        lens = packed.lens[s:e]
+        if e - s < batch_size:
+            codes = np.concatenate(
+                [codes, np.full((batch_size - (e - s), codes.shape[1]), 255, np.uint8)]
+            )
+            lens = np.concatenate(
+                [lens, np.zeros(batch_size - (e - s), np.int32)]
+            )
+        yield s, e, codes, lens
 
 
 def batch_iter(records: list[SeqRecord], batch_size: int, pad_to: int | None = None):

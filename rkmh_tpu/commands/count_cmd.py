@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from rkmh_tpu.classify import engine
-from rkmh_tpu.commands.common import DEFAULT_KMER, batch_iter, load_records, log
+from rkmh_tpu.commands.common import DEFAULT_KMER, load_packed, packed_batches, log
 from rkmh_tpu.ops.counter import HashCounter
 
 
@@ -44,10 +44,10 @@ def run(cfg: CountConfig, out=None) -> int:
     if not cfg.ks:
         log("Using default kmer size of 16.")
 
-    reads = load_records(cfg.read_files)
+    reads = load_packed(cfg.read_files)
     hc = HashCounter(cfg.counter_size)
     total_kmers = 0
-    for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
         hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
         hc.add(hashes, mask)
         total_kmers += int(np.asarray(mask).sum())

@@ -28,8 +28,8 @@ from rkmh_tpu.classify import engine
 from rkmh_tpu.commands.common import (
     DEFAULT_BATCH,
     DEFAULT_KMER,
-    batch_iter,
-    load_records,
+    load_packed,
+    packed_batches,
     log,
 )
 from rkmh_tpu.io.fastx import iter_batches
@@ -68,24 +68,24 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
         with open(cfg.ref_sketches) as fh:
             panel = panel_from_sketches(load_sketches(fh), cfg.sketch_size)
     else:
-        refs = load_records(cfg.ref_files)
         panel = build_ref_panel(
-            refs, ks, cfg.sketch_size,
+            load_packed(cfg.ref_files), ks, cfg.sketch_size,
             max_samples=cfg.max_samples, counter_size=cfg.counter_size,
             distinct_counter=True,  # filter -I counts once per sample
         )
     ref_keys = panel.keys
 
     read_counter = None
-    reads = load_records(cfg.read_files) if cfg.read_files else []
+    reads = load_packed(cfg.read_files) if cfg.read_files else None
 
     if cfg.min_kmer_occ >= 0:
         # counter exists (possibly empty) whenever -M is given, matching the
         # reference where an unpopulated counter fails every streamed read
         read_counter = HashCounter(cfg.counter_size)
-        for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
-            hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
-            read_counter.add(hashes, mask)
+        if reads is not None:
+            for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
+                hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+                read_counter.add(hashes, mask)
 
     def classify(codes, lens):
         if read_counter is not None:
@@ -102,15 +102,18 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
     # ---- file mode: emit passing reads ------------------------------------
     from rkmh_tpu.utils import to_host
 
-    for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
-        best, shared, tu, keep, *_ = classify(codes, lens)
-        keep = to_host(keep)
-        for i, rec in enumerate(chunk):
-            if keep[i]:
-                qual = rec.qual if rec.qual is not None else b"I" * len(rec.seq)
-                out.write(
-                    f">{rec.name}\n{rec.seq.decode()}\n+\n{qual.decode()}\n"
-                )
+    if reads is not None:
+        names, seqs, quals = reads.names, reads.seqs, reads.quals
+        for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
+            best, shared, tu, keep, *_ = classify(codes, lens)
+            keep = to_host(keep)
+            for i in range(e - s):
+                if keep[i]:
+                    seq = seqs[s + i]
+                    qual = quals[s + i] if quals[s + i] is not None else b"I" * len(seq)
+                    out.write(
+                        f">{names[s + i]}\n{seq.decode()}\n+\n{qual.decode()}\n"
+                    )
 
     # ---- -i: STDIN streaming classification (rkmh.cpp:1329-1414) ----------
     if cfg.in_stream:

@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from rkmh_tpu.classify import engine
-from rkmh_tpu.commands.common import DEFAULT_KMER, batch_iter, load_records, log
+from rkmh_tpu.commands.common import DEFAULT_KMER, load_packed, packed_batches, log
 from rkmh_tpu.io.sketch_json import SketchRecord, dump_sketches
 
 
@@ -64,53 +64,55 @@ def run(cfg: HashConfig, out=None) -> int:
     else:
         log(f"Using a kmer size of {ks[0]}")
 
-    reads = load_records(cfg.read_files)
+    reads = load_packed(cfg.read_files)
+    names = reads.names
 
     if cfg.output_kmers:
         # -K: raw k-mer strings need no device pass (rkmh.cpp:2078)
         k = ks[0]
-        for rec in reads:
-            seq = rec.seq
+        for name, seq in zip(names, reads.seqs):
             for i in range(max(0, len(seq) - k + 1)):
-                out.write(f"{seq[i:i + k].decode()}\t{rec.name}\n")
+                out.write(f"{seq[i:i + k].decode()}\t{name}\n")
         return 0
 
     json_records: list[SketchRecord] = []
     want_json = cfg.json_out or bool(cfg.out_prefix)
 
-    for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
         if cfg.sketch_size > 0:
             sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
             sk_np = np.asarray(sk)
             lens_np = np.asarray(sk_lens)
-            for i, rec in enumerate(chunk):
+            for i in range(e - s):
+                name, seq_len = names[s + i], int(reads.lens[s + i])
                 mins = sk_np[i, : lens_np[i]].tolist()
                 if cfg.wabbitize:
-                    out.write(_wabbit_line(rec.name, mins, ks, cfg.sketch_size))
+                    out.write(_wabbit_line(name, mins, ks, cfg.sketch_size))
                 elif want_json:
                     json_records.append(
-                        SketchRecord(rec.name, mins, list(ks), cfg.sketch_size, len(rec.seq))
+                        SketchRecord(name, mins, list(ks), cfg.sketch_size, seq_len)
                     )
                 else:
-                    out.write(f"{rec.name}\t{' '.join(map(str, mins))}\n")
+                    out.write(f"{name}\t{' '.join(map(str, mins))}\n")
         else:
             hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
             h_np = np.asarray(hashes)
             m_np = np.asarray(mask)
-            for i, rec in enumerate(chunk):
+            for i in range(e - s):
+                name, seq_len = names[s + i], int(reads.lens[s + i])
                 vals = h_np[i][m_np[i]].tolist()
                 if cfg.wabbitize:
                     mins = sorted(v for v in vals if v != 0)
-                    out.write(_wabbit_line(rec.name, mins, ks, cfg.sketch_size))
+                    out.write(_wabbit_line(name, mins, ks, cfg.sketch_size))
                 elif want_json:
                     json_records.append(
                         SketchRecord(
-                            rec.name, sorted(v for v in vals if v != 0),
-                            list(ks), cfg.sketch_size, len(rec.seq),
+                            name, sorted(v for v in vals if v != 0),
+                            list(ks), cfg.sketch_size, seq_len,
                         )
                     )
                 else:
-                    out.write(f"{rec.name}\t{' '.join(map(str, vals))}\n")
+                    out.write(f"{name}\t{' '.join(map(str, vals))}\n")
 
     if want_json:
         if cfg.out_prefix:

@@ -39,7 +39,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from rkmh_tpu.classify import engine
-from rkmh_tpu.commands.common import batch_iter, load_records, log
+from rkmh_tpu.commands.common import load_packed, packed_batches, log
 from rkmh_tpu.ops.counter import HashCounter
 from rkmh_tpu.ops.lookup import build_sorted_panel
 
@@ -63,14 +63,14 @@ def _fmt_double(x: float) -> str:
     return f"{x:.6g}"
 
 
-def _distinct_rows(records, ks, batch_size):
+def _distinct_rows(packed, ks, batch_size):
     """Hash records on device, return per-record distinct nonzero hashes."""
     rows = []
-    for chunk, codes, lens in batch_iter(records, batch_size):
+    for s, e, codes, lens in packed_batches(packed, batch_size):
         hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
         h_np = np.asarray(hashes)
         m_np = np.asarray(mask)
-        for i in range(len(chunk)):
+        for i in range(e - s):
             vals = np.unique(h_np[i][m_np[i]])
             rows.append(vals[vals != 0])
     return rows
@@ -98,28 +98,29 @@ def run(cfg: Hpv16Config, out=None) -> int:
         ks = tuple(cfg.ks)
     k0 = ks[0]
 
-    type_recs = load_records([f"{cfg.refpath}/all_pave_ref.fa"])
-    sub_recs = load_records([f"{cfg.refpath}/new_refs.fa"])
-    reads = load_records(cfg.read_files)
+    type_recs = load_packed([f"{cfg.refpath}/all_pave_ref.fa"])
+    sub_recs = load_packed([f"{cfg.refpath}/new_refs.fa"])
+    reads = load_packed(cfg.read_files)
 
     # type panel: full distinct hash sets at kmer_sizes[0] (rkmh.cpp:2546)
     type_rows = _distinct_rows(type_recs, (k0,), cfg.batch_size)
     type_keys_np, type_masks_np = build_sorted_panel(type_rows)
-    type_names = [r.name for r in type_recs]
+    type_names = list(type_recs.names)
 
     # sublineage hash sets at kmer_sizes[0] (rkmh.cpp:2553)
     sub_rows = _distinct_rows(sub_recs, (k0,), cfg.batch_size)
-    lin_names = sorted({r.name[0] for r in sub_recs})            # map<char,..>
-    sublin_names = sorted({r.name[:2] for r in sub_recs})        # map<string,..>
+    sub_names_all = list(sub_recs.names)
+    lin_names = sorted({n[0] for n in sub_names_all})            # map<char,..>
+    sublin_names = sorted({n[:2] for n in sub_names_all})        # map<string,..>
     lin_sets = [
         np.unique(np.concatenate(
-            [row for rec, row in zip(sub_recs, sub_rows) if rec.name[0] == ln]
+            [row for name, row in zip(sub_names_all, sub_rows) if name[0] == ln]
         ))
         for ln in lin_names
     ]
     sublin_sets = [
         np.unique(np.concatenate(
-            [row for rec, row in zip(sub_recs, sub_rows) if rec.name[:2] == sn]
+            [row for name, row in zip(sub_names_all, sub_rows) if name[:2] == sn]
         ))
         for sn in sublin_names
     ]
@@ -150,14 +151,15 @@ def run(cfg: Hpv16Config, out=None) -> int:
         # -M: every read k-mer occurrence into the big lossy counter
         # (rkmh.cpp:2513-2530; size 8e8)
         hc = HashCounter(cfg.counter_size)
-        for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+        for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
             hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
             hc.add(hashes, mask)
         counter_table = hc.table
 
     from rkmh_tpu.ops.hashing import window_counts
 
-    for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+    read_names = reads.names
+    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
         tc, uc, best, max_shared = engine.hpv16_batch(
             codes, jnp.asarray(lens),
             type_keys, type_masks, uniq_keys, uniq_masks,
@@ -169,7 +171,7 @@ def run(cfg: Hpv16Config, out=None) -> int:
         shared_np = np.asarray(max_shared)
         hashnum = np.asarray(window_counts(lens, list(ks)))
 
-        for i, rec in enumerate(chunk):
+        for i in range(e - s):
             hn = int(hashnum[i])
             lin_ints = uc_np[i, :n_lin]
             sub_ints = uc_np[i, n_lin:]
@@ -179,7 +181,7 @@ def run(cfg: Hpv16Config, out=None) -> int:
             sub_order = sorted(range(n_sub), key=lambda x: -sub_sims[x])
 
             parts = [
-                rec.name,
+                read_names[s + i],
                 type_names[int(best_np[i])],
                 f"{int(shared_np[i])}/{hn}",
                 "".join(f"{lin_names[x]}:{_fmt_double(lin_sims[x])};" for x in lin_order),

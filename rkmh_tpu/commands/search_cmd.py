@@ -28,7 +28,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from rkmh_tpu import oracle
-from rkmh_tpu.commands.common import DEFAULT_KMER, batch_iter, load_records, log
+from rkmh_tpu.commands.common import DEFAULT_KMER, load_packed, packed_batches, log
 from rkmh_tpu.ops.hashing import kmer_window_hashes
 
 
@@ -64,9 +64,10 @@ def run(cfg: SearchConfig, out=None) -> int:
     ref_hashes = load_ref_kmers(cfg.ref_files)
     log(f"Loaded {len(ref_hashes)} reference kmers.")
     ref_dev = jnp.asarray(ref_hashes)
-    reads = load_records(cfg.read_files)
+    reads = load_packed(cfg.read_files)
+    names, seqs = reads.names, reads.seqs
 
-    for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
         wh = kmer_window_hashes(codes, k)                       # [B, W]
         if ref_hashes.size:
             pos = jnp.searchsorted(ref_dev, wh)
@@ -75,11 +76,12 @@ def run(cfg: SearchConfig, out=None) -> int:
         else:
             found = jnp.zeros(wh.shape, dtype=bool)
         found_np = np.asarray(found)
-        for i, rec in enumerate(chunk):
-            nwin = len(rec.seq) - k + 1
+        for i in range(e - s):
+            seq = seqs[s + i]
+            nwin = len(seq) - k + 1
             if nwin <= 0:
                 continue  # reference emits nothing for reads shorter than k
             idx = np.nonzero(found_np[i, :nwin])[0]
-            mers = ",".join(rec.seq[j : j + k].decode() for j in idx)
-            out.write(f"{rec.name}\t{mers}\n")
+            mers = ",".join(seq[j : j + k].decode() for j in idx)
+            out.write(f"{names[s + i]}\t{mers}\n")
     return 0

@@ -26,11 +26,13 @@ from rkmh_tpu.commands.common import (
     DEFAULT_KMER,
     DEFAULT_SKETCH,
     build_ref_panel,
-    batch_iter,
-    load_records,
+    load_packed,
+    packed_batches,
     log,
 )
 from rkmh_tpu.ops.counter import HashCounter
+
+PIPELINE_DEPTH = 3  # batches in flight before the first fetch
 
 
 @dataclass
@@ -49,21 +51,53 @@ class StreamConfig:
     ref_sketches: str = ""       # JSON panel dump (hash -o) to load
 
 
-def format_lines(ref_keys, chunk, best, shared, sk_lens, diff_ok, depth_fail, match_fail, sketch_size):
+def format_lines(ref_keys, names, best, shared, sk_lens, diff_ok, depth_fail, match_fail, sketch_size):
     from rkmh_tpu.utils import to_host
 
     best, shared, diff_ok, depth_fail, match_fail = to_host(
         (best, shared, diff_ok, depth_fail, match_fail)
     )
     out = []
-    for i, rec in enumerate(chunk):
+    for i, name in enumerate(names):
+        name = name if isinstance(name, str) else name.name  # SeqRecord compat
         out.append(
-            f"{ref_keys[int(best[i])]}\t{rec.name}\t{int(shared[i])}\t{sketch_size}"
+            f"{ref_keys[int(best[i])]}\t{name}\t{int(shared[i])}\t{sketch_size}"
             f"{'FAIL:DEPTH' if depth_fail[i] else ''}\t"
             f"{'FAIL:MATCHES' if match_fail[i] else ''}\t"
             f"{'' if diff_ok[i] else 'FAIL:DIFF'}\n"
         )
     return "".join(out)
+
+
+# the 8 possible "\t<sketch>[FAIL:DEPTH]\t[FAIL:MATCHES]\t[FAIL:DIFF]\n"
+# line tails, indexed by flag bits diff_ok | depth_fail<<1 | match_fail<<2
+def _tail_table(sketch_size: int):
+    tails = []
+    for f in range(8):
+        diff_ok, depth, match = f & 1, f & 2, f & 4
+        tails.append(
+            f"\t{sketch_size}{'FAIL:DEPTH' if depth else ''}\t"
+            f"{'FAIL:MATCHES' if match else ''}\t"
+            f"{'' if diff_ok else 'FAIL:DIFF'}\n"
+        )
+    return tails
+
+
+def format_lines_packed(ref_keys, names, packed, sketch_size):
+    """Format from the [3, B] int64 packed result (one D2H fetch).
+
+    Byte-identical to format_lines; the hot pieces (int->str, tail
+    variants) are precomputed/bulk-converted.
+    """
+    from rkmh_tpu.utils import to_host
+
+    arr = to_host(packed)
+    best, shared, flags = (a.tolist() for a in arr)
+    tails = _tail_table(sketch_size)
+    return "".join(
+        f"{ref_keys[b]}\t{n}\t{c}{tails[f]}"
+        for b, n, c, f in zip(best, names, shared, flags)
+    )
 
 
 def run(cfg: StreamConfig, out=None) -> int:
@@ -72,7 +106,7 @@ def run(cfg: StreamConfig, out=None) -> int:
     if not cfg.ks:
         log("No kmer size(s) provided. Will use a default kmer size of 16.")
 
-    reads = load_records(cfg.read_files)
+    reads = load_packed(cfg.read_files)
 
     if cfg.ref_sketches:
         from rkmh_tpu.io.sketch_json import load_sketches, panel_from_sketches
@@ -80,9 +114,8 @@ def run(cfg: StreamConfig, out=None) -> int:
         with open(cfg.ref_sketches) as fh:
             panel = panel_from_sketches(load_sketches(fh), cfg.sketch_size)
     else:
-        refs = load_records(cfg.ref_files)
         panel = build_ref_panel(
-            refs,
+            load_packed(cfg.ref_files),
             ks,
             cfg.sketch_size,
             max_samples=cfg.max_samples,
@@ -93,25 +126,39 @@ def run(cfg: StreamConfig, out=None) -> int:
     if cfg.min_kmer_occ >= 0:
         # first pass: global read-kmer depth (rkmh.cpp:903-910)
         read_counter = HashCounter(cfg.counter_size)
-        for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+        for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
             hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
             read_counter.add(hashes, mask)
 
-    for chunk, codes, lens in batch_iter(reads, cfg.batch_size):
+    def dispatch(codes, lens):
         if read_counter is not None:
             sk, sk_lens = engine.sketch_batch_depth_filtered(
                 codes, lens, read_counter.table, ks, cfg.sketch_size, cfg.min_kmer_occ
             )
         else:
             sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
-        best, shared, diff_ok, depth_fail, match_fail = engine.classify_sketches_table(
+        return engine.classify_sketches_table_packed(
             sk, sk_lens, *panel.table, panel.lens,
             num_refs=panel.num_refs, min_diff=cfg.min_diff, min_matches=cfg.min_matches,
         )
-        out.write(
-            format_lines(
-                panel.keys, chunk, best, shared, np.asarray(sk_lens), diff_ok,
-                depth_fail, match_fail, cfg.sketch_size,
-            )
-        )
+
+    # Pipelined drain: dispatches are async, so keep PIPELINE_DEPTH batches
+    # in flight and fetch/format late.  One device sync costs a full tunnel
+    # RTT (~27 ms observed on the remote-TPU path) — overlapping it with
+    # queued compute is the difference between ~75k and >400k reads/s.
+    from collections import deque
+
+    names = reads.names
+    pending = deque()
+
+    def flush_one():
+        s, e, res = pending.popleft()
+        out.write(format_lines_packed(panel.keys, names[s:e], res, cfg.sketch_size))
+
+    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
+        pending.append((s, e, dispatch(codes, lens)))
+        if len(pending) > PIPELINE_DEPTH:
+            flush_one()
+    while pending:
+        flush_one()
     return 0

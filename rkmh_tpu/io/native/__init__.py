@@ -1,0 +1,156 @@
+"""ctypes loader for the native FASTA/FASTQ parser+packer.
+
+Builds librkmh_io.so on first use (g++ -O3, cached next to the source);
+falls back silently when no compiler is available — every caller must
+treat `load()` returning None as "use the Python path".
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "fastx_native.cpp")
+_SO = os.path.join(_HERE, "librkmh_io.so")
+
+_lib = None
+_tried = False
+
+
+class _RkmhBatch(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_int64),
+        ("pad_len", ctypes.c_int64),
+        ("codes", ctypes.POINTER(ctypes.c_uint8)),
+        ("lens", ctypes.POINTER(ctypes.c_int32)),
+        ("names", ctypes.c_char_p),
+        ("name_offs", ctypes.POINTER(ctypes.c_int64)),
+        ("seqs", ctypes.c_char_p),
+        ("seq_offs", ctypes.POINTER(ctypes.c_int64)),
+        ("quals", ctypes.c_char_p),
+        ("qual_offs", ctypes.POINTER(ctypes.c_int64)),
+    ]
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        _SRC, "-o", _SO, "-lz",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        print(f"rkmh_tpu: native io build skipped ({e})", file=sys.stderr)
+        return False
+
+
+def load():
+    """Return the loaded library, building it if needed; None on failure."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.rkmh_read_fastx.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(_RkmhBatch)
+    ]
+    lib.rkmh_read_fastx.restype = ctypes.c_int
+    lib.rkmh_free.argtypes = [ctypes.POINTER(_RkmhBatch)]
+    lib.rkmh_free.restype = None
+    _lib = lib
+    return _lib
+
+
+class PackedReads:
+    """Device-ready parse result: codes/lens arrays + raw record bytes.
+
+    names/seqs/quals materialize lazily from the concatenated blobs —
+    classify/stream/hash only touch names, so the per-record Python
+    object cost is paid only where a command actually needs it
+    (filter's record re-emission).
+    """
+
+    __slots__ = (
+        "codes", "lens",
+        "_names_blob", "_name_offs", "_seqs_blob", "_seq_offs",
+        "_quals_blob", "_qual_offs", "_names", "_seqs", "_quals",
+    )
+
+    def __init__(self, codes, lens, names_blob, name_offs, seqs_blob,
+                 seq_offs, quals_blob, qual_offs):
+        self.codes = codes
+        self.lens = lens
+        self._names_blob = names_blob
+        self._name_offs = name_offs
+        self._seqs_blob = seqs_blob
+        self._seq_offs = seq_offs
+        self._quals_blob = quals_blob
+        self._qual_offs = qual_offs
+        self._names = self._seqs = self._quals = None
+
+    def __len__(self):
+        return len(self.lens)
+
+    @property
+    def names(self):
+        if self._names is None:
+            o = self._name_offs
+            b = self._names_blob
+            self._names = [b[o[i] : o[i + 1]].decode() for i in range(len(self))]
+        return self._names
+
+    @property
+    def seqs(self):
+        if self._seqs is None:
+            o = self._seq_offs
+            b = self._seqs_blob
+            self._seqs = [b[o[i] : o[i + 1]] for i in range(len(self))]
+        return self._seqs
+
+    @property
+    def quals(self):
+        if self._quals is None:
+            o = self._qual_offs
+            b = self._quals_blob
+            self._quals = [b[o[i] : o[i + 1]] or None for i in range(len(self))]
+        return self._quals
+
+
+def read_fastx_packed(path: str, granularity: int = 128) -> PackedReads | None:
+    """Parse + pack one file natively; None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    batch = _RkmhBatch()
+    rc = lib.rkmh_read_fastx(
+        os.fspath(path).encode(), granularity, ctypes.byref(batch)
+    )
+    if rc != 0:
+        lib.rkmh_free(ctypes.byref(batch))
+        raise OSError(f"native fastx parse failed (rc={rc}) for {path}")
+    try:
+        n, pad = batch.n, batch.pad_len
+        codes = np.ctypeslib.as_array(batch.codes, shape=(n, pad)).copy() if n else np.zeros((0, pad), np.uint8)
+        lens = np.ctypeslib.as_array(batch.lens, shape=(n,)).copy() if n else np.zeros((0,), np.int32)
+        name_offs = np.ctypeslib.as_array(batch.name_offs, shape=(n + 1,)).copy()
+        seq_offs = np.ctypeslib.as_array(batch.seq_offs, shape=(n + 1,)).copy()
+        qual_offs = np.ctypeslib.as_array(batch.qual_offs, shape=(n + 1,)).copy()
+        names_blob = ctypes.string_at(batch.names, int(name_offs[n])) if n else b""
+        seqs_blob = ctypes.string_at(batch.seqs, int(seq_offs[n])) if n else b""
+        quals_blob = ctypes.string_at(batch.quals, int(qual_offs[n])) if n else b""
+    finally:
+        lib.rkmh_free(ctypes.byref(batch))
+    return PackedReads(codes, lens, names_blob, name_offs, seqs_blob,
+                       seq_offs, quals_blob, qual_offs)

@@ -1,33 +1,37 @@
-"""Panel lookup table: gather-free-as-possible sketch intersection.
+"""Panel lookup table: single-gather sketch intersection.
 
 The classify hot loop needs, for every read-sketch element, the set of
 references whose sketch contains that (value, occurrence) pair.  Binary
 search per (read, ref) pair (ops/intersect.py) costs O(B*s*R*log t)
-serialized gathers — hostile to TPU.  This module replaces it with a
-**2-choice cuckoo hash table built host-side once per reference panel**:
+serialized scalar gathers — hostile to TPU.  This module replaces it
+with a **host-built bucketized hash table queried with ONE contiguous
+row-gather per element**:
 
 * every (hash, occ) pair present in any reference sketch becomes one
-  table entry whose payload is a bitmask over references (bit r set iff
-  ref r's sketch holds >= occ+1 copies of the hash);
-* cuckoo placement guarantees every query resolves in exactly 2 probes;
-* on device, a batch of B*s read elements resolves with 2*(3+Wm)
-  vectorized u32 gathers total (Wm = ceil(R/32) mask words), then
-  counts[b, r] = sum over the read's elements of bit r — a fused
-  unpack-reduce.
+  entry whose payload is a bitmask over references (bit r set iff ref
+  r's sketch holds >= occ+1 copies of the hash);
+* entries land in power-of-two buckets of SLOTS=16 entries via a
+  mult-shift mix of both 32-bit hash halves; the builder doubles the
+  bucket count on overflow (load factor ~0.25, so overflow is rare);
+* a bucket row is laid out slot-major as u32 lanes
+  [hi*16 | lo*16 | occ*16 | mask_w*16 ...] so one gather of a 64*(3+Wm)
+  byte row fetches every candidate, and the slot compare + mask select
+  runs vectorized on the VPU — no second probe, no scattered loads.
 
 Duplicate semantics stay exact (SURVEY §7 "hard parts"): a value with
 multiplicity ca in the read and cb in ref r contributes min(ca, cb)
-because the read's element #occ matches iff cb > occ.
+because the read's element #occ matches iff cb > occ.  Keys store the
+full 64-bit hash plus the occurrence index, so matches are exact — no
+false positives beyond murmur collisions the reference itself has.
 
-The table keys store the full 64-bit hash plus the occurrence index, so
-matches are exact — no false positives beyond murmur collisions the
-reference itself is subject to.
+Perf (v5p, zika bench, 8000 reads x 149 elements x 60 refs): the
+previous 2-probe cuckoo layout spent ~50 ms in 10 scattered u32 gathers
+per element; this layout is one 320-byte row-gather per element.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import numpy as np
 import jax
@@ -35,7 +39,10 @@ import jax.numpy as jnp
 
 from rkmh_tpu.ops.sketch import SENTINEL
 
-_EMPTY_OCC = np.int32(-1)
+SLOTS = 16
+_EMPTY_OCC = np.uint32(0xFFFFFFFF)
+_MIX = 0x85EBCA77
+_MUL = 0x9E3779B1
 
 
 def _next_pow2(n: int) -> int:
@@ -47,125 +54,148 @@ def _next_pow2(n: int) -> int:
 
 @dataclass
 class PanelTable:
-    """Host-built, device-queried (hash, occ) -> ref-bitmask table."""
+    """Host-built, device-queried (hash, occ) -> ref-bitmask bucket table.
 
-    hash_hi: np.ndarray   # [T] uint32
-    hash_lo: np.ndarray   # [T] uint32
-    occ: np.ndarray       # [T] int32, -1 = empty
-    masks: np.ndarray     # [T, Wm] uint32
+    table: [NB, SLOTS*(3+Wm)] uint32, slot-major lanes (see module doc).
+    """
+
+    table: np.ndarray
     num_refs: int
+    mask_words: int
 
     @property
-    def size(self) -> int:
-        return self.hash_hi.shape[0]
+    def num_buckets(self) -> int:
+        return self.table.shape[0]
 
     def device_arrays(self):
-        return (
-            jnp.asarray(self.hash_hi),
-            jnp.asarray(self.hash_lo),
-            jnp.asarray(self.occ),
-            jnp.asarray(self.masks),
-        )
+        return (jnp.asarray(self.table),)
+
+
+def _collect_entries(ref_sk: np.ndarray, ref_lens, R: int, Wm: int):
+    """(hash, occ) -> bitmask entries as parallel numpy arrays."""
+    hs, occs, rids = [], [], []
+    for r in range(ref_sk.shape[0]):
+        row = ref_sk[r]
+        if ref_lens is not None:
+            row = row[: int(np.asarray(ref_lens)[r])]
+        row = row[row != SENTINEL]
+        if row.size == 0:
+            continue
+        # occurrence rank within the sorted row
+        occ = np.arange(row.size) - np.searchsorted(row, row, side="left")
+        hs.append(row)
+        occs.append(occ)
+        rids.append(np.full(row.size, r, dtype=np.int64))
+    if not hs:
+        empty = np.zeros((1, SLOTS * (3 + Wm)), dtype=np.uint32)
+        empty[:, 2 * SLOTS : 3 * SLOTS] = _EMPTY_OCC
+        return None
+    h = np.concatenate(hs).astype(np.uint64)
+    o = np.concatenate(occs).astype(np.uint32)
+    rid = np.concatenate(rids)
+
+    # unique (hash, occ) pairs; build masks by OR-ing ref bits
+    pair = np.stack([h, o.astype(np.uint64)], axis=1)
+    uniq, inv = np.unique(pair, axis=0, return_inverse=True)
+    masks = np.zeros((len(uniq), Wm), dtype=np.uint32)
+    np.bitwise_or.at(
+        masks, (inv, rid // 32), (np.uint32(1) << (rid % 32).astype(np.uint32))
+    )
+    return uniq[:, 0], uniq[:, 1].astype(np.uint32), masks
+
+
+def _bucket_of(lo: np.ndarray, hi: np.ndarray, occ: np.ndarray, nb: int):
+    """Mult-shift mix of both halves + occ; must match the device version."""
+    x = (lo ^ (hi * np.uint32(_MIX)) ^ (occ * np.uint32(_MIX))) * np.uint32(_MUL)
+    return (x >> np.uint32(32 - int(np.log2(nb)))).astype(np.int64)
 
 
 def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = None) -> PanelTable:
-    """Build the cuckoo table from a sorted sketch matrix [R, t] uint64
+    """Build the bucket table from a sorted sketch matrix [R, t] uint64
     (SENTINEL-padded rows, as produced by bottom_s_sketch)."""
     ref_sk = np.asarray(ref_sk, dtype=np.uint64)
     R = ref_sk.shape[0] if num_refs is None else num_refs
     Wm = max(1, (R + 31) // 32)
 
-    # collect entries: (hash, occ) -> ref bitmask
-    entries: dict[tuple[int, int], np.ndarray] = {}
-    for r in range(ref_sk.shape[0]):
-        row = ref_sk[r]
-        row = row[row != SENTINEL]
-        if ref_lens is not None:
-            row = row[: int(np.asarray(ref_lens)[r])]
-        prev = None
-        occ = 0
-        for h in row.tolist():
-            occ = occ + 1 if h == prev else 0
-            prev = h
-            key = (h, occ)
-            m = entries.get(key)
-            if m is None:
-                m = np.zeros(Wm, dtype=np.uint32)
-                entries[key] = m
-            m[r // 32] |= np.uint32(1 << (r % 32))
+    ents = _collect_entries(ref_sk, ref_lens, R, Wm)
+    if ents is None:
+        empty = np.zeros((1, SLOTS * (3 + Wm)), dtype=np.uint32)
+        empty[:, 2 * SLOTS : 3 * SLOTS] = _EMPTY_OCC
+        return PanelTable(empty, R, Wm)
+    h, occ, masks = ents
+    n = len(h)
+    lo = h.astype(np.uint32)
+    hi = (h >> np.uint64(32)).astype(np.uint32)
 
-    n = len(entries)
-    T = max(64, _next_pow2(2 * n))
-
+    nb = max(2, _next_pow2((n + SLOTS // 4 - 1) // (SLOTS // 4)))  # ~25% load
     while True:
-        hash_hi = np.zeros(T, dtype=np.uint32)
-        hash_lo = np.zeros(T, dtype=np.uint32)
-        occ_arr = np.full(T, _EMPTY_OCC, dtype=np.int32)
-        masks = np.zeros((T, Wm), dtype=np.uint32)
-        mask_t = T - 1
+        b = _bucket_of(lo, hi, occ, nb)
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        # slot index within each bucket = rank within equal-b run
+        starts = np.searchsorted(bs, bs, side="left")
+        slot = np.arange(n) - starts
+        if slot.max(initial=0) < SLOTS:
+            break
+        nb *= 2  # a bucket overflowed: rebuild sparser
 
-        def slots(h, o):
-            # pure-python ints with explicit u32 wraparound — must agree
-            # bit-for-bit with the device u32 arithmetic in _query_masks
-            lo = h & 0xFFFFFFFF
-            hi = (h >> 32) & 0xFFFFFFFF
-            return (
-                (lo ^ ((o * 0x9E3779B1) & 0xFFFFFFFF)) & mask_t,
-                (hi ^ ((o * 0x85EBCA77) & 0xFFFFFFFF)) & mask_t,
-            )
-
-        ok = True
-        rng = np.random.default_rng(12345)
-        for (h, o), m in entries.items():
-            cur = (h, o, m)
-            placed = False
-            for _kick in range(500):
-                h_, o_, m_ = cur
-                s1, s2 = slots(h_, o_)
-                if occ_arr[s1] == _EMPTY_OCC:
-                    tgt = s1
-                elif occ_arr[s2] == _EMPTY_OCC:
-                    tgt = s2
-                else:
-                    tgt = s1 if rng.integers(2) else s2
-                if occ_arr[tgt] == _EMPTY_OCC:
-                    hash_hi[tgt] = (h_ >> 32) & 0xFFFFFFFF
-                    hash_lo[tgt] = h_ & 0xFFFFFFFF
-                    occ_arr[tgt] = o_
-                    masks[tgt] = m_
-                    placed = True
-                    break
-                # evict
-                eh = (int(hash_hi[tgt]) << 32) | int(hash_lo[tgt])
-                ev = (eh, int(occ_arr[tgt]), masks[tgt].copy())
-                hash_hi[tgt] = (h_ >> 32) & 0xFFFFFFFF
-                hash_lo[tgt] = h_ & 0xFFFFFFFF
-                occ_arr[tgt] = o_
-                masks[tgt] = m_
-                cur = ev
-            if not placed:
-                ok = False
-                break
-        if ok:
-            return PanelTable(hash_hi, hash_lo, occ_arr, masks, R)
-        T *= 2  # rare: rebuild bigger
+    width = SLOTS * (3 + Wm)
+    table = np.zeros((nb, width), dtype=np.uint32)
+    table[:, 2 * SLOTS : 3 * SLOTS] = _EMPTY_OCC
+    bo, so = bs, slot
+    table[bo, so] = hi[order]
+    table[bo, SLOTS + so] = lo[order]
+    table[bo, 2 * SLOTS + so] = occ[order]
+    for w in range(Wm):
+        table[bo, (3 + w) * SLOTS + so] = masks[order, w]
+    return PanelTable(table, R, Wm)
 
 
-def _query_masks(read_sk, occ_a, qmask, t_hi, t_lo, t_occ, t_masks):
-    """Gather ref bitmask words for every read element.  [B, s] -> [B, s, Wm]."""
-    T = t_hi.shape[0]
-    mask_t = np.uint32(T - 1)
+def lookup_intersection_counts(read_sk, read_lens, table_arrays, num_refs: int):
+    """[B, s] sorted read sketches -> [B, R] intersection counts, exactly
+    matching intersect.intersection_counts, via the bucket table."""
+    from rkmh_tpu.ops.intersect import occ_ranks
+
+    (table,) = table_arrays
+    nb = table.shape[0]
+    Wm = table.shape[1] // SLOTS - 3
+    shift = np.uint32(32 - int(np.log2(nb)))
+
+    B, s = read_sk.shape
+    occ = occ_ranks(read_sk).astype(jnp.uint32)
+    qmask = (jnp.arange(s, dtype=jnp.int32)[None, :] < read_lens[:, None]) & (
+        read_sk != SENTINEL
+    )
     lo = read_sk.astype(jnp.uint32)
     hi = (read_sk >> np.uint64(32)).astype(jnp.uint32)
-    occ_u = occ_a.astype(jnp.uint32)
-    s1 = ((lo ^ occ_u * np.uint32(0x9E3779B1)) & mask_t).astype(jnp.int32)
-    s2 = ((hi ^ occ_u * np.uint32(0x85EBCA77)) & mask_t).astype(jnp.int32)
+    x = (lo ^ (hi * np.uint32(_MIX)) ^ (occ * np.uint32(_MIX))) * np.uint32(_MUL)
+    bidx = (x >> shift).astype(jnp.int32)
 
-    out = jnp.zeros(read_sk.shape + (t_masks.shape[1],), dtype=jnp.uint32)
-    for slot in (s1, s2):
-        hit = (t_hi[slot] == hi) & (t_lo[slot] == lo) & (t_occ[slot] == occ_a) & qmask
-        out = out | jnp.where(hit[..., None], t_masks[slot], np.uint32(0))
-    return out
+    rows = table[bidx]                                     # [B, s, width]
+    hi_e = rows[..., 0:SLOTS]
+    lo_e = rows[..., SLOTS : 2 * SLOTS]
+    occ_e = rows[..., 2 * SLOTS : 3 * SLOTS]
+    hit = (
+        (hi_e == hi[..., None])
+        & (lo_e == lo[..., None])
+        & (occ_e == occ[..., None])
+        & qmask[..., None]
+    )                                                      # [B, s, SLOTS]
+
+    counts = []
+    for w in range(Wm):
+        mw = rows[..., (3 + w) * SLOTS : (4 + w) * SLOTS]
+        # at most one slot matches: OR-select its mask word
+        sel = jnp.max(jnp.where(hit, mw, np.uint32(0)), axis=-1)  # [B, s]
+        hi_r = min(32 * (w + 1), num_refs)
+        for r in range(32 * w, hi_r):
+            counts.append(
+                jnp.sum(
+                    (sel >> np.uint32(r - 32 * w)) & np.uint32(1),
+                    axis=-1, dtype=jnp.int32,
+                )
+            )
+    return jnp.stack(counts, axis=-1)  # [B, R]
 
 
 # ---------------------------------------------------------------------------
@@ -173,11 +203,10 @@ def _query_masks(read_sk, occ_a, qmask, t_hi, t_lo, t_occ, t_masks):
 # ---------------------------------------------------------------------------
 # The hpv16 type-level comparator intersects each read's *full* hash set
 # with 182 reference hash *sets* (hash_set_intersection_size,
-# rkmh.cpp:2669-2678) — ~1.4M distinct (hash, ref) pairs, too many for
-# the Python cuckoo builder.  Keys here are deduplicated, so occ
-# disambiguation is unnecessary: a sorted unique-key array + bitmask
-# matrix builds in O(n log n) numpy and queries with one searchsorted
-# (log2 U ~ 20 steps) per element.
+# rkmh.cpp:2669-2678) — ~1.4M distinct (hash, ref) pairs.  Keys here are
+# deduplicated, so occ disambiguation is unnecessary: a sorted unique-key
+# array + bitmask matrix builds in O(n log n) numpy and queries with one
+# searchsorted (log2 U ~ 20 steps) per element.
 
 
 def build_sorted_panel(ref_hash_rows: list, num_refs: int | None = None):
@@ -230,24 +259,3 @@ def sorted_panel_counts(read_sk, read_lens, keys, masks, num_refs: int):
             jnp.sum((mw[..., w] >> np.uint32(b)) & np.uint32(1), axis=-1, dtype=jnp.int32)
         )
     return jnp.stack(counts, axis=-1)
-
-
-def lookup_intersection_counts(read_sk, read_lens, table_arrays, num_refs: int):
-    """[B, s] sorted read sketches -> [B, R] intersection counts, exactly
-    matching intersect.intersection_counts, via the panel table."""
-    from rkmh_tpu.ops.intersect import occ_ranks
-
-    t_hi, t_lo, t_occ, t_masks = table_arrays
-    B, s = read_sk.shape
-    occ = occ_ranks(read_sk)
-    qmask = (jnp.arange(s, dtype=jnp.int32)[None, :] < read_lens[:, None]) & (
-        read_sk != SENTINEL
-    )
-    mw = _query_masks(read_sk, occ, qmask, t_hi, t_lo, t_occ, t_masks)  # [B, s, Wm]
-    counts = []
-    for r in range(num_refs):
-        w, b = divmod(r, 32)
-        counts.append(
-            jnp.sum((mw[..., w] >> np.uint32(b)) & np.uint32(1), axis=-1, dtype=jnp.int32)
-        )
-    return jnp.stack(counts, axis=-1)  # [B, R]
