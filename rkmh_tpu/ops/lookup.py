@@ -110,16 +110,22 @@ def _bucket_of(lo: np.ndarray, hi: np.ndarray, occ: np.ndarray, nb: int):
     return (x >> np.uint32(32 - int(np.log2(nb)))).astype(np.int64)
 
 
-def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = None) -> PanelTable:
+def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = None,
+                      num_buckets: int | None = None) -> PanelTable:
     """Build the bucket table from a sorted sketch matrix [R, t] uint64
-    (SENTINEL-padded rows, as produced by bottom_s_sketch)."""
+    (SENTINEL-padded rows, as produced by bottom_s_sketch).
+
+    num_buckets forces the initial bucket count (power of two) — used to
+    give every tensor-parallel shard an identically-shaped table.
+    """
     ref_sk = np.asarray(ref_sk, dtype=np.uint64)
     R = ref_sk.shape[0] if num_refs is None else num_refs
     Wm = max(1, (R + 31) // 32)
 
     ents = _collect_entries(ref_sk, ref_lens, R, Wm)
     if ents is None:
-        empty = np.zeros((1, SLOTS * (3 + Wm)), dtype=np.uint32)
+        nb0 = num_buckets or 1
+        empty = np.zeros((nb0, SLOTS * (3 + Wm)), dtype=np.uint32)
         empty[:, 2 * SLOTS : 3 * SLOTS] = _EMPTY_OCC
         return PanelTable(empty, R, Wm)
     h, occ, masks = ents
@@ -127,7 +133,7 @@ def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = 
     lo = h.astype(np.uint32)
     hi = (h >> np.uint64(32)).astype(np.uint32)
 
-    nb = max(2, _next_pow2((n + SLOTS // 4 - 1) // (SLOTS // 4)))  # ~25% load
+    nb = num_buckets or max(2, _next_pow2((n + SLOTS // 4 - 1) // (SLOTS // 4)))  # ~25% load
     while True:
         b = _bucket_of(lo, hi, occ, nb)
         order = np.argsort(b, kind="stable")

@@ -73,6 +73,66 @@ def sharded_classify_fn(mesh: Mesh, ks: tuple, sketch_size: int,
     return jax.jit(fn)
 
 
+def build_sharded_tables(ref_sk, ref_lens, tp: int):
+    """Split a panel row-wise into tp shard tables of identical shape.
+
+    Each shard's bitmask covers only its R/tp local references (mask bit j
+    = local ref j), so the all_gather'd per-shard counts concatenate back
+    in original reference order.  Returns ([tp, NB, width] uint32 stacked
+    tables, refs_per_shard).
+    """
+    from rkmh_tpu.ops.lookup import build_panel_table
+
+    ref_sk = np.asarray(ref_sk)
+    ref_lens = np.asarray(ref_lens)
+    R = ref_sk.shape[0]
+    assert R % tp == 0, f"num refs {R} not divisible by tp {tp}"
+    rps = R // tp
+    parts = [
+        build_panel_table(ref_sk[i * rps : (i + 1) * rps],
+                          ref_lens[i * rps : (i + 1) * rps])
+        for i in range(tp)
+    ]
+    nb = max(p.num_buckets for p in parts)
+    parts = [
+        p if p.num_buckets == nb else build_panel_table(
+            ref_sk[i * rps : (i + 1) * rps], ref_lens[i * rps : (i + 1) * rps],
+            num_buckets=nb,
+        )
+        for i, p in enumerate(parts)
+    ]
+    return np.stack([p.table for p in parts]), rps
+
+
+def sharded_classify_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
+                              refs_per_shard: int,
+                              min_diff: int = 0, min_matches: int = -1):
+    """Production SPMD classify step: dp-sharded reads x tp-sharded panel
+    bucket tables (ops/lookup fast path), bit-identical to single chip.
+
+    Inputs: codes [B, L] (B % dp == 0), tables [tp, NB, width] uint32.
+    """
+    from rkmh_tpu.ops.lookup import lookup_intersection_counts
+
+    def local_step(codes, table):
+        hashes = multi_k_window_hashes(codes, list(ks))
+        sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
+        counts = lookup_intersection_counts(
+            sk, sk_lens, (table[0],), refs_per_shard
+        )  # [B/dp, R/tp]
+        counts = jax.lax.all_gather(counts, "tp", axis=1, tiled=True)  # [B/dp, R]
+        return argmax_stream(counts, min_diff, min_matches, sk_lens)
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("tp", None, None)),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def shard_batch(mesh: Mesh, codes):
     """Place a host batch onto the mesh sharded along dp."""
     sharding = jax.sharding.NamedSharding(mesh, P("dp", None))
