@@ -38,6 +38,17 @@ def build_parser():
     )
     sub = ap.add_subparsers(dest="command", required=True)
 
+    _orig_add_parser = sub.add_parser
+
+    def _add_parser(*a, **kw):  # every command gets the observability flags
+        p = _orig_add_parser(*a, **kw)
+        p.add_argument("--metrics", action="store_true",
+                       help="emit one JSON metrics line (reads/s, bp/s, timers) to stderr; "
+                            "RKMH_TPU_PROFILE=<dir> additionally captures a device trace")
+        return p
+
+    sub.add_parser = _add_parser
+
     for name in ("classify", "stream"):
         p = sub.add_parser(name)
         _common_classify_flags(p)
@@ -108,7 +119,13 @@ def build_parser():
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from rkmh_tpu.observability import observed_run
 
+    with observed_run(args.command, enabled=getattr(args, "metrics", False) or None):
+        return _dispatch(args)
+
+
+def _dispatch(args) -> int:
     if args.command in ("classify", "stream"):
         if args.command == "classify":
             print("classify is an alias of stream in rkmh; running stream.", file=sys.stderr)

@@ -141,11 +141,15 @@ def load_packed(paths, granularity: int = 128):
 def packed_batches(packed, batch_size: int):
     """Yield (start, stop, codes [B, L], lens [B]) row slices with a fixed
     batch shape (last chunk zero-padded) — at most 2 compiled shapes."""
+    from rkmh_tpu.observability import count
+
     N = len(packed)
     for s in range(0, N, batch_size):
         e = min(s + batch_size, N)
         codes = packed.codes[s:e]
         lens = packed.lens[s:e]
+        count("reads", e - s)
+        count("bp", int(lens.sum()))
         if e - s < batch_size:
             codes = np.concatenate(
                 [codes, np.full((batch_size - (e - s), codes.shape[1]), 255, np.uint8)]
