@@ -10,13 +10,15 @@ row-gather per element**:
 * every (hash, occ) pair present in any reference sketch becomes one
   entry whose payload is a bitmask over references (bit r set iff ref
   r's sketch holds >= occ+1 copies of the hash);
-* entries land in power-of-two buckets of SLOTS=16 entries via a
+* entries land in power-of-two buckets of SLOTS entries via a
   mult-shift mix of both 32-bit hash halves; the builder doubles the
   bucket count on overflow (load factor ~0.25, so overflow is rare);
 * a bucket row is laid out slot-major as u32 lanes
-  [hi*16 | lo*16 | occ*16 | mask_w*16 ...] so one gather of a 64*(3+Wm)
+  [hi*S | lo*S | occ*S | mask_w*S ...] so one gather of a 4*S*(3+Wm)
   byte row fetches every candidate, and the slot compare + mask select
   runs vectorized on the VPU — no second probe, no scattered loads.
+  SLOTS=8 measured fastest (row gather traffic and compare width scale
+  with SLOTS; 16 was ~1.6x slower end to end).
 
 Duplicate semantics stay exact (SURVEY §7 "hard parts"): a value with
 multiplicity ca in the read and cb in ref r contributes min(ca, cb)
@@ -39,7 +41,7 @@ import jax.numpy as jnp
 
 from rkmh_tpu.ops.sketch import SENTINEL
 
-SLOTS = 16
+SLOTS = 8
 _EMPTY_OCC = np.uint32(0xFFFFFFFF)
 _MIX = 0x85EBCA77
 _MUL = 0x9E3779B1
