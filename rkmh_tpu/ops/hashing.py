@@ -199,9 +199,21 @@ def kmer_window_hashes(codes, k: int, seed: int = 42):
 
 def multi_k_window_hashes(codes, ks, seed: int = 42):
     """rkmh multi-k calc_hashes: per-k window hashes concatenated in k order
-    (rkmh.cpp:590/860 — repeated -k flags concatenate hash lists)."""
+    (rkmh.cpp:590/860 — repeated -k flags concatenate hash lists).
+
+    RKMH_TPU_PALLAS=1 routes each k through the Pallas VMEM-fused kernel
+    (ops/pallas_hash, bit-identical) instead of this XLA path.
+    """
     ks = [ks] if isinstance(ks, int) else list(ks)
-    outs = [kmer_window_hashes(codes, k, seed) for k in ks]
+
+    hash_one = kmer_window_hashes
+    from rkmh_tpu.ops.pallas_hash import pallas_enabled
+
+    if pallas_enabled() and all(1 <= k <= 32 for k in ks):
+        from rkmh_tpu.ops.pallas_hash import kmer_window_hashes_pallas
+
+        hash_one = kmer_window_hashes_pallas
+    outs = [hash_one(codes, k, seed) for k in ks]
     return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
 
 
