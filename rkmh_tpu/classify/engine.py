@@ -285,7 +285,15 @@ def hpv16_batch(
     uc = sorted_panel_counts(full, lens, uniq_keys, uniq_masks, num_uniq)
     best = jnp.argmax(tc, axis=-1)          # first max == strict-> scan, init -1
     max_shared = jnp.max(tc, axis=-1)
-    return tc, uc, best, max_shared
+    # pack into ONE int64 array [B, 2+U] — a single D2H fetch per batch
+    return jnp.concatenate(
+        [
+            best.astype(jnp.int64)[:, None],
+            max_shared.astype(jnp.int64)[:, None],
+            uc.astype(jnp.int64),
+        ],
+        axis=1,
+    )
 
 
 @partial(jax.jit, static_argnames=("ks",))

@@ -156,20 +156,22 @@ def run(cfg: Hpv16Config, out=None) -> int:
             hc.add(hashes, mask)
         counter_table = hc.table
 
-    from rkmh_tpu.ops.hashing import window_counts
+    from collections import deque
+
+    from rkmh_tpu.utils import to_host
 
     read_names = reads.names
-    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
-        tc, uc, best, max_shared = engine.hpv16_batch(
-            codes, jnp.asarray(lens),
-            type_keys, type_masks, uniq_keys, uniq_masks,
-            ks, len(type_names), n_lin + n_sub,
-            counter_table=counter_table, min_occ=cfg.min_kmer_occ,
-        )
-        uc_np = np.asarray(uc)
-        best_np = np.asarray(best)
-        shared_np = np.asarray(max_shared)
-        hashnum = np.asarray(window_counts(lens, list(ks)))
+    pending = deque()
+
+    def flush_one():
+        s, e, lens, res = pending.popleft()
+        packed = to_host(res)                      # one fetch: [B, 2+U] i64
+        best_np = packed[:, 0]
+        shared_np = packed[:, 1]
+        uc_np = packed[:, 2:]
+        hashnum = np.zeros(len(lens), dtype=np.int64)
+        for k_ in ks:
+            hashnum += np.maximum(lens.astype(np.int64) - (k_ - 1), 0)
 
         for i in range(e - s):
             hn = int(hashnum[i])
@@ -190,4 +192,19 @@ def run(cfg: Hpv16Config, out=None) -> int:
                 "".join(f"{int(sub_ints[x])};" for x in sub_order),
             ]
             out.write("\t".join(parts) + "\n")
+
+    # pipelined dispatch (see commands/stream.py): keep batches in flight,
+    # fetch the single packed result array per batch late
+    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
+        res = engine.hpv16_batch(
+            codes, jnp.asarray(lens),
+            type_keys, type_masks, uniq_keys, uniq_masks,
+            ks, len(type_names), n_lin + n_sub,
+            counter_table=counter_table, min_occ=cfg.min_kmer_occ,
+        )
+        pending.append((s, e, lens, res))
+        if len(pending) > 3:
+            flush_one()
+    while pending:
+        flush_one()
     return 0
