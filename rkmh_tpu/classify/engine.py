@@ -256,23 +256,22 @@ def filter_sketches_table(
 # hpv16 tiered classifier batches (rkmh.cpp:2656-2718)
 # ---------------------------------------------------------------------------
 
-from rkmh_tpu.ops.lookup import sorted_panel_counts  # noqa: E402
-
 
 @partial(jax.jit, static_argnames=("ks", "num_types", "num_uniq", "min_occ"))
 def hpv16_batch(
     codes, lengths,
-    type_keys, type_masks, uniq_keys, uniq_masks,
+    type_table, uniq_table,
     ks: tuple, num_types: int, num_uniq: int,
     counter_table=None, min_occ: int = 0,
 ):
-    """One read batch -> (type_counts [B, T], uniq_counts [B, U], best [B],
-    max_shared [B]).
+    """One read batch -> packed int64 [B, 2+U] (best, max_shared, uniq
+    counts) — one D2H fetch per batch.
 
     The read's *full* sorted nonzero hash array (not a sketch) intersects
     each type's full hash set and each lineage/sublineage unique-kmer
     table — set semantics, the hash_set_intersection_size /
-    sort_by_similarity comparators of rkmh.cpp:2673/2688.  With -M,
+    sort_by_similarity comparators of rkmh.cpp:2673/2688, via the
+    occ-0-only bucket tables of ops.lookup.build_set_table.  With -M,
     hashes below min_occ depth are zeroed first (mask_by_frequency,
     rkmh.cpp:2663) and so drop out of every intersection.
     """
@@ -281,8 +280,8 @@ def hpv16_batch(
         counts = counter_get(counter_table, hashes)
         hashes = mask_by_frequency(hashes, counts, min_occ)
     full, lens = bottom_s_sketch(hashes, hashes.shape[-1])
-    tc = sorted_panel_counts(full, lens, type_keys, type_masks, num_types)
-    uc = sorted_panel_counts(full, lens, uniq_keys, uniq_masks, num_uniq)
+    tc = lookup_intersection_counts(full, lens, (type_table,), num_types)
+    uc = lookup_intersection_counts(full, lens, (uniq_table,), num_uniq)
     best = jnp.argmax(tc, axis=-1)          # first max == strict-> scan, init -1
     max_shared = jnp.max(tc, axis=-1)
     # pack into ONE int64 array [B, 2+U] — a single D2H fetch per batch

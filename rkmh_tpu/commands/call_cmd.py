@@ -29,6 +29,7 @@ from rkmh_tpu.classify import engine
 from rkmh_tpu.commands.common import load_packed, load_records, packed_batches, log
 from rkmh_tpu.io.packing import bucket_length, encode_seqs
 from rkmh_tpu.ops.hashmap import depth_map_from_hashes
+from rkmh_tpu.utils import to_host
 
 _BASE = "ACGT"
 
@@ -73,8 +74,9 @@ def run(cfg: CallConfig, out=None) -> int:
     all_h, all_m = [], []
     for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
         hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
-        all_h.append(np.asarray(hashes))
-        all_m.append(np.asarray(mask))
+        h_np, m_np = to_host((hashes, mask))
+        all_h.append(h_np)
+        all_m.append(m_np)
     table = depth_map_from_hashes(
         np.concatenate([h.ravel() for h in all_h]),
         np.concatenate([m.ravel() for m in all_m]),
@@ -113,24 +115,25 @@ def run(cfg: CallConfig, out=None) -> int:
             continue
         codes, _ = encode_seqs([ref.seq], pad_to=L)
         res = call_engine.call_scan_ref(codes[0], table, k, cfg.window_len)
+        res = to_host(res)
         P = len(ref.seq) - k + 1
 
-        depth = np.asarray(res["depth"])[:P]
-        avg = np.asarray(res["avg"])[:P]
+        depth = res["depth"][:P]
+        avg = res["avg"][:P]
 
         if cfg.show_depth:
-            rescue = np.asarray(res["max_rescue"])[:P]
+            rescue = res["max_rescue"][:P]
             shown = np.where(rescue > 0, rescue, depth)
             for j in range(P):
                 out.write(f"{j}\t{avg[j]}\t{depth[j]}\t{shown[j]}\n")
             continue
 
-        win = np.asarray(res["win"])[:P]
-        dwin = np.asarray(res["dwin"])[:P]
-        snp_call = np.asarray(res["snp_call"])[:P]
-        snp_depth = np.asarray(res["snp_depth"])[:P]
-        del_call = np.asarray(res["del_call"])[:P]
-        del_depth = np.asarray(res["del_depth"])[:P]
+        win = res["win"][:P]
+        dwin = res["dwin"][:P]
+        snp_call = res["snp_call"][:P]
+        snp_depth = res["snp_depth"][:P]
+        del_call = res["del_call"][:P]
+        del_depth = res["del_depth"][:P]
 
         for j, ap, b in zip(*np.nonzero(snp_call)):
             orig = _code_char(int(win[j, ap]))

@@ -160,6 +160,49 @@ def packed_batches(packed, batch_size: int):
         yield s, e, codes, lens
 
 
+def bucketed_batches(packed, batch_size: int, granularity: int = 128,
+                     max_buckets: int = 4):
+    """Yield (rows [B] global indices, codes [B, Lb], lens [B]) grouped by
+    padded-length bucket (io.packing.length_buckets).
+
+    For length-spread inputs (nanopore: 1.6-7.4 kb in minION25.fq) this
+    bounds padding waste to the bucket granularity instead of padding
+    every read to the global max — up to ~2x less hashing work — at the
+    cost of <= max_buckets * 2 compiled programs and out-of-order batch
+    emission (callers reorder via the returned row indices).
+    """
+    from rkmh_tpu.io.packing import length_buckets
+    from rkmh_tpu.observability import count
+
+    N = len(packed)
+    if N == 0:
+        return
+    uniq, bidx = length_buckets(packed.lens, granularity, max_buckets)
+    for b, Lb in enumerate(uniq):
+        sel = np.nonzero(bidx == b)[0]
+        Lb = int(Lb)
+        for off in range(0, len(sel), batch_size):
+            rows = sel[off : off + batch_size]
+            codes = packed.codes[rows][:, :Lb]
+            lens = packed.lens[rows]
+            count("reads", len(rows))
+            count("bp", int(lens.sum()))
+            # pad rows to the next power of two (capped at batch_size):
+            # small inputs don't hash a full batch of padding, and the
+            # number of compiled shapes stays logarithmic
+            target = 8
+            while target < len(rows):
+                target *= 2
+            target = min(target, batch_size)
+            if len(rows) < target:
+                pad = target - len(rows)
+                codes = np.concatenate(
+                    [codes, np.full((pad, Lb), 255, np.uint8)]
+                )
+                lens = np.concatenate([lens, np.zeros(pad, np.int32)])
+            yield rows, codes, lens
+
+
 def batch_iter(records: list[SeqRecord], batch_size: int, pad_to: int | None = None):
     """Yield (records_chunk, codes, lens) with a fixed padded length across
     the whole input (one compiled program); last chunk keeps its own size

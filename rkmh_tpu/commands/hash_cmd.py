@@ -34,6 +34,7 @@ import numpy as np
 from rkmh_tpu.classify import engine
 from rkmh_tpu.commands.common import DEFAULT_KMER, load_packed, packed_batches, log
 from rkmh_tpu.io.sketch_json import SketchRecord, dump_sketches
+from rkmh_tpu.utils import to_host
 
 
 @dataclass
@@ -81,8 +82,7 @@ def run(cfg: HashConfig, out=None) -> int:
     for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
         if cfg.sketch_size > 0:
             sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
-            sk_np = np.asarray(sk)
-            lens_np = np.asarray(sk_lens)
+            sk_np, lens_np = to_host((sk, sk_lens))
             for i in range(e - s):
                 name, seq_len = names[s + i], int(reads.lens[s + i])
                 mins = sk_np[i, : lens_np[i]].tolist()
@@ -96,8 +96,7 @@ def run(cfg: HashConfig, out=None) -> int:
                     out.write(f"{name}\t{' '.join(map(str, mins))}\n")
         else:
             hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
-            h_np = np.asarray(hashes)
-            m_np = np.asarray(mask)
+            h_np, m_np = to_host((hashes, mask))
             for i in range(e - s):
                 name, seq_len = names[s + i], int(reads.lens[s + i])
                 vals = h_np[i][m_np[i]].tolist()

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from rkmh_tpu.classify import engine
 from rkmh_tpu.commands.common import load_packed, packed_batches, log
 from rkmh_tpu.ops.counter import HashCounter
-from rkmh_tpu.ops.lookup import build_sorted_panel
+from rkmh_tpu.ops.lookup import build_set_table
 
 
 @dataclass
@@ -68,8 +68,9 @@ def _distinct_rows(packed, ks, batch_size):
     rows = []
     for s, e, codes, lens in packed_batches(packed, batch_size):
         hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
-        h_np = np.asarray(hashes)
-        m_np = np.asarray(mask)
+        from rkmh_tpu.utils import to_host
+
+        h_np, m_np = to_host((hashes, mask))
         for i in range(e - s):
             vals = np.unique(h_np[i][m_np[i]])
             rows.append(vals[vals != 0])
@@ -104,7 +105,7 @@ def run(cfg: Hpv16Config, out=None) -> int:
 
     # type panel: full distinct hash sets at kmer_sizes[0] (rkmh.cpp:2546)
     type_rows = _distinct_rows(type_recs, (k0,), cfg.batch_size)
-    type_keys_np, type_masks_np = build_sorted_panel(type_rows)
+    type_panel = build_set_table(type_rows)
     type_names = list(type_recs.names)
 
     # sublineage hash sets at kmer_sizes[0] (rkmh.cpp:2553)
@@ -138,13 +139,11 @@ def run(cfg: Hpv16Config, out=None) -> int:
     for sn, uniq in zip(sublin_names, sublin_uniqs):
         log(f"\t{sn}\t{len(uniq)}")
 
-    uniq_keys_np, uniq_masks_np = build_sorted_panel(lin_uniqs + sublin_uniqs)
+    uniq_panel = build_set_table(lin_uniqs + sublin_uniqs)
     n_lin, n_sub = len(lin_names), len(sublin_names)
 
-    type_keys = jnp.asarray(type_keys_np)
-    type_masks = jnp.asarray(type_masks_np)
-    uniq_keys = jnp.asarray(uniq_keys_np)
-    uniq_masks = jnp.asarray(uniq_masks_np)
+    (type_table,) = type_panel.device_arrays()
+    (uniq_table,) = uniq_panel.device_arrays()
 
     counter_table = None
     if cfg.min_kmer_occ > 0:
@@ -198,7 +197,7 @@ def run(cfg: Hpv16Config, out=None) -> int:
     for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
         res = engine.hpv16_batch(
             codes, jnp.asarray(lens),
-            type_keys, type_masks, uniq_keys, uniq_masks,
+            type_table, uniq_table,
             ks, len(type_names), n_lin + n_sub,
             counter_table=counter_table, min_occ=cfg.min_kmer_occ,
         )

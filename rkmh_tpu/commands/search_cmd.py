@@ -75,7 +75,9 @@ def run(cfg: SearchConfig, out=None) -> int:
             found = (ref_dev[pos] == wh) & (wh != np.uint64(0))
         else:
             found = jnp.zeros(wh.shape, dtype=bool)
-        found_np = np.asarray(found)
+        from rkmh_tpu.utils import to_host
+
+        found_np = to_host(found)
         for i in range(e - s):
             seq = seqs[s + i]
             nwin = len(seq) - k + 1

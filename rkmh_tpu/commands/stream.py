@@ -27,7 +27,7 @@ from rkmh_tpu.commands.common import (
     DEFAULT_SKETCH,
     build_ref_panel,
     load_packed,
-    packed_batches,
+    bucketed_batches,
     log,
 )
 from rkmh_tpu.ops.counter import HashCounter
@@ -83,21 +83,23 @@ def _tail_table(sketch_size: int):
     return tails
 
 
-def format_lines_packed(ref_keys, names, packed, sketch_size):
+def format_lines_packed(ref_keys, names, packed, sketch_size, as_list=False):
     """Format from the [3, B] int64 packed result (one D2H fetch).
 
     Byte-identical to format_lines; the hot pieces (int->str, tail
-    variants) are precomputed/bulk-converted.
+    variants) are precomputed/bulk-converted.  as_list returns the
+    per-read lines (for bucket-reordered emission).
     """
     from rkmh_tpu.utils import to_host
 
     arr = to_host(packed)
     best, shared, flags = (a.tolist() for a in arr)
     tails = _tail_table(sketch_size)
-    return "".join(
+    lines = [
         f"{ref_keys[b]}\t{n}\t{c}{tails[f]}"
         for b, n, c, f in zip(best, names, shared, flags)
-    )
+    ]
+    return lines if as_list else "".join(lines)
 
 
 def run(cfg: StreamConfig, out=None) -> int:
@@ -126,7 +128,7 @@ def run(cfg: StreamConfig, out=None) -> int:
     if cfg.min_kmer_occ >= 0:
         # first pass: global read-kmer depth (rkmh.cpp:903-910)
         read_counter = HashCounter(cfg.counter_size)
-        for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
+        for rows, codes, lens in bucketed_batches(reads, cfg.batch_size):
             hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
             read_counter.add(hashes, mask)
 
@@ -146,19 +148,28 @@ def run(cfg: StreamConfig, out=None) -> int:
     # in flight and fetch/format late.  One device sync costs a full tunnel
     # RTT (~27 ms observed on the remote-TPU path) — overlapping it with
     # queued compute is the difference between ~75k and >400k reads/s.
+    # Batches are length-bucketed (padding waste bounded), so lines land
+    # in an index buffer and are emitted in input order at the end.
     from collections import deque
 
     names = reads.names
     pending = deque()
+    out_lines: list = [None] * len(reads)
 
     def flush_one():
-        s, e, res = pending.popleft()
-        out.write(format_lines_packed(panel.keys, names[s:e], res, cfg.sketch_size))
+        rows, res = pending.popleft()
+        batch_names = [names[i] for i in rows]
+        lines = format_lines_packed(
+            panel.keys, batch_names, res, cfg.sketch_size, as_list=True
+        )
+        for i, line in zip(rows, lines):
+            out_lines[i] = line
 
-    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
-        pending.append((s, e, dispatch(codes, lens)))
+    for rows, codes, lens in bucketed_batches(reads, cfg.batch_size):
+        pending.append((rows, dispatch(codes, lens)))
         if len(pending) > PIPELINE_DEPTH:
             flush_one()
     while pending:
         flush_one()
+    out.write("".join(out_lines))
     return 0

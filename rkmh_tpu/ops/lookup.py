@@ -206,6 +206,31 @@ def lookup_intersection_counts(read_sk, read_lens, table_arrays, num_refs: int):
     return jnp.stack(counts, axis=-1)  # [B, R]
 
 
+def build_set_table(ref_hash_rows: list, num_refs: int | None = None) -> PanelTable:
+    """Per-ref *distinct* hash arrays -> bucket table with occ=0 entries.
+
+    The hpv16 comparators are set intersections (hash_set_intersection_size
+    / sort_by_similarity, rkmh.cpp:2673/2688): only each hash's first
+    occurrence can match (duplicate query elements carry occ>0 and miss),
+    so querying with a full sorted read array yields distinct counts.
+    """
+    rows = []
+    maxlen = 1
+    cleaned = []
+    for row in ref_hash_rows:
+        row = np.unique(np.asarray(row, dtype=np.uint64))
+        row = row[row != 0]
+        cleaned.append(row)
+        maxlen = max(maxlen, len(row))
+    R = num_refs if num_refs is not None else len(cleaned)
+    mat = np.full((len(cleaned), maxlen), SENTINEL, dtype=np.uint64)
+    lens = np.zeros(len(cleaned), dtype=np.int32)
+    for i, row in enumerate(cleaned):
+        mat[i, : len(row)] = row
+        lens[i] = len(row)
+    return build_panel_table(mat, lens, num_refs=R)
+
+
 # ---------------------------------------------------------------------------
 # Sorted-key panel: distinct-set membership for large full-hash panels
 # ---------------------------------------------------------------------------
