@@ -29,7 +29,8 @@ def main():
 
     from rkmh_tpu.classify import engine
     from rkmh_tpu.commands.common import build_ref_panel, load_packed
-    from rkmh_tpu.commands.stream import format_lines_packed
+    from rkmh_tpu.commands.stream import format_lines_host
+    from rkmh_tpu.utils import to_host
 
     DATA = "/root/reference/data"
     ks, s = (12,), 1000
@@ -52,29 +53,34 @@ def main():
             num_refs=panel.num_refs, min_diff=0, min_matches=-1,
         )
 
-    def fmt(res):
-        return format_lines_packed(panel.keys, names, res, s)
-
     # warmup / compile
-    _ = fmt(step(codes))
+    _ = format_lines_host(panel.keys, names, to_host(step(codes)), s)
 
-    # pipelined like commands/stream.py: keep DEPTH dispatches in flight so
-    # the tunnel-RTT device sync overlaps with queued compute
+    # pipelined like commands/stream.py: batches stay in flight, results
+    # fetched in groups (each device_get costs ~2 tunnel RTTs)
     from collections import deque
 
-    DEPTH = 3
-    iters = 8 if platform != "cpu" else 3
+    GROUP = 6
+    iters = 24 if platform != "cpu" else 3
     t0 = time.perf_counter()
     pending = deque()
     lines = 0
+
+    def flush(n):
+        nonlocal lines
+        grp = [pending.popleft() for _ in range(min(n, len(pending)))]
+        if not grp:
+            return
+        for arr in to_host(grp):
+            text = format_lines_host(panel.keys, names, arr, s)
+            lines += len(text.splitlines())
+
     for _ in range(iters):
         pending.append(step(codes))
-        if len(pending) > DEPTH:
-            text = fmt(pending.popleft())
-            lines += len(text.splitlines())
+        if len(pending) > 2 * GROUP:
+            flush(GROUP)
     while pending:
-        text = fmt(pending.popleft())
-        lines += len(text.splitlines())
+        flush(len(pending))
     dt = time.perf_counter() - t0
 
     reads_per_sec = batch * iters / dt
@@ -89,7 +95,7 @@ def main():
     print(json.dumps(result))
     print(
         f"# platform={platform} batch={batch} iters={iters} "
-        f"bp/s={bp_per_sec:.0f} lines={len(text.splitlines())}",
+        f"bp/s={bp_per_sec:.0f} lines={lines}",
         file=sys.stderr,
     )
 

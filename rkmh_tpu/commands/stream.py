@@ -32,7 +32,7 @@ from rkmh_tpu.commands.common import (
 )
 from rkmh_tpu.ops.counter import HashCounter
 
-PIPELINE_DEPTH = 3  # batches in flight before the first fetch
+FETCH_GROUP = 6  # results fetched per device_get; 2x this stays in flight
 
 
 @dataclass
@@ -83,6 +83,17 @@ def _tail_table(sketch_size: int):
     return tails
 
 
+def format_lines_host(ref_keys, names, arr, sketch_size, as_list=False):
+    """Format an already-fetched [3, B] packed result array."""
+    best, shared, flags = (a.tolist() for a in arr)
+    tails = _tail_table(sketch_size)
+    lines = [
+        f"{ref_keys[b]}\t{n}\t{c}{tails[f]}"
+        for b, n, c, f in zip(best, names, shared, flags)
+    ]
+    return lines if as_list else "".join(lines)
+
+
 def format_lines_packed(ref_keys, names, packed, sketch_size, as_list=False):
     """Format from the [3, B] int64 packed result (one D2H fetch).
 
@@ -92,14 +103,7 @@ def format_lines_packed(ref_keys, names, packed, sketch_size, as_list=False):
     """
     from rkmh_tpu.utils import to_host
 
-    arr = to_host(packed)
-    best, shared, flags = (a.tolist() for a in arr)
-    tails = _tail_table(sketch_size)
-    lines = [
-        f"{ref_keys[b]}\t{n}\t{c}{tails[f]}"
-        for b, n, c, f in zip(best, names, shared, flags)
-    ]
-    return lines if as_list else "".join(lines)
+    return format_lines_host(ref_keys, names, to_host(packed), sketch_size, as_list)
 
 
 def run(cfg: StreamConfig, out=None) -> int:
@@ -144,32 +148,38 @@ def run(cfg: StreamConfig, out=None) -> int:
             num_refs=panel.num_refs, min_diff=cfg.min_diff, min_matches=cfg.min_matches,
         )
 
-    # Pipelined drain: dispatches are async, so keep PIPELINE_DEPTH batches
-    # in flight and fetch/format late.  One device sync costs a full tunnel
-    # RTT (~27 ms observed on the remote-TPU path) — overlapping it with
-    # queued compute is the difference between ~75k and >400k reads/s.
-    # Batches are length-bucketed (padding waste bounded), so lines land
-    # in an index buffer and are emitted in input order at the end.
+    # Pipelined drain: dispatches are async, so keep batches in flight and
+    # fetch results late — in GROUPS, because each device_get costs ~2
+    # tunnel RTTs regardless of size (group-of-6 fetches measured 374k vs
+    # 266k reads/s one-by-one).  Batches are length-bucketed (padding
+    # waste bounded), so lines land in an index buffer and are emitted in
+    # input order at the end.
     from collections import deque
+
+    from rkmh_tpu.utils import to_host
 
     names = reads.names
     pending = deque()
     out_lines: list = [None] * len(reads)
 
-    def flush_one():
-        rows, res = pending.popleft()
-        batch_names = [names[i] for i in rows]
-        lines = format_lines_packed(
-            panel.keys, batch_names, res, cfg.sketch_size, as_list=True
-        )
-        for i, line in zip(rows, lines):
-            out_lines[i] = line
+    def flush(n):
+        group = [pending.popleft() for _ in range(min(n, len(pending)))]
+        if not group:
+            return
+        fetched = to_host([res for _, res in group])
+        for (rows, _), arr in zip(group, fetched):
+            batch_names = [names[i] for i in rows]
+            lines = format_lines_host(
+                panel.keys, batch_names, arr, cfg.sketch_size, as_list=True
+            )
+            for i, line in zip(rows, lines):
+                out_lines[i] = line
 
     for rows, codes, lens in bucketed_batches(reads, cfg.batch_size):
         pending.append((rows, dispatch(codes, lens)))
-        if len(pending) > PIPELINE_DEPTH:
-            flush_one()
+        if len(pending) > 2 * FETCH_GROUP:
+            flush(FETCH_GROUP)
     while pending:
-        flush_one()
+        flush(len(pending))
     out.write("".join(out_lines))
     return 0
