@@ -295,6 +295,29 @@ def hpv16_batch(
     )
 
 
+@partial(jax.jit, static_argnames=("num_refs", "min_diff", "min_matches"))
+def filter_sketches_table_packed(
+    sk, sk_lens, table, ref_lens,
+    num_refs: int, min_diff: int, min_matches: int,
+):
+    """filter_sketches_table packed into ONE int64 [5, B] array
+    (best, shared, total_union, keep, flag bits depth|match<<1|diff_ok<<2)
+    — a single D2H fetch per batch (see classify_sketches_table_packed)."""
+    counts = lookup_intersection_counts(sk, sk_lens, (table,), num_refs)
+    best, shared, tu, keep, depth_fail, match_fail, diff_ok = argmax_filter(
+        counts, min_diff, min_matches, sk_lens, ref_lens
+    )
+    flags = (
+        depth_fail.astype(jnp.int64)
+        | (match_fail.astype(jnp.int64) << 1)
+        | (diff_ok.astype(jnp.int64) << 2)
+    )
+    return jnp.stack([
+        best.astype(jnp.int64), shared.astype(jnp.int64),
+        tu.astype(jnp.int64), keep.astype(jnp.int64), flags,
+    ])
+
+
 @partial(jax.jit, static_argnames=("ks",))
 def distinct_hash_mask(codes, lengths, ks: tuple):
     """(sorted window hashes, first-occurrence-within-row mask).

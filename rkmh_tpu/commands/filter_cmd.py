@@ -87,33 +87,51 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
                 hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
                 read_counter.add(hashes, mask)
 
-    def classify(codes, lens):
+    def classify(codes, lens, packed: bool = False):
         if read_counter is not None:
             sk, sk_lens = engine.sketch_batch_depth_filtered(
                 codes, lens, read_counter.table, ks, cfg.sketch_size, cfg.min_kmer_occ
             )
         else:
             sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
-        return engine.filter_sketches_table(
+        fn = engine.filter_sketches_table_packed if packed else engine.filter_sketches_table
+        return fn(
             sk, sk_lens, *panel.table, panel.lens,
             num_refs=panel.num_refs, min_diff=cfg.min_diff, min_matches=cfg.min_matches,
         )
 
     # ---- file mode: emit passing reads ------------------------------------
+    # length-bucketed + pipelined + group-fetched like stream; the keep
+    # mask lands in an index buffer so records emit in input order
+    from collections import deque
+
+    from rkmh_tpu.commands.common import bucketed_batches
     from rkmh_tpu.utils import to_host
 
     if reads is not None:
         names, seqs, quals = reads.names, reads.seqs, reads.quals
-        for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
-            best, shared, tu, keep, *_ = classify(codes, lens)
-            keep = to_host(keep)
-            for i in range(e - s):
-                if keep[i]:
-                    seq = seqs[s + i]
-                    qual = quals[s + i] if quals[s + i] is not None else b"I" * len(seq)
-                    out.write(
-                        f">{names[s + i]}\n{seq.decode()}\n+\n{qual.decode()}\n"
-                    )
+        keep_buf = np.zeros(len(reads), dtype=bool)
+        pending = deque()
+
+        def flush(n):
+            group = [pending.popleft() for _ in range(min(n, len(pending)))]
+            if not group:
+                return
+            fetched = to_host([res for _, res in group])
+            for (rows, _), arr in zip(group, fetched):
+                keep_buf[rows] = arr[3, : len(rows)].astype(bool)
+
+        for rows, codes, lens in bucketed_batches(reads, cfg.batch_size):
+            pending.append((rows, classify(codes, lens, packed=True)))
+            if len(pending) > 8:
+                flush(4)
+        while pending:
+            flush(len(pending))
+
+        for i in np.nonzero(keep_buf)[0]:
+            seq = seqs[i]
+            qual = quals[i] if quals[i] is not None else b"I" * len(seq)
+            out.write(f">{names[i]}\n{seq.decode()}\n+\n{qual.decode()}\n")
 
     # ---- -i: STDIN streaming classification (rkmh.cpp:1329-1414) ----------
     if cfg.in_stream:
