@@ -96,3 +96,73 @@ def test_stream_multi_k(zika_subset):
     run(StreamConfig(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=s,
                      batch_size=16), out=buf)
     assert buf.getvalue() == expected
+
+
+def test_stream_min_kmer_occ_matches_oracle(zika_subset):
+    """-M: global lossy read-depth counting then depth-masked sketches
+    (rkmh.cpp:903-917), small counter to exercise collision semantics."""
+    refs, reads, rp, fp = zika_subset
+    ks, s, M, C = (12,), 200, 2, 4096
+
+    table = [0] * C
+    for rec in reads:
+        for h in oracle.calc_hashes(rec.seq, list(ks)):
+            table[h % C] += 1
+
+    ref_sk = [oracle.minhashes(oracle.calc_hashes(r.seq, list(ks)), s) for r in refs]
+    lines = []
+    for rec in reads:
+        hashes = [
+            h if table[h % C] >= M else 0
+            for h in oracle.calc_hashes(rec.seq, list(ks))
+        ]
+        mins = oracle.minhashes(hashes, s)
+        shared = [oracle.intersection_size(mins, rs) for rs in ref_sk]
+        max_shared, max_id = -1, 0
+        for j, c in enumerate(shared):
+            if c > max_shared:
+                max_shared, max_id = c, j
+        lines.append(f"{refs[max_id].name}\t{rec.name}\t{max_shared}\t{s}\t\t\n")
+    expected = "".join(lines)
+
+    buf = io.StringIO()
+    run(StreamConfig(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=s,
+                     min_kmer_occ=M, counter_size=C, batch_size=8), out=buf)
+    assert buf.getvalue() == expected
+
+
+def test_stream_max_samples_matches_oracle(zika_subset):
+    """-I: reference k-mers counted (every occurrence) in the lossy table;
+    ref sketches keep only hashes with count <= max_samples
+    (rkmh.cpp:828-837)."""
+    refs, reads, rp, fp = zika_subset
+    ks, s, I, C = (12,), 200, 3, 1 << 16
+
+    table = [0] * C
+    for r in refs:
+        for h in oracle.calc_hashes(r.seq, list(ks)):
+            table[h % C] += 1
+
+    ref_sk = []
+    for r in refs:
+        hashes = [
+            h if 0 <= table[h % C] <= I else 0
+            for h in oracle.calc_hashes(r.seq, list(ks))
+        ]
+        ref_sk.append(oracle.minhashes(hashes, s))
+
+    lines = []
+    for rec in reads:
+        mins = oracle.minhashes(oracle.calc_hashes(rec.seq, list(ks)), s)
+        shared = [oracle.intersection_size(mins, rs) for rs in ref_sk]
+        max_shared, max_id = -1, 0
+        for j, c in enumerate(shared):
+            if c > max_shared:
+                max_shared, max_id = c, j
+        lines.append(f"{refs[max_id].name}\t{rec.name}\t{max_shared}\t{s}\t\t\n")
+    expected = "".join(lines)
+
+    buf = io.StringIO()
+    run(StreamConfig(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=s,
+                     max_samples=I, counter_size=C, batch_size=8), out=buf)
+    assert buf.getvalue() == expected
