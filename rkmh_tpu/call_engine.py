@@ -118,8 +118,11 @@ def call_scan_ref(ref_codes, table, k: int, window_len: int):
         & (j > 0)[:, None]                                  # rkmh.cpp:1847 j>0 guard
     )
 
+    # win/dwin are NOT returned: the host already holds the reference
+    # codes and rebuilds windows with stride tricks (uint8 D2H takes the
+    # tunnel's slow per-element path; see utils.to_host)
     return dict(
         depth=depth, avg=avg, site=site,
         snp_depth=snp_depth, snp_call=snp_call, max_rescue=max_rescue,
-        del_depth=del_depth, del_call=del_call, dwin=dwin, win=win,
+        del_depth=del_depth, del_call=del_call,
     )

@@ -128,8 +128,11 @@ def run(cfg: CallConfig, out=None) -> int:
                 out.write(f"{j}\t{avg[j]}\t{depth[j]}\t{shown[j]}\n")
             continue
 
-        win = res["win"][:P]
-        dwin = res["dwin"][:P]
+        # windows rebuilt host-side (cheap; avoids fetching uint8 tensors)
+        row = codes[0]
+        win = np.lib.stride_tricks.sliding_window_view(row, k)[:P]
+        dpad = np.concatenate([np.full(1, 4, np.uint8), row])
+        dwin = np.lib.stride_tricks.sliding_window_view(dpad, k + 1)[:P]
         snp_call = res["snp_call"][:P]
         snp_depth = res["snp_depth"][:P]
         del_call = res["del_call"][:P]

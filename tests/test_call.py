@@ -73,10 +73,13 @@ def test_call_kernel_matches_oracle(synthetic):
     for j, (a, dpt, r) in enumerate(want_rows):
         assert (avg[j], depth[j], rescue[j]) == (a, dpt, r), f"row {j}"
 
-    # reconstruct device-side calls the way the command does
+    # reconstruct device-side calls the way the command does (windows
+    # rebuilt host-side — the kernel no longer returns them)
     got_calls = {}
-    win = np.asarray(res["win"])[:P]
-    dwin = np.asarray(res["dwin"])[:P]
+    row = codes[0]
+    win = np.lib.stride_tricks.sliding_window_view(row, k)[:P]
+    dpad = np.concatenate([np.full(1, 4, np.uint8), row])
+    dwin = np.lib.stride_tricks.sliding_window_view(dpad, k + 1)[:P]
     snp_call = np.asarray(res["snp_call"])[:P]
     snp_depth = np.asarray(res["snp_depth"])[:P]
     del_call = np.asarray(res["del_call"])[:P]
