@@ -134,22 +134,48 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
             out.write(f">{names[i]}\n{seq.decode()}\n+\n{qual.decode()}\n")
 
     # ---- -i: STDIN streaming classification (rkmh.cpp:1329-1414) ----------
+    # a reader thread fills a bounded queue (the KSEQ_Reader producer /
+    # omp-task consumer split of the reference, rkmh.cpp:1334-1351) while
+    # the main thread encodes, dispatches, and drains pipelined batches
     if cfg.in_stream:
+        import queue as _queue
+        import threading
+
         src = stdin if stdin is not None else "-"
-        for chunk in iter_batches(src, cfg.batch_size):
-            seqs = [r.seq for r in chunk]
-            if len(seqs) < cfg.batch_size:
-                pass  # variable last batch: accept one extra compile
-            codes, lens = encode_seqs(seqs)
-            best, shared, tu, keep, depth_fail, match_fail, diff_ok = to_host(
-                classify(codes, lens)
-            )
+        q: _queue.Queue = _queue.Queue(maxsize=4)
+
+        def _reader():
+            try:
+                for chunk in iter_batches(src, cfg.batch_size):
+                    q.put(chunk)
+            finally:
+                q.put(None)
+
+        threading.Thread(target=_reader, daemon=True).start()
+
+        def emit(chunk, arr):
+            best, shared, tu, keep, flags = (a.tolist() for a in arr)
             for i, rec in enumerate(chunk):
-                name = ref_keys[int(best[i])] if best[i] >= 0 else ""
+                name = ref_keys[best[i]] if best[i] >= 0 else ""
+                f = flags[i]
                 out.write(
-                    f"Sample: {rec.name}\tResult: {name}\t{int(shared[i])}\t{int(tu[i])}\t"
-                    f"{'FAIL:DEPTH' if depth_fail[i] else ''}\t"
-                    f"{'FAIL:MATCHES' if match_fail[i] else ''}\t"
-                    f"{'' if diff_ok[i] else 'FAIL:DIFF'}\n"
+                    f"Sample: {rec.name}\tResult: {name}\t{shared[i]}\t{tu[i]}\t"
+                    f"{'FAIL:DEPTH' if f & 1 else ''}\t"
+                    f"{'FAIL:MATCHES' if f & 2 else ''}\t"
+                    f"{'' if f & 4 else 'FAIL:DIFF'}\n"
                 )
+
+        spending = deque()
+        while True:
+            chunk = q.get()
+            if chunk is None:
+                break
+            codes, lens = encode_seqs([r.seq for r in chunk])
+            spending.append((chunk, classify(codes, lens, packed=True)))
+            if len(spending) > 2:
+                c, res = spending.popleft()
+                emit(c, to_host(res))
+        while spending:
+            c, res = spending.popleft()
+            emit(c, to_host(res))
     return 0
