@@ -157,14 +157,14 @@ def run(cfg: Hpv16Config, out=None) -> int:
 
     from collections import deque
 
+    from rkmh_tpu.commands.common import bucketed_batches
     from rkmh_tpu.utils import to_host
 
     read_names = reads.names
     pending = deque()
+    out_lines: list = [None] * len(reads)
 
-    def flush_one():
-        s, e, lens, res = pending.popleft()
-        packed = to_host(res)                      # one fetch: [B, 2+U] i64
+    def fmt_rows(rows, lens, packed):
         best_np = packed[:, 0]
         shared_np = packed[:, 1]
         uc_np = packed[:, 2:]
@@ -172,7 +172,7 @@ def run(cfg: Hpv16Config, out=None) -> int:
         for k_ in ks:
             hashnum += np.maximum(lens.astype(np.int64) - (k_ - 1), 0)
 
-        for i in range(e - s):
+        for i, ridx in enumerate(rows):
             hn = int(hashnum[i])
             lin_ints = uc_np[i, :n_lin]
             sub_ints = uc_np[i, n_lin:]
@@ -182,7 +182,7 @@ def run(cfg: Hpv16Config, out=None) -> int:
             sub_order = sorted(range(n_sub), key=lambda x: -sub_sims[x])
 
             parts = [
-                read_names[s + i],
+                read_names[ridx],
                 type_names[int(best_np[i])],
                 f"{int(shared_np[i])}/{hn}",
                 "".join(f"{lin_names[x]}:{_fmt_double(lin_sims[x])};" for x in lin_order),
@@ -190,20 +190,29 @@ def run(cfg: Hpv16Config, out=None) -> int:
                 "".join(f"{int(lin_ints[x])};" for x in lin_order),
                 "".join(f"{int(sub_ints[x])};" for x in sub_order),
             ]
-            out.write("\t".join(parts) + "\n")
+            out_lines[ridx] = "\t".join(parts) + "\n"
 
-    # pipelined dispatch (see commands/stream.py): keep batches in flight,
-    # fetch the single packed result array per batch late
-    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
+    def flush(n):
+        group = [pending.popleft() for _ in range(min(n, len(pending)))]
+        if not group:
+            return
+        fetched = to_host([res for _, _, res in group])
+        for (rows, lens, _), arr in zip(group, fetched):
+            fmt_rows(rows, lens, arr)
+
+    # length-bucketed + pipelined + group-fetched (see commands/stream.py);
+    # lines reassemble in input order
+    for rows, codes, lens in bucketed_batches(reads, cfg.batch_size):
         res = engine.hpv16_batch(
             codes, jnp.asarray(lens),
             type_table, uniq_table,
             ks, len(type_names), n_lin + n_sub,
             counter_table=counter_table, min_occ=cfg.min_kmer_occ,
         )
-        pending.append((s, e, lens, res))
-        if len(pending) > 3:
-            flush_one()
+        pending.append((rows, lens, res))
+        if len(pending) > 6:
+            flush(3)
     while pending:
-        flush_one()
+        flush(len(pending))
+    out.write("".join(out_lines))
     return 0
