@@ -144,8 +144,15 @@ def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = 
         starts = np.searchsorted(bs, bs, side="left")
         slot = np.arange(n) - starts
         if slot.max(initial=0) < SLOTS:
-            break
-        nb *= 2  # a bucket overflowed: rebuild sparser
+            # the query path compares only (lo, occ) per slot and verifies
+            # hi on the selected entry — so no bucket may hold two entries
+            # with equal (lo, occ).  Collision odds are ~n^2/(nb*2^32);
+            # rebuild sparser in the astronomically rare case.
+            trip = np.stack([bs, lo[order].astype(np.int64), occ[order].astype(np.int64)], 1)
+            uniq_rows = np.unique(trip, axis=0)
+            if len(uniq_rows) == n:
+                break
+        nb *= 2  # a bucket overflowed (or (lo,occ) collided): rebuild sparser
 
     width = SLOTS * (3 + Wm)
     table = np.zeros((nb, width), dtype=np.uint32)
@@ -183,18 +190,24 @@ def lookup_intersection_counts(read_sk, read_lens, table_arrays, num_refs: int):
     hi_e = rows[..., 0:SLOTS]
     lo_e = rows[..., SLOTS : 2 * SLOTS]
     occ_e = rows[..., 2 * SLOTS : 3 * SLOTS]
+    # slot match on (lo, occ) only — the builder guarantees uniqueness of
+    # (lo, occ) within a bucket, and hi is verified on the selected entry
+    # (fewer VPU compare lanes than a 3-way per-slot compare)
     hit = (
-        (hi_e == hi[..., None])
-        & (lo_e == lo[..., None])
+        (lo_e == lo[..., None])
         & (occ_e == occ[..., None])
         & qmask[..., None]
     )                                                      # [B, s, SLOTS]
+    zero = np.uint32(0)
+    sel_hi = jnp.max(jnp.where(hit, hi_e, zero), axis=-1)  # [B, s]
+    ok = sel_hi == hi                                      # kills hi mismatches
 
     counts = []
     for w in range(Wm):
         mw = rows[..., (3 + w) * SLOTS : (4 + w) * SLOTS]
         # at most one slot matches: OR-select its mask word
-        sel = jnp.max(jnp.where(hit, mw, np.uint32(0)), axis=-1)  # [B, s]
+        sel = jnp.max(jnp.where(hit, mw, zero), axis=-1)   # [B, s]
+        sel = jnp.where(ok, sel, zero)
         hi_r = min(32 * (w + 1), num_refs)
         for r in range(32 * w, hi_r):
             counts.append(

@@ -80,6 +80,29 @@ def intersection_size(a: list[int], b: list[int]) -> int:
     return n
 
 
+def hash_intersection(a: list[int], b: list[int]) -> list[int]:
+    """Matching hashes of two sorted arrays, multiset semantics — the
+    value-returning mkmh hash_intersection (equiv.hpp:268/282 call sites)."""
+    i = j = 0
+    out: list[int] = []
+    while i < len(a) and j < len(b):
+        if a[i] < b[j]:
+            i += 1
+        elif a[i] > b[j]:
+            j += 1
+        else:
+            out.append(a[i])
+            i += 1
+            j += 1
+    return out
+
+
+def kmer_intersection(a: list, b: list) -> list:
+    """Shared k-mer strings (legacy string-kmer comparator,
+    equiv.hpp:435/237 kmer_intersection / kmer_heap_intersection)."""
+    return hash_intersection(sorted(a), sorted(b))
+
+
 def set_intersection_size(a: list[int], b: list[int]) -> int:
     """Distinct shared hash values (hpv16 type-level comparator)."""
     return len(set(a) & set(b))
