@@ -1,0 +1,73 @@
+"""Randomized end-to-end parity fuzz: device pipeline vs scalar oracle.
+
+Stresses the corners individual tests can miss together: non-ACGT bases
+(0-sentinel windows), repeat-rich sequences (duplicate hashes in
+sketches, multiset intersection), tiny sketches (tie-breaks), reads
+shorter than k, and multi-k concatenation.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from rkmh_tpu import oracle
+from rkmh_tpu.commands.stream import StreamConfig, run
+
+
+def _rand_seq(rng, n, with_n=True):
+    alphabet = list(b"ACGTN") if with_n else list(b"ACGT")
+    probs = [0.24, 0.24, 0.24, 0.24, 0.04] if with_n else None
+    return bytes(rng.choice(alphabet, size=n, p=probs).tolist())
+
+
+def _repeat_rich(rng, n):
+    unit = _rand_seq(rng, max(8, n // 6), with_n=False)
+    s = (unit * (n // len(unit) + 1))[:n]
+    return s
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_stream_fuzz_matches_oracle(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    ks = (7, 11) if seed % 2 else (9,)
+    s = int(rng.integers(4, 40))
+
+    refs = []
+    for i in range(int(rng.integers(2, 9))):
+        n = int(rng.integers(60, 400))
+        seq = _repeat_rich(rng, n) if i % 2 else _rand_seq(rng, n)
+        refs.append((f"ref{i}", seq))
+    reads = []
+    for i in range(24):
+        n = int(rng.integers(3, 120))  # includes reads shorter than k
+        seq = _repeat_rich(rng, n) if i % 3 == 0 else _rand_seq(rng, n)
+        reads.append((f"read{i}", seq))
+
+    rp = tmp_path / "refs.fa"
+    rp.write_text("".join(f">{n}\n{s.decode()}\n" for n, s in refs))
+    fp = tmp_path / "reads.fq"
+    fp.write_text(
+        "".join(f"@{n}\n{s.decode()}\n+\n{'I' * len(s)}\n" for n, s in reads)
+    )
+
+    # oracle expectation (stream semantics)
+    ref_sk = [oracle.minhashes(oracle.calc_hashes(sq, list(ks)), s) for _, sq in refs]
+    lines = []
+    for name, sq in reads:
+        mins = oracle.minhashes(oracle.calc_hashes(sq, list(ks)), s)
+        shared = [oracle.intersection_size(mins, r) for r in ref_sk]
+        mx, mi = -1, 0
+        for j, c in enumerate(shared):
+            if c > mx:
+                mx, mi = c, j
+        lines.append(f"{refs[mi][0]}\t{name}\t{mx}\t{s}\t\t\n")
+    expected = "".join(lines)
+
+    buf = io.StringIO()
+    run(
+        StreamConfig(ref_files=[str(rp)], read_files=[str(fp)], ks=ks,
+                     sketch_size=s, batch_size=8),
+        out=buf,
+    )
+    assert buf.getvalue() == expected
