@@ -5,27 +5,26 @@ sharding the HASHTCounter table across chips so giant counters
 (rkmh uses up to 8e8 slots, rkmh.cpp:2516 — 3.2 GB of int32) don't
 replicate per device.
 
-Scheme (exact, deterministic):
+Scheme (exact, deterministic; device d owns the contiguous slot range
+[d*S/D, (d+1)*S/D) of the logical ``hash % S`` table):
 
-* the table shards contiguously: device d owns slots
-  [d*S/D, (d+1)*S/D) of the logical ``hash % S`` table;
-* each device scatter-adds its local read-shard's hashes into a local
-  *full-size* transient table, then a ``reduce_scatter`` (sum) leaves
-  every device holding its fully-aggregated shard — one collective, no
-  all-to-all routing of individual updates;
-* lookups gather from the owning shard via one ``all_gather`` of the
-  queried counts (counts are tiny compared to the table).
+* **build/accumulate**: each device scatter-adds its local read-shard's
+  hashes into a transient full-size table; one ``psum_scatter`` (sum)
+  folds the contributions into each device's shard, which accumulates
+  into the running shard — so per-batch incremental use matches
+  ops.counter.counter_add exactly.
+* **lookup**: queried *hashes* are all_gathered (traffic proportional to
+  the query, not the table), each device answers the slots it owns, and
+  a ``psum`` merges the per-device partial counts; every device then
+  keeps its own query-shard's rows.
 
-The transient full table bounds this scheme to tables that fit HBM once
-per device during the build step; for rkmh's sizes (<= 8e8 i32 = 3.2 GB)
-that holds on any TPU with >= 8 GB HBM.
+The transient full table bounds the build step to tables that fit HBM
+once per device; for rkmh's sizes (<= 8e8 i32 = 3.2 GB) that holds on
+any TPU with >= 8 GB HBM, and steady-state memory is size/D per device.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -33,31 +32,35 @@ from jax.sharding import Mesh, PartitionSpec as P
 from rkmh_tpu.ops.counter import _slots
 
 
-def sharded_counter_build_fn(mesh: Mesh, size: int):
-    """Jitted builder: hashes [B, W] + mask (dp-sharded reads) ->
-    counter table [size] sharded over the dp axis.
-
-    Exactly equal to the single-device ops.counter table (same lossy
-    ``hash % size`` slots, deterministic adds).
-    """
-    ndev = mesh.devices.size
-
+def _check(size: int, ndev: int):
     assert size % ndev == 0, f"counter size {size} not divisible by {ndev} devices"
 
-    def local(hashes, mask):
+
+def sharded_counter_init(mesh: Mesh, size: int):
+    """Zero table [size] sharded over dp (the accumulate input)."""
+    _check(size, mesh.devices.size)
+    sharding = jax.sharding.NamedSharding(mesh, P("dp"))
+    return jax.device_put(jnp.zeros((size,), jnp.int32), sharding)
+
+
+def sharded_counter_add_fn(mesh: Mesh, size: int):
+    """Jitted accumulate: (table shard, hashes [B, W], mask) -> updated
+    table, with reads dp-sharded.  Matches ops.counter.counter_add
+    semantics per batch (call per read batch, like HashCounter.add)."""
+    ndev = mesh.devices.size
+    _check(size, ndev)
+
+    def local(shard, hashes, mask):
         full = jnp.zeros((size,), jnp.int32)
         idx = _slots(hashes.reshape(-1), size)
         full = full.at[idx].add(mask.reshape(-1).astype(jnp.int32))
-        # sum across devices, keep this device's contiguous shard
-        shard = jax.lax.psum_scatter(
-            full, "dp", scatter_dimension=0, tiled=True
-        )
-        return shard  # [size / ndev]
+        delta = jax.lax.psum_scatter(full, "dp", scatter_dimension=0, tiled=True)
+        return shard + delta  # [size / ndev]
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("dp"), P("dp")),
+        in_specs=(P("dp"), P("dp"), P("dp")),
         out_specs=P("dp"),
     )
     return jax.jit(fn)
@@ -65,23 +68,44 @@ def sharded_counter_build_fn(mesh: Mesh, size: int):
 
 def sharded_counter_get_fn(mesh: Mesh, size: int):
     """Jitted lookup: table (dp-sharded) x hashes (dp-sharded reads) ->
-    counts for every hash (dp-sharded like the hashes).
+    counts per hash (dp-sharded like the hashes).
 
-    Each device needs slots owned by other devices, so the queried
-    table region is fetched with one tiled all_gather of the *shards*
-    (table traffic ~= size bytes once per call; fine for the <= 1e7-slot
-    tables the -M/-I paths default to when sharded).
+    Queried hashes all_gather across devices (query-proportional
+    traffic); each device answers its owned slot range; partial counts
+    psum-merge and every device keeps its own query rows.
     """
+    ndev = mesh.devices.size
+    _check(size, ndev)
+    shard_size = size // ndev
 
     def local(shard, hashes):
-        full = jax.lax.all_gather(shard, "dp", axis=0, tiled=True)  # [size]
-        return full[_slots(hashes, size)]
+        B_local = hashes.shape[0]
+        allq = jax.lax.all_gather(hashes, "dp", axis=0, tiled=True)  # [B, ...]
+        slots = _slots(allq, size)
+        d = jax.lax.axis_index("dp")
+        local_idx = slots - d * shard_size
+        mine = (local_idx >= 0) & (local_idx < shard_size)
+        vals = jnp.where(
+            mine, shard[jnp.clip(local_idx, 0, shard_size - 1)], jnp.int32(0)
+        )
+        counts_all = jax.lax.psum(vals, "dp")
+        return jax.lax.dynamic_slice_in_dim(counts_all, d * B_local, B_local, 0)
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P("dp"), P("dp")),
         out_specs=P("dp"),
-        check_vma=False,
     )
     return jax.jit(fn)
+
+
+def sharded_counter_build_fn(mesh: Mesh, size: int):
+    """One-shot build from a single batch (init + add fused); kept for
+    convenience and the driver dryrun."""
+    add = sharded_counter_add_fn(mesh, size)
+
+    def build(hashes, mask):
+        return add(sharded_counter_init(mesh, size), hashes, mask)
+
+    return build

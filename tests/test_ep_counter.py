@@ -6,7 +6,12 @@ import jax.numpy as jnp
 import pytest
 
 from rkmh_tpu.ops.counter import HashCounter
-from rkmh_tpu.parallel.ep import sharded_counter_build_fn, sharded_counter_get_fn
+from rkmh_tpu.parallel.ep import (
+    sharded_counter_add_fn,
+    sharded_counter_build_fn,
+    sharded_counter_get_fn,
+    sharded_counter_init,
+)
 from jax.sharding import Mesh
 
 
@@ -35,6 +40,21 @@ def test_sharded_counter_matches_single_device(mesh):
     get = sharded_counter_get_fn(mesh, size)
     got_counts = np.asarray(get(table, jnp.asarray(q)))
     assert np.array_equal(got_counts, want[(q % size).astype(np.int64)])
+
+
+def test_sharded_counter_incremental(mesh):
+    """Per-batch accumulation matches one big single-device add."""
+    rng = np.random.default_rng(11)
+    size = 4096 * 4
+    add = sharded_counter_add_fn(mesh, size)
+    table = sharded_counter_init(mesh, size)
+    hc = HashCounter(size)
+    for _ in range(3):
+        hashes = rng.integers(0, 2**63, size=(4, 32), dtype=np.uint64)
+        mask = rng.random((4, 32)) < 0.7
+        table = add(table, jnp.asarray(hashes), jnp.asarray(mask))
+        hc.add(jnp.asarray(hashes), jnp.asarray(mask))
+    assert np.array_equal(np.asarray(table), hc.to_numpy())
 
 
 def test_sharded_counter_non_pow2_size(mesh):
