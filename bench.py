@@ -49,7 +49,7 @@ def main():
     def step(codes):
         sk, sk_lens = engine.sketch_batch(codes, ks, s)
         return engine.classify_sketches_table_packed(
-            sk, sk_lens, *panel.table, panel.lens,
+            sk, sk_lens, *panel.table,
             num_refs=panel.num_refs, min_diff=0, min_matches=-1,
         )
 

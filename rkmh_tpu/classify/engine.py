@@ -212,7 +212,7 @@ def classify_batch_table(
 
 @partial(jax.jit, static_argnames=("num_refs", "min_diff", "min_matches"))
 def classify_sketches_table(
-    sk, sk_lens, table, ref_lens,
+    sk, sk_lens, table,
     num_refs: int, min_diff: int, min_matches: int,
 ):
     counts = lookup_intersection_counts(sk, sk_lens, (table,), num_refs)
@@ -221,7 +221,7 @@ def classify_sketches_table(
 
 @partial(jax.jit, static_argnames=("num_refs", "min_diff", "min_matches"))
 def classify_sketches_table_packed(
-    sk, sk_lens, table, ref_lens,
+    sk, sk_lens, table,
     num_refs: int, min_diff: int, min_matches: int,
 ):
     """classify_sketches_table with the result packed into ONE int64
@@ -259,7 +259,7 @@ def filter_sketches_table(
 
 @partial(jax.jit, static_argnames=("ks", "num_types", "num_uniq", "min_occ"))
 def hpv16_batch(
-    codes, lengths,
+    codes,
     type_table, uniq_table,
     ks: tuple, num_types: int, num_uniq: int,
     counter_table=None, min_occ: int = 0,

@@ -60,6 +60,7 @@ def build_parser():
 
     p = sub.add_parser("filter")
     _common_classify_flags(p)
+    p.set_defaults(counter_size=10_000_000)  # rkmh.cpp:1187-1188
     p.add_argument("-S", "--ref-sketch", type=int, default=None)
     p.add_argument("-i", "--in-stream", action="store_true", dest="in_stream")
 
@@ -160,6 +161,7 @@ def _dispatch(args) -> int:
                 min_diff=args.min_diff,
                 max_samples=args.max_samples,
                 in_stream=args.in_stream,
+                counter_size=args.counter_size,
                 batch_size=args.batch_size,
                 ref_sketches=args.ref_sketches,
             )

@@ -50,7 +50,10 @@ def run(cfg: CountConfig, out=None) -> int:
     for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
         hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
         hc.add(hashes, mask)
-        total_kmers += int(np.asarray(mask).sum())
+        # window count is a host-side function of lens — no D2H needed
+        total_kmers += int(
+            sum(np.maximum(lens.astype(np.int64) - (k - 1), 0).sum() for k in ks)
+        )
 
     table = hc.to_numpy()
     occupied = int((table > 0).sum())

@@ -204,7 +204,7 @@ def run(cfg: Hpv16Config, out=None) -> int:
     # lines reassemble in input order
     for rows, codes, lens in bucketed_batches(reads, cfg.batch_size):
         res = engine.hpv16_batch(
-            codes, jnp.asarray(lens),
+            codes,
             type_table, uniq_table,
             ks, len(type_names), n_lin + n_sub,
             counter_table=counter_table, min_occ=cfg.min_kmer_occ,

@@ -51,24 +51,6 @@ class StreamConfig:
     ref_sketches: str = ""       # JSON panel dump (hash -o) to load
 
 
-def format_lines(ref_keys, names, best, shared, sk_lens, diff_ok, depth_fail, match_fail, sketch_size):
-    from rkmh_tpu.utils import to_host
-
-    best, shared, diff_ok, depth_fail, match_fail = to_host(
-        (best, shared, diff_ok, depth_fail, match_fail)
-    )
-    out = []
-    for i, name in enumerate(names):
-        name = name if isinstance(name, str) else name.name  # SeqRecord compat
-        out.append(
-            f"{ref_keys[int(best[i])]}\t{name}\t{int(shared[i])}\t{sketch_size}"
-            f"{'FAIL:DEPTH' if depth_fail[i] else ''}\t"
-            f"{'FAIL:MATCHES' if match_fail[i] else ''}\t"
-            f"{'' if diff_ok[i] else 'FAIL:DIFF'}\n"
-        )
-    return "".join(out)
-
-
 # the 8 possible "\t<sketch>[FAIL:DEPTH]\t[FAIL:MATCHES]\t[FAIL:DIFF]\n"
 # line tails, indexed by flag bits diff_ok | depth_fail<<1 | match_fail<<2
 def _tail_table(sketch_size: int):
@@ -97,9 +79,9 @@ def format_lines_host(ref_keys, names, arr, sketch_size, as_list=False):
 def format_lines_packed(ref_keys, names, packed, sketch_size, as_list=False):
     """Format from the [3, B] int64 packed result (one D2H fetch).
 
-    Byte-identical to format_lines; the hot pieces (int->str, tail
-    variants) are precomputed/bulk-converted.  as_list returns the
-    per-read lines (for bucket-reordered emission).
+    Byte-identical to the reference line layout (rkmh.cpp:891-893); the
+    hot pieces (int->str, tail variants) are precomputed/bulk-converted.
+    as_list returns the per-read lines (for bucket-reordered emission).
     """
     from rkmh_tpu.utils import to_host
 
@@ -144,7 +126,7 @@ def run(cfg: StreamConfig, out=None) -> int:
         else:
             sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
         return engine.classify_sketches_table_packed(
-            sk, sk_lens, *panel.table, panel.lens,
+            sk, sk_lens, *panel.table,
             num_refs=panel.num_refs, min_diff=cfg.min_diff, min_matches=cfg.min_matches,
         )
 

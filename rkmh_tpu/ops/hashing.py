@@ -239,4 +239,6 @@ def window_mask(lengths, L: int, ks):
             continue
         iota = jnp.arange(W, dtype=lengths.dtype)
         parts.append(iota[None, :] < (lengths - (k - 1))[:, None])
+    if not parts:  # every k exceeds L: zero windows, like multi_k_window_hashes
+        return jnp.zeros(lengths.shape + (0,), dtype=bool)
     return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]

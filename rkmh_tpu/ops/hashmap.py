@@ -23,15 +23,10 @@ from dataclasses import dataclass
 import numpy as np
 import jax.numpy as jnp
 
+from rkmh_tpu.utils import next_pow2
+
 _MUL1 = 0x9E3779B1
 _MUL2 = 0x85EBCA77
-
-
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p <<= 1
-    return p
 
 
 @dataclass
@@ -56,7 +51,7 @@ def build_hash_map(keys: np.ndarray, values: np.ndarray) -> HashMap:
     values = np.asarray(values, dtype=np.int32)
     assert keys.shape == values.shape
     n = len(keys)
-    T = max(64, _next_pow2(2 * max(n, 1)))
+    T = max(64, next_pow2(2 * max(n, 1)))
 
     while True:
         hash_hi = np.zeros(T, dtype=np.uint32)

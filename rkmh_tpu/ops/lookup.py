@@ -40,18 +40,12 @@ import jax
 import jax.numpy as jnp
 
 from rkmh_tpu.ops.sketch import SENTINEL
+from rkmh_tpu.utils import next_pow2
 
 SLOTS = 8
 _EMPTY_OCC = np.uint32(0xFFFFFFFF)
 _MIX = 0x85EBCA77
 _MUL = 0x9E3779B1
-
-
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p <<= 1
-    return p
 
 
 @dataclass
@@ -89,8 +83,6 @@ def _collect_entries(ref_sk: np.ndarray, ref_lens, R: int, Wm: int):
         occs.append(occ)
         rids.append(np.full(row.size, r, dtype=np.int64))
     if not hs:
-        empty = np.zeros((1, SLOTS * (3 + Wm)), dtype=np.uint32)
-        empty[:, 2 * SLOTS : 3 * SLOTS] = _EMPTY_OCC
         return None
     h = np.concatenate(hs).astype(np.uint64)
     o = np.concatenate(occs).astype(np.uint32)
@@ -135,7 +127,7 @@ def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = 
     lo = h.astype(np.uint32)
     hi = (h >> np.uint64(32)).astype(np.uint32)
 
-    nb = num_buckets or max(2, _next_pow2((n + SLOTS // 4 - 1) // (SLOTS // 4)))  # ~25% load
+    nb = num_buckets or max(2, next_pow2((n + SLOTS // 4 - 1) // (SLOTS // 4)))  # ~25% load
     while True:
         b = _bucket_of(lo, hi, occ, nb)
         order = np.argsort(b, kind="stable")

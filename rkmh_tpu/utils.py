@@ -43,3 +43,11 @@ def to_host(tree):
         else:
             restored.append(a)
     return jax.tree.unflatten(treedef, restored)
+
+
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= n (n >= 1)."""
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
