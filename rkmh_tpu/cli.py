@@ -130,6 +130,13 @@ def _dispatch(args) -> int:
     if args.command in ("classify", "stream"):
         if args.command == "classify":
             print("classify is an alias of stream in rkmh; running stream.", file=sys.stderr)
+        for flag, name in (("in_stream", "-i"), ("output_reads", "-z"), ("merge_sketch", "-m")):
+            if getattr(args, flag, False):
+                print(
+                    f"warning: stream {name} is parsed but dead in rkmh too "
+                    f"(rkmh.cpp:608-714); use `filter -i` for streaming.",
+                    file=sys.stderr,
+                )
         from rkmh_tpu.commands.stream import StreamConfig, run
 
         return run(
@@ -167,6 +174,12 @@ def _dispatch(args) -> int:
             )
         )
     if args.command == "hash":
+        if args.min_kmer_occ or args.max_samples is not None:
+            print(
+                "warning: hash -M/-I are dead in rkmh (empty branch, "
+                "rkmh.cpp:2109-2111); use stream/filter for depth filters.",
+                file=sys.stderr,
+            )
         from rkmh_tpu.commands.hash_cmd import HashConfig, run
 
         return run(
@@ -176,6 +189,7 @@ def _dispatch(args) -> int:
                 sketch_size=args.sketch_size,
                 output_kmers=args.output_kmers,
                 wabbitize=args.wabbitize,
+                output_counts=args.output_counts,
                 json_out=args.json,
                 out_prefix=args.out_prefix,
                 batch_size=args.batch_size,

@@ -44,17 +44,31 @@ class HashConfig:
     sketch_size: int = 0          # 0 = all hashes (reference default)
     output_kmers: bool = False    # -K
     wabbitize: bool = False       # -w
+    output_counts: bool = False   # -c: wabbit features carry multiset counts
     json_out: bool = False        # --json to stdout
     out_prefix: str = ""          # -o prefix -> prefix.rkmh.json
     batch_size: int = 2048
 
 
 def _wabbit_line(name: str, mins: list[int], ks, sketch_size: int,
+                 counts: list[int] | None = None,
                  label: str = "XYX", nspace: str = "vir") -> str:
-    """print_wabbit format (rkmh.cpp:463-487), counts-empty branch."""
+    """print_wabbit format (rkmh.cpp:463-487); with counts (-c) the
+    features carry per-hash counts instead of :1."""
     key = "_".join(name.split("|"))
-    feats = " ".join(f"{m}:1" for m in mins)
+    if counts:
+        feats = " ".join(f"{m}:{c}" for m, c in zip(mins, counts))
+    else:
+        feats = " ".join(f"{m}:1" for m in mins)
     return f"{label} 1.0 `{key}|{nspace} {feats} |sketch k:{ks[0]} s:{sketch_size}\n"
+
+
+def _multiset_counts(sorted_vals: list[int]) -> list[int]:
+    """Per-element multiplicity of each value within the (sorted) list."""
+    from collections import Counter
+
+    c = Counter(sorted_vals)
+    return [c[v] for v in sorted_vals]
 
 
 def run(cfg: HashConfig, out=None) -> int:
@@ -87,7 +101,8 @@ def run(cfg: HashConfig, out=None) -> int:
                 name, seq_len = names[s + i], int(reads.lens[s + i])
                 mins = sk_np[i, : lens_np[i]].tolist()
                 if cfg.wabbitize:
-                    out.write(_wabbit_line(name, mins, ks, cfg.sketch_size))
+                    counts = _multiset_counts(mins) if cfg.output_counts else None
+                    out.write(_wabbit_line(name, mins, ks, cfg.sketch_size, counts))
                 elif want_json:
                     json_records.append(
                         SketchRecord(name, mins, list(ks), cfg.sketch_size, seq_len)
@@ -102,7 +117,8 @@ def run(cfg: HashConfig, out=None) -> int:
                 vals = h_np[i][m_np[i]].tolist()
                 if cfg.wabbitize:
                     mins = sorted(v for v in vals if v != 0)
-                    out.write(_wabbit_line(name, mins, ks, cfg.sketch_size))
+                    counts = _multiset_counts(mins) if cfg.output_counts else None
+                    out.write(_wabbit_line(name, mins, ks, cfg.sketch_size, counts))
                 elif want_json:
                     json_records.append(
                         SketchRecord(

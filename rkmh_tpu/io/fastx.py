@@ -26,12 +26,25 @@ class SeqRecord:
     qual: bytes | None = None
 
 
+class _GzipWithRaw(gzip.GzipFile):
+    """GzipFile that closes the underlying raw file too (GzipFile built
+    from a fileobj otherwise leaks the descriptor)."""
+
+    def close(self):
+        raw = self.fileobj
+        try:
+            super().close()
+        finally:
+            if raw is not None:
+                raw.close()
+
+
 def _open_maybe_gzip(path: str):
     f = open(path, "rb")
     magic = f.read(2)
     f.seek(0)
     if magic == b"\x1f\x8b":
-        return gzip.open(f, "rb")
+        return _GzipWithRaw(fileobj=f, mode="rb")
     return f
 
 
@@ -59,7 +72,8 @@ def iter_fastx(source) -> Iterator[SeqRecord]:
                 line = fh.readline()
                 continue
             if line.startswith(b">"):
-                name = line[1:].split(None, 1)[0].decode() if len(line) > 1 else ""
+                toks = line[1:].split(None, 1)
+                name = toks[0].decode() if toks else ""
                 chunks = []
                 line = fh.readline()
                 while line and not line.startswith((b">", b"@")):
@@ -67,15 +81,19 @@ def iter_fastx(source) -> Iterator[SeqRecord]:
                     line = fh.readline()
                 yield SeqRecord(name, b"".join(chunks).translate(_UPPER))
             elif line.startswith(b"@"):
-                name = line[1:].split(None, 1)[0].decode() if len(line) > 1 else ""
+                toks = line[1:].split(None, 1)
+                name = toks[0].decode() if toks else ""
                 seq = fh.readline().rstrip(b"\r\n")
                 plus = fh.readline()  # '+' separator
                 if plus.startswith(b"+"):
                     qual = fh.readline().rstrip(b"\r\n")
+                    line = fh.readline()
                 else:
+                    # plus-less '@' record: `plus` is the NEXT record's
+                    # header — keep it as the lookahead instead of eating it
                     qual = None
+                    line = plus
                 yield SeqRecord(name, seq.translate(_UPPER), qual)
-                line = fh.readline()
             else:
                 raise ValueError(f"unrecognized FASTA/FASTQ line: {line[:50]!r}")
     finally:

@@ -33,12 +33,12 @@ from rkmh_tpu.ops.counter import _slots
 
 
 def _check(size: int, ndev: int):
-    assert size % ndev == 0, f"counter size {size} not divisible by {ndev} devices"
+    assert size % ndev == 0, f"counter size {size} not divisible by {ndev} dp shards"
 
 
 def sharded_counter_init(mesh: Mesh, size: int):
     """Zero table [size] sharded over dp (the accumulate input)."""
-    _check(size, mesh.devices.size)
+    _check(size, mesh.shape["dp"])
     sharding = jax.sharding.NamedSharding(mesh, P("dp"))
     return jax.device_put(jnp.zeros((size,), jnp.int32), sharding)
 
@@ -47,7 +47,7 @@ def sharded_counter_add_fn(mesh: Mesh, size: int):
     """Jitted accumulate: (table shard, hashes [B, W], mask) -> updated
     table, with reads dp-sharded.  Matches ops.counter.counter_add
     semantics per batch (call per read batch, like HashCounter.add)."""
-    ndev = mesh.devices.size
+    ndev = mesh.shape["dp"]
     _check(size, ndev)
 
     def local(shard, hashes, mask):
@@ -74,7 +74,7 @@ def sharded_counter_get_fn(mesh: Mesh, size: int):
     traffic); each device answers its owned slot range; partial counts
     psum-merge and every device keeps its own query rows.
     """
-    ndev = mesh.devices.size
+    ndev = mesh.shape["dp"]
     _check(size, ndev)
     shard_size = size // ndev
 

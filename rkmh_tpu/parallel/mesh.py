@@ -19,14 +19,12 @@ could shard hash-wise as an EP analog if panels ever outgrow HBM.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from rkmh_tpu.classify.engine import argmax_stream, sketch_batch
+from rkmh_tpu.classify.engine import argmax_stream
 from rkmh_tpu.ops.hashing import multi_k_window_hashes
 from rkmh_tpu.ops.sketch import bottom_s_sketch
 from rkmh_tpu.ops.intersect import intersection_counts

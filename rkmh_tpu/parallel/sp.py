@@ -12,8 +12,6 @@ reproduces the single-device sketch bit-for-bit.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -20,10 +20,12 @@ def collapse_line(line: str) -> str:
         if not feat or ":" not in feat:
             continue
         name, val = feat.split(":")
+        v = float(val)
+        v = int(v) if v.is_integer() else v
         if name[0] in "ABCD":
-            sums[name[0]] += int(val)
+            sums[name[0]] += v
         elif name.startswith("u"):
-            sums["U"] = int(val)
+            sums["U"] = v  # overwrite, as the reference does
     total = sum(sums.values()) or 1
     feats = " ".join(f"{k}:{v / total}" for k, v in sums.items())
     return f"{parts[0].strip()} |vir {feats}".strip()

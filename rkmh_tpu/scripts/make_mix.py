@@ -29,8 +29,13 @@ from rkmh_tpu.io.fastx import read_fastx
 READ_LEN_NORM = 250  # reference's reads-per-coverage divisor
 
 
+_PARSE_CACHE: dict = {}
+
+
 def sample_reads(path: str, n: int, rng) -> list:
-    recs = read_fastx(path)
+    recs = _PARSE_CACHE.get(path)
+    if recs is None:
+        recs = _PARSE_CACHE[path] = read_fastx(path)
     if n >= len(recs):
         return recs
     idx = rng.choice(len(recs), size=n, replace=False)

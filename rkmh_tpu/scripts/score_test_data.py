@@ -22,7 +22,9 @@ def truth_from_filename(name: str) -> dict[str, float]:
     import os
 
     name = os.path.basename(name)  # the reference assumes a local filename
-    toks = name.replace("C", "C1").split("_")
+    # the reference does name.replace("C", "C1"), which mangles filenames
+    # already containing C1 into C11 — map the bare token only
+    toks = ["C1" if t == "C" else t for t in name.split("_")]
     strains = toks[1:-2:2]
     amts = [float(a.split("-")[1]) for a in name.split("_")[2:-2:2]]
     truth = dict.fromkeys(ALL_SUBLINS, 0.0)
