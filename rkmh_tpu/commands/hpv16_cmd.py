@@ -103,10 +103,16 @@ def run(cfg: Hpv16Config, out=None) -> int:
     sub_recs = load_packed([f"{cfg.refpath}/new_refs.fa"])
     reads = load_packed(cfg.read_files)
 
-    # type panel: full distinct hash sets at kmer_sizes[0] (rkmh.cpp:2546)
-    type_rows = _distinct_rows(type_recs, (k0,), cfg.batch_size)
-    type_panel = build_set_table(type_rows)
+    # type panel: full distinct hash sets at kmer_sizes[0] (rkmh.cpp:2546),
+    # built entirely on device — the ~600 MB bucket table never crosses
+    # the host wire (ops.lookup.build_set_table_device)
+    from rkmh_tpu.ops.lookup import build_set_table_device
+
     type_names = list(type_recs.names)
+    th, tm = engine.hash_batch_with_mask(
+        type_recs.codes, jnp.asarray(type_recs.lens), (k0,)
+    )
+    type_table = build_set_table_device(th, tm, num_refs=len(type_names))
 
     # sublineage hash sets at kmer_sizes[0] (rkmh.cpp:2553)
     sub_rows = _distinct_rows(sub_recs, (k0,), cfg.batch_size)
@@ -142,7 +148,6 @@ def run(cfg: Hpv16Config, out=None) -> int:
     uniq_panel = build_set_table(lin_uniqs + sublin_uniqs)
     n_lin, n_sub = len(lin_names), len(sublin_names)
 
-    (type_table,) = type_panel.device_arrays()
     (uniq_table,) = uniq_panel.device_arrays()
 
     counter_table = None

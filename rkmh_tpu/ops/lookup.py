@@ -237,6 +237,108 @@ def build_set_table(ref_hash_rows: list, num_refs: int | None = None) -> PanelTa
 
 
 # ---------------------------------------------------------------------------
+# Device-side set-table build (hpv16-scale panels)
+# ---------------------------------------------------------------------------
+# The 182-genome PAVE panel produces a ~600 MB bucket table; building it
+# host-side and shipping it over the wire costs ~18 s (the tunnel moves
+# incompressible data at ~50 MB/s).  Here the whole build — dedup,
+# mask OR, bucketing, slot ranking, scatter — runs on device from the
+# window hashes that are already there.  Query-compatible with
+# build_set_table's tables (same bucket function; slot order within a
+# bucket may differ, which queries don't observe).
+
+
+def _device_set_table(hashes, mask, nb: int, num_refs: int):
+    """hashes [R, W] u64 raw window hashes + validity mask -> (table
+    [nb, SLOTS*(3+Wm)] u32, max_rank scalar for overflow detection)."""
+    R, W = hashes.shape
+    Wm = max(1, (num_refs + 31) // 32)
+    N = R * W
+
+    h = jnp.where(mask & (hashes != np.uint64(0)), hashes, SENTINEL).reshape(-1)
+    rid = jnp.broadcast_to(
+        jnp.arange(R, dtype=jnp.uint32)[:, None], (R, W)
+    ).reshape(-1)
+
+    # sort by (hash, rid); dedup (hash, rid) pairs, then hash-level segments
+    hs, rids = jax.lax.sort((h, rid), num_keys=2)
+    prev_h = jnp.concatenate([hs[:1] ^ np.uint64(1), hs[:-1]])
+    prev_r = jnp.concatenate([rids[:1] ^ np.uint32(1), rids[:-1]])
+    pair_first = (hs != prev_h) | (rids != prev_r)
+    hash_first = hs != prev_h
+    valid = hs != SENTINEL
+    seg = jnp.cumsum(hash_first.astype(jnp.int32)) - 1          # [N]
+    n_unique = jnp.sum((hash_first & valid).astype(jnp.int32))
+
+    # per-entry mask words: scatter-add of distinct ref bits (add == or
+    # because (hash, rid) pairs are deduped)
+    bit = jnp.where(
+        pair_first & valid, np.uint32(1) << (rids % np.uint32(32)), np.uint32(0)
+    ).astype(jnp.uint32)
+    word = (rids // np.uint32(32)).astype(jnp.int32)
+    maskbuf = jnp.zeros((N, Wm), jnp.uint32).at[seg, word].add(bit)
+
+    # entry keys at segment slots
+    ehash = jnp.zeros((N,), jnp.uint64).at[seg].max(jnp.where(hash_first, hs, np.uint64(0)))
+    eidx = jnp.arange(N, dtype=jnp.int32)
+    evalid = eidx < n_unique
+
+    lo = ehash.astype(jnp.uint32)
+    hi = (ehash >> np.uint64(32)).astype(jnp.uint32)
+    shift = np.uint32(32 - int(np.log2(nb)))
+    x = (lo ^ (hi * np.uint32(_MIX))) * np.uint32(_MUL)         # occ = 0
+    bidx = jnp.where(evalid, (x >> shift).astype(jnp.int32), nb)
+
+    # rank within bucket: sort entries by bucket, rank = iota - run_start
+    sb, sl, shi, sm_i = jax.lax.sort(
+        (bidx.astype(jnp.int32), lo, hi, eidx), num_keys=1
+    )
+    iota = jnp.arange(N, dtype=jnp.int32)
+    run_first = jnp.concatenate([jnp.ones(1, bool), sb[1:] != sb[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(run_first, iota, 0)
+    )
+    rank = iota - run_start
+    smask = maskbuf[sm_i]
+    svalid = sb < nb
+    max_rank = jnp.max(jnp.where(svalid, rank, -1))
+
+    width = SLOTS * (3 + Wm)
+    table = jnp.zeros((nb + 1, width), jnp.uint32)
+    table = table.at[:, 2 * SLOTS : 3 * SLOTS].set(_EMPTY_OCC)
+    b_safe = jnp.where(svalid & (rank < SLOTS), sb, nb)
+    r_safe = jnp.clip(rank, 0, SLOTS - 1)
+    table = table.at[b_safe, r_safe].set(shi)
+    table = table.at[b_safe, SLOTS + r_safe].set(sl)
+    table = table.at[b_safe, 2 * SLOTS + r_safe].set(
+        jnp.zeros_like(r_safe, dtype=jnp.uint32)
+    )
+    for w in range(Wm):
+        table = table.at[b_safe, (3 + w) * SLOTS + r_safe].set(smask[:, w])
+    return table[:nb], max_rank
+
+
+_device_set_table_jit = jax.jit(
+    _device_set_table, static_argnames=("nb", "num_refs")
+)
+
+
+def build_set_table_device(hashes, mask, num_refs: int, est_entries: int | None = None):
+    """Device-resident set table from window hashes (see _device_set_table).
+
+    Retries with doubled bucket counts on (rare) slot overflow; returns a
+    device u32 array compatible with lookup_intersection_counts.
+    """
+    n_est = est_entries or int(np.asarray(mask).sum())
+    nb = max(2, next_pow2((max(n_est, 1) + SLOTS // 4 - 1) // (SLOTS // 4)))
+    while True:
+        table, max_rank = _device_set_table_jit(hashes, mask, nb, num_refs)
+        if int(max_rank) < SLOTS:
+            return table
+        nb *= 2
+
+
+# ---------------------------------------------------------------------------
 # Sorted-key panel: distinct-set membership for large full-hash panels
 # ---------------------------------------------------------------------------
 # The hpv16 type-level comparator intersects each read's *full* hash set
