@@ -42,11 +42,12 @@ def main():
 
     DATA = "/root/reference/data"
     ks, s = (12,), 1000
+    from rkmh_tpu.utils import to_host
+
     reads = load_packed(f"{DATA}/z1.fq", granularity=32)
     panel = build_ref_panel(load_packed(f"{DATA}/zika.refs.fa"), ks, s)
-    tables, rps = build_sharded_tables(
-        np.asarray(panel.sketches), np.asarray(panel.lens), tp=1
-    )
+    sk_np, lens_np = to_host((panel.sketches, panel.lens))
+    tables, rps = build_sharded_tables(sk_np, lens_np, tp=1)
 
     n_dev = len(jax.devices())
     platform = jax.devices()[0].platform

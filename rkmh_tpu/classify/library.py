@@ -28,17 +28,20 @@ from rkmh_tpu import oracle
 
 def merge_sketches(mins: list[list[int]], sketch_size: int) -> list[int]:
     """Bottom-s sketch of the union of several sketches
-    (equiv.hpp:88-111 merge/2): ascending lowest `sketch_size` hashes."""
-    allh = sorted(h for row in mins for h in row)
+    (equiv.hpp:88-111 merge/2): the min_heap is a std::set that skips
+    zeros (equiv.hpp:32-34), so the union dedups and drops the invalid
+    sentinel before taking the lowest `sketch_size`."""
+    allh = sorted({h for row in mins for h in row} - {0})
     return allh[:sketch_size]
 
 
 def merge_sketches_with_counts(
     mins: list[list[int]], sketch_size: int, counter_size: int | None = None
 ) -> tuple[list[int], list[int]]:
-    """merge/3 (equiv.hpp:59-83): bottom-(2*sketch_size) union sketch plus
-    per-hash occurrence counts.  counter_size reproduces the reference's
-    lossy HASHTCounter(1e8) counts (collisions merge); None = exact."""
+    """merge/3 (equiv.hpp:59-83): bottom-(2*sketch_size) union sketch
+    (set semantics, zeros dropped) plus per-hash occurrence counts over
+    every input element.  counter_size reproduces the reference's lossy
+    HASHTCounter(1e8) counts (collisions merge); None = exact."""
     counts: Counter = Counter()
     for row in mins:
         for h in row:
@@ -71,10 +74,9 @@ def classify(read_hashes: list[int], ref_to_hashes: dict[str, list[int]]) -> str
     """Best-matching reference name by multiset intersection size, "" when
     nothing matches (equiv.hpp:459-472; map iteration = sorted names)."""
     best, best_shared = "", 0
+    sh = sorted(read_hashes)
     for name in sorted(ref_to_hashes):
-        shared = oracle.intersection_size(
-            sorted(read_hashes), sorted(ref_to_hashes[name])
-        )
+        shared = oracle.intersection_size(sh, sorted(ref_to_hashes[name]))
         if shared > best_shared:
             best, best_shared = name, shared
     return best

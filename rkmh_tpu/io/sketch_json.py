@@ -63,8 +63,11 @@ def load_sketches(fh) -> list[SketchRecord]:
     out = []
     for j in data:
         hashes = j.get("sketches", [])
+        length = j.get("length")
         # tolerate the dump_hash_json nested form {"name","length","hashes"}
         if isinstance(hashes, dict):
+            if length is None:
+                length = hashes.get("length")
             hashes = hashes.get("hashes", [])
         ks = j.get("kmer", [])
         if isinstance(ks, str):  # dump_hash_json writes "12 16"-style strings
@@ -76,7 +79,7 @@ def load_sketches(fh) -> list[SketchRecord]:
                 name=j.get("name", ""),
                 hashes=sorted(int(h) for h in hashes),
                 ks=[int(k) for k in ks],
-                sketch_size=int(j.get("length", len(hashes))),
+                sketch_size=int(length if length is not None else len(hashes)),
                 seq_len=int(j.get("seqLen", 0)),
             )
         )

@@ -126,8 +126,15 @@ def call_variants(ref_name: str, ref_seq: bytes, read_depth: dict[int, int],
     string "ref\\tpos\\t.\\tREF\\tALT" -> [count, max_depth, avg_depth,
     orig_depth] and depth_rows is the per-position (avg, depth,
     max_rescue) list of the -d path.
+
+    Documented deviation: the depth window resets per reference.  The
+    reference's d_window is per-OpenMP-thread (rkmh.cpp:1769-1790) and
+    carries history across whatever refs a thread happens to process —
+    a thread-scheduling-dependent behavior with no deterministic analog
+    (see PARITY.md; rkmh itself warns multi-ref VCFs are not correct).
     """
     seq = ref_seq.decode() if isinstance(ref_seq, bytes) else ref_seq
+    seq = seq.upper()  # rkmh to_upper's before the call loop (rkmh.cpp:1610)
     P = len(seq) - k + 1
     hashes = [calc_hash(seq[j : j + k]) for j in range(P)]
 

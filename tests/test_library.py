@@ -14,6 +14,12 @@ def test_merge_bottom_s_of_union():
     assert merge_sketches(mins, 4) == [1, 2, 5, 9]
 
 
+def test_merge_dedups_and_skips_zeros():
+    # the reference min_heap is a std::set skipping 0 (equiv.hpp:25-54)
+    assert merge_sketches([[5, 5], [9]], 2) == [5, 9]
+    assert merge_sketches([[0, 7], [3]], 2) == [3, 7]
+
+
 def test_merge_with_counts_exact_and_lossy():
     mins = [[5, 9], [9, 105]]
     sketch, counts = merge_sketches_with_counts(mins, 1)  # heap = 2*1
