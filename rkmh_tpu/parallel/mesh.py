@@ -11,10 +11,12 @@ The reference's only parallelism is shared-memory OpenMP loops over reads
   rkmh argmax/diff scan, so tensor-parallel results are bit-identical to
   single-chip results.
 
-Sequence parallelism (long-genome sketching) lives in parallel/sp.py.
-There is no pipeline or expert parallelism in this workload: no layered
-model to pipeline, no MoE to route (SURVEY.md §2.4); the counter tables
-could shard hash-wise as an EP analog if panels ever outgrow HBM.
+Sequence parallelism (long-genome sketching) lives in parallel/sp.py;
+sharded counter tables (the expert-parallel analog for giant -M/-I
+counters) live in parallel/ep.py; multi-host init + read sharding in
+parallel/distributed.py.  There is no pipeline parallelism: no layered
+model to pipeline (SURVEY.md §2.4) — the host/device pipelining of the
+command drain loops (commands/stream.py) is its closest analog.
 """
 
 from __future__ import annotations
