@@ -23,7 +23,8 @@ def _common_classify_flags(p):
     p.add_argument("-N", "--min-matches", type=int, default=-1, dest="min_matches")
     p.add_argument("-D", "--min-diff", type=int, default=0, dest="min_diff")
     p.add_argument("-I", "--max-samples", type=int, default=None, dest="max_samples")
-    p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="reads per device dispatch; 0 = auto (16384 on TPU, 2048 on CPU)")
     p.add_argument("--counter-size", type=int, default=200_000_000)
     p.add_argument("--ref-sketches", default="",
                    help="load pre-hashed reference sketches from a JSON dump "
@@ -77,14 +78,16 @@ def build_parser():
     p.add_argument("-I", "--max-samples", type=int, default=None, dest="max_samples")
     p.add_argument("-o", "--out-prefix", default="")
     p.add_argument("--json", action="store_true", help="emit Mash/sourmash-style JSON sketches")
-    p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="reads per device dispatch; 0 = auto (16384 on TPU, 2048 on CPU)")
 
     p = sub.add_parser("count")
     p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
     p.add_argument("-k", "--kmer", action="append", type=int, default=[], dest="ks")
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("--counter-size", type=int, default=640_000)  # rkmh.cpp:2322
-    p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="reads per device dispatch; 0 = auto (16384 on TPU, 2048 on CPU)")
     p.add_argument("-o", "--out-file", default="", help="save counter table (npz)")
     p.add_argument("--dump", action="store_true", help="print occupied slots")
 
@@ -113,7 +116,8 @@ def build_parser():
     p.add_argument("-N", "--min-matches", type=int, default=-1, dest="min_matches")
     p.add_argument("-D", "--min-diff", type=int, default=0, dest="min_diff")
     p.add_argument("--counter-size", type=int, default=800_000_000)  # rkmh.cpp:2516
-    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="reads per device dispatch; 0 = auto")
 
     return ap
 

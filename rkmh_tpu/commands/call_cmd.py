@@ -50,6 +50,9 @@ def _code_char(c: int) -> str:
 
 def run(cfg: CallConfig, out=None) -> int:
     out = out or sys.stdout
+    from rkmh_tpu.commands.common import resolve_batch_size
+
+    cfg.batch_size = resolve_batch_size(cfg.batch_size)
     if not cfg.ks:
         log("No kmer size(s) provided. Will use a default kmer size of 16.")
         ks = (16,)

@@ -18,6 +18,20 @@ DEFAULT_SKETCH = 1000    # rkmh.cpp:592
 DEFAULT_BATCH = 2048
 
 
+def resolve_batch_size(requested: int) -> int:
+    """--batch-size 0 = auto: large dispatches on accelerators (per-batch
+    host overheads — sync RTT, dispatch — amortize over more reads; 16k
+    measured near the device-throughput knee), modest on CPU."""
+    if requested and requested > 0:
+        return requested
+    import jax
+
+    try:
+        return 16384 if jax.default_backend() != "cpu" else DEFAULT_BATCH
+    except Exception:
+        return DEFAULT_BATCH
+
+
 def log(msg: str):
     print(msg, file=sys.stderr)
 

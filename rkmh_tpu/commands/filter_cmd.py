@@ -58,6 +58,9 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
     from rkmh_tpu.commands.common import build_ref_panel
 
     out = out or sys.stdout
+    from rkmh_tpu.commands.common import resolve_batch_size
+
+    cfg.batch_size = resolve_batch_size(cfg.batch_size)
     ks = tuple(cfg.ks) if cfg.ks else (DEFAULT_KMER,)
     if not cfg.ks:
         log("No kmer size(s) provided. Will use a default kmer size of 16.")

@@ -73,6 +73,9 @@ def _multiset_counts(sorted_vals: list[int]) -> list[int]:
 
 def run(cfg: HashConfig, out=None) -> int:
     out = out or sys.stdout
+    from rkmh_tpu.commands.common import resolve_batch_size
+
+    cfg.batch_size = resolve_batch_size(cfg.batch_size)
     ks = tuple(cfg.ks) if cfg.ks else (DEFAULT_KMER,)
     if not cfg.ks:
         log("Using default kmer size of 16.")

@@ -92,6 +92,9 @@ def _unique_tables(group_sets: list[np.ndarray]):
 
 def run(cfg: Hpv16Config, out=None) -> int:
     out = out or sys.stdout
+    from rkmh_tpu.commands.common import resolve_batch_size
+
+    cfg.batch_size = resolve_batch_size(cfg.batch_size)
     if not cfg.ks:
         log("NO KMER SIZE PROVIDED. USING A DEFAULT KMER SIZE OF 16")
         ks = (16,)

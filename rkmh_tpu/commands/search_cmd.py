@@ -56,6 +56,9 @@ def load_ref_kmers(paths) -> np.ndarray:
 
 def run(cfg: SearchConfig, out=None) -> int:
     out = out or sys.stdout
+    from rkmh_tpu.commands.common import resolve_batch_size
+
+    cfg.batch_size = resolve_batch_size(cfg.batch_size)
     ks = tuple(cfg.ks) if cfg.ks else (DEFAULT_KMER,)
     if not cfg.ks:
         log("Using default kmer size of 16.")

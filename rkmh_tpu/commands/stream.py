@@ -90,6 +90,9 @@ def format_lines_packed(ref_keys, names, packed, sketch_size, as_list=False):
 
 def run(cfg: StreamConfig, out=None) -> int:
     out = out or sys.stdout
+    from rkmh_tpu.commands.common import resolve_batch_size
+
+    cfg.batch_size = resolve_batch_size(cfg.batch_size)
     ks = tuple(cfg.ks) if cfg.ks else (DEFAULT_KMER,)
     if not cfg.ks:
         log("No kmer size(s) provided. Will use a default kmer size of 16.")
