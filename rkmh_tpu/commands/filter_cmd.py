@@ -22,7 +22,6 @@ import sys
 from dataclasses import dataclass, field
 
 import numpy as np
-import jax.numpy as jnp
 
 from rkmh_tpu.classify import engine
 from rkmh_tpu.commands.common import (
@@ -35,7 +34,6 @@ from rkmh_tpu.commands.common import (
 from rkmh_tpu.io.fastx import iter_batches
 from rkmh_tpu.io.packing import encode_seqs
 from rkmh_tpu.ops.counter import HashCounter
-from rkmh_tpu.ops.sketch import SENTINEL
 
 
 @dataclass

@@ -16,7 +16,7 @@ import gzip
 import io
 import sys
 from dataclasses import dataclass
-from typing import Iterable, Iterator
+from typing import Iterator
 
 
 @dataclass

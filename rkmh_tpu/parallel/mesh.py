@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from rkmh_tpu.classify.engine import argmax_stream

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from rkmh_tpu.ops.hashing import multi_k_window_hashes
 from rkmh_tpu.ops.sketch import SENTINEL, bottom_s_sketch
 
 
