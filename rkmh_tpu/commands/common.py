@@ -65,8 +65,7 @@ def build_ref_panel(
     for filter, rkmh.cpp:340-357), then sketch only hashes occurring
     <= max_samples times.
     """
-    from rkmh_tpu.ops.lookup import build_panel_table
-    from rkmh_tpu.utils import to_host
+    from rkmh_tpu.ops.lookup import build_panel_table_device
 
     codes, lens = ref_packed.codes, ref_packed.lens
     if max_samples is None:
@@ -82,8 +81,9 @@ def build_ref_panel(
         sk, sk_lens = engine.sketch_batch_informative(
             codes, hc.table, tuple(ks), sketch_size, max_samples
         )
-    sk_np, lens_np = to_host((sk, sk_lens))
-    table = build_panel_table(sk_np, lens_np).device_arrays()
+    # table built on device from the device-resident sketches — no host
+    # round-trip, no table upload (ops.lookup.build_panel_table_device)
+    table = (build_panel_table_device(sk, sk_lens),)
     return RefPanel(list(ref_packed.names), sk, sk_lens, table)
 
 

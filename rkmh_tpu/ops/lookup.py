@@ -248,9 +248,14 @@ def build_set_table(ref_hash_rows: list, num_refs: int | None = None) -> PanelTa
 # bucket may differ, which queries don't observe).
 
 
-def _device_set_table(hashes, mask, nb: int, num_refs: int):
-    """hashes [R, W] u64 raw window hashes + validity mask -> (table
-    [nb, SLOTS*(3+Wm)] u32, max_rank scalar for overflow detection)."""
+def _device_set_table(hashes, mask, nb: int, num_refs: int, occs=None):
+    """hashes [R, W] u64 + validity mask (+ optional per-element occ
+    ranks) -> (table [nb, SLOTS*(3+Wm)] u32, max_rank for overflow).
+
+    With occs=None every entry is occ=0 (set semantics — the hpv16
+    comparators); with occs given (occ_ranks of per-row sorted sketch
+    matrices) the full (hash, occ) multiset table is built, identical in
+    query behavior to the host build_panel_table."""
     R, W = hashes.shape
     Wm = max(1, (num_refs + 31) // 32)
     N = R * W
@@ -259,19 +264,24 @@ def _device_set_table(hashes, mask, nb: int, num_refs: int):
     rid = jnp.broadcast_to(
         jnp.arange(R, dtype=jnp.uint32)[:, None], (R, W)
     ).reshape(-1)
+    oc = (
+        jnp.zeros((N,), jnp.uint32) if occs is None
+        else occs.reshape(-1).astype(jnp.uint32)
+    )
 
-    # sort by (hash, rid); dedup (hash, rid) pairs, then hash-level segments
-    hs, rids = jax.lax.sort((h, rid), num_keys=2)
+    # sort by (hash, occ, rid); dedup triplets, then (hash, occ) segments
+    hs, ocs, rids = jax.lax.sort((h, oc, rid), num_keys=3)
     prev_h = jnp.concatenate([hs[:1] ^ np.uint64(1), hs[:-1]])
+    prev_o = jnp.concatenate([ocs[:1] ^ np.uint32(1), ocs[:-1]])
     prev_r = jnp.concatenate([rids[:1] ^ np.uint32(1), rids[:-1]])
-    pair_first = (hs != prev_h) | (rids != prev_r)
-    hash_first = hs != prev_h
+    key_first = (hs != prev_h) | (ocs != prev_o)
+    pair_first = key_first | (rids != prev_r)
     valid = hs != SENTINEL
-    seg = jnp.cumsum(hash_first.astype(jnp.int32)) - 1          # [N]
-    n_unique = jnp.sum((hash_first & valid).astype(jnp.int32))
+    seg = jnp.cumsum(key_first.astype(jnp.int32)) - 1           # [N]
+    n_unique = jnp.sum((key_first & valid).astype(jnp.int32))
 
     # per-entry mask words: scatter-add of distinct ref bits (add == or
-    # because (hash, rid) pairs are deduped)
+    # because (hash, occ, rid) triplets are deduped)
     bit = jnp.where(
         pair_first & valid, np.uint32(1) << (rids % np.uint32(32)), np.uint32(0)
     ).astype(jnp.uint32)
@@ -279,19 +289,22 @@ def _device_set_table(hashes, mask, nb: int, num_refs: int):
     maskbuf = jnp.zeros((N, Wm), jnp.uint32).at[seg, word].add(bit)
 
     # entry keys at segment slots
-    ehash = jnp.zeros((N,), jnp.uint64).at[seg].max(jnp.where(hash_first, hs, np.uint64(0)))
+    ehash = jnp.zeros((N,), jnp.uint64).at[seg].max(jnp.where(key_first, hs, np.uint64(0)))
+    eocc = jnp.zeros((N,), jnp.uint32).at[seg].max(jnp.where(key_first, ocs, np.uint32(0)))
     eidx = jnp.arange(N, dtype=jnp.int32)
     evalid = eidx < n_unique
 
     lo = ehash.astype(jnp.uint32)
     hi = (ehash >> np.uint64(32)).astype(jnp.uint32)
     shift = np.uint32(32 - int(np.log2(nb)))
-    x = (lo ^ (hi * np.uint32(_MIX))) * np.uint32(_MUL)         # occ = 0
+    x = (lo ^ (hi * np.uint32(_MIX)) ^ (eocc * np.uint32(_MIX))) * np.uint32(_MUL)
     bidx = jnp.where(evalid, (x >> shift).astype(jnp.int32), nb)
 
-    # rank within bucket: sort entries by bucket, rank = iota - run_start
-    sb, sl, shi, sm_i = jax.lax.sort(
-        (bidx.astype(jnp.int32), lo, hi, eidx), num_keys=1
+    # rank within bucket: sort entries by (bucket, lo, occ) — the extra
+    # keys let adjacent-duplicate detection enforce the (lo, occ)-unique-
+    # per-bucket invariant the query's 2-lane compare relies on
+    sb, sl, soc, shi, sm_i = jax.lax.sort(
+        (bidx.astype(jnp.int32), lo, eocc, hi, eidx), num_keys=3
     )
     iota = jnp.arange(N, dtype=jnp.int32)
     run_first = jnp.concatenate([jnp.ones(1, bool), sb[1:] != sb[:-1]])
@@ -301,7 +314,14 @@ def _device_set_table(hashes, mask, nb: int, num_refs: int):
     rank = iota - run_start
     smask = maskbuf[sm_i]
     svalid = sb < nb
-    max_rank = jnp.max(jnp.where(svalid, rank, -1))
+    collide = (
+        ~run_first[1:] & (sl[1:] == sl[:-1]) & (soc[1:] == soc[:-1]) & svalid[1:]
+    )
+    # report overflow OR (lo, occ) collision via the same retry signal
+    max_rank = jnp.maximum(
+        jnp.max(jnp.where(svalid, rank, -1)),
+        jnp.where(jnp.any(collide), SLOTS, -1),
+    )
 
     width = SLOTS * (3 + Wm)
     table = jnp.zeros((nb + 1, width), jnp.uint32)
@@ -310,9 +330,7 @@ def _device_set_table(hashes, mask, nb: int, num_refs: int):
     r_safe = jnp.clip(rank, 0, SLOTS - 1)
     table = table.at[b_safe, r_safe].set(shi)
     table = table.at[b_safe, SLOTS + r_safe].set(sl)
-    table = table.at[b_safe, 2 * SLOTS + r_safe].set(
-        jnp.zeros_like(r_safe, dtype=jnp.uint32)
-    )
+    table = table.at[b_safe, 2 * SLOTS + r_safe].set(soc)
     for w in range(Wm):
         table = table.at[b_safe, (3 + w) * SLOTS + r_safe].set(smask[:, w])
     return table[:nb], max_rank
@@ -333,6 +351,25 @@ def build_set_table_device(hashes, mask, num_refs: int, est_entries: int | None 
     nb = max(2, next_pow2((max(n_est, 1) + SLOTS // 4 - 1) // (SLOTS // 4)))
     while True:
         table, max_rank = _device_set_table_jit(hashes, mask, nb, num_refs)
+        if int(max_rank) < SLOTS:
+            return table
+        nb *= 2
+
+
+def build_panel_table_device(ref_sk, ref_lens, num_refs: int | None = None):
+    """Device-resident (hash, occ) panel table from sorted sketch matrices
+    (bottom_s_sketch output) — the no-host-roundtrip equivalent of
+    build_panel_table, query-identical."""
+    from rkmh_tpu.ops.intersect import occ_ranks
+
+    R, s = ref_sk.shape
+    num_refs = R if num_refs is None else num_refs
+    qmask = jnp.arange(s, dtype=jnp.int32)[None, :] < ref_lens[:, None]
+    occs = occ_ranks(ref_sk)
+    n_est = int(np.asarray(jnp.sum(qmask)))
+    nb = max(2, next_pow2((max(n_est, 1) + SLOTS // 4 - 1) // (SLOTS // 4)))
+    while True:
+        table, max_rank = _device_set_table_jit(ref_sk, qmask, nb, num_refs, occs)
         if int(max_rank) < SLOTS:
             return table
         nb *= 2

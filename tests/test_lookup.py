@@ -44,3 +44,27 @@ def test_lookup_duplicate_multiplicity():
     table = build_panel_table(ref, flen)
     got = np.asarray(lookup_intersection_counts(read, rlen, table.device_arrays(), 1))
     assert got[0, 0] == 3  # min(2,3) for value 3 + 1 for value 5
+
+
+def test_device_panel_table_matches_host():
+    """build_panel_table_device == build_panel_table at the counts level,
+    including duplicate (occ > 0) entries."""
+    import jax.numpy as jnp
+
+    from rkmh_tpu.ops.lookup import build_panel_table_device
+
+    rng = np.random.default_rng(5)
+    k, s = 12, 64
+    unit = random_dna(rng, 80)
+    refs = [unit * 3 + random_dna(rng, 200) for _ in range(70)]
+    reads = [random_dna(rng, 70, with_n=True) for _ in range(33)]
+    rc, _ = encode_seqs(reads, pad_to=80, granularity=1)
+    fc, _ = encode_seqs(refs, pad_to=512, granularity=1)
+    rsk, rlen = bottom_s_sketch(kmer_window_hashes(rc, k), s)
+    fsk, flen = bottom_s_sketch(kmer_window_hashes(fc, k), s)
+
+    host = build_panel_table(np.asarray(fsk), np.asarray(flen))
+    dev = build_panel_table_device(fsk, jnp.asarray(flen))
+    want = np.asarray(lookup_intersection_counts(rsk, rlen, host.device_arrays(), 70))
+    got = np.asarray(lookup_intersection_counts(rsk, rlen, (dev,), 70))
+    assert np.array_equal(got, want)
