@@ -341,14 +341,32 @@ _device_set_table_jit = jax.jit(
 )
 
 
+@jax.jit
+def _count_unique_keys(hashes, mask, occs=None):
+    """Exact count of distinct (hash, occ) keys — sizes the bucket array
+    identically to the host builder (entry-count overestimates would
+    change the table shape and force downstream recompiles)."""
+    N = hashes.size
+    h = jnp.where(mask & (hashes != np.uint64(0)), hashes, SENTINEL).reshape(-1)
+    oc = (
+        jnp.zeros((N,), jnp.uint32) if occs is None
+        else occs.reshape(-1).astype(jnp.uint32)
+    )
+    hs, ocs = jax.lax.sort((h, oc), num_keys=2)
+    prev_h = jnp.concatenate([hs[:1] ^ np.uint64(1), hs[:-1]])
+    prev_o = jnp.concatenate([ocs[:1] ^ np.uint32(1), ocs[:-1]])
+    key_first = (hs != prev_h) | (ocs != prev_o)
+    return jnp.sum((key_first & (hs != SENTINEL)).astype(jnp.int32))
+
+
 def build_set_table_device(hashes, mask, num_refs: int, est_entries: int | None = None):
     """Device-resident set table from window hashes (see _device_set_table).
 
     Retries with doubled bucket counts on (rare) slot overflow; returns a
     device u32 array compatible with lookup_intersection_counts.
     """
-    n_est = est_entries or int(np.asarray(mask).sum())
-    nb = max(2, next_pow2((max(n_est, 1) + SLOTS // 4 - 1) // (SLOTS // 4)))
+    n = est_entries or int(_count_unique_keys(hashes, mask))
+    nb = max(2, next_pow2((max(n, 1) + SLOTS // 4 - 1) // (SLOTS // 4)))
     while True:
         table, max_rank = _device_set_table_jit(hashes, mask, nb, num_refs)
         if int(max_rank) < SLOTS:
@@ -366,8 +384,8 @@ def build_panel_table_device(ref_sk, ref_lens, num_refs: int | None = None):
     num_refs = R if num_refs is None else num_refs
     qmask = jnp.arange(s, dtype=jnp.int32)[None, :] < ref_lens[:, None]
     occs = occ_ranks(ref_sk)
-    n_est = int(np.asarray(jnp.sum(qmask)))
-    nb = max(2, next_pow2((max(n_est, 1) + SLOTS // 4 - 1) // (SLOTS // 4)))
+    n = int(_count_unique_keys(ref_sk, qmask, occs))
+    nb = max(2, next_pow2((max(n, 1) + SLOTS // 4 - 1) // (SLOTS // 4)))
     while True:
         table, max_rank = _device_set_table_jit(ref_sk, qmask, nb, num_refs, occs)
         if int(max_rank) < SLOTS:
