@@ -81,9 +81,20 @@ def build_ref_panel(
         sk, sk_lens = engine.sketch_batch_informative(
             codes, hc.table, tuple(ks), sketch_size, max_samples
         )
-    # table built on device from the device-resident sketches — no host
-    # round-trip, no table upload (ops.lookup.build_panel_table_device)
-    table = (build_panel_table_device(sk, sk_lens),)
+    # Small panels build host-side (one small fetch; numpy build is fast
+    # and dodges per-bucket-count device compiles).  Big panels (hpv16-
+    # scale) build on device so the multi-hundred-MB table never crosses
+    # the wire.  Threshold ~= where the table upload outweighs a compile.
+    from rkmh_tpu.utils import to_host
+
+    n_elems = int(np.asarray(jnp.sum(sk_lens)))
+    if n_elems < 2_000_000:
+        from rkmh_tpu.ops.lookup import build_panel_table
+
+        sk_np, lens_np = to_host((sk, sk_lens))
+        table = build_panel_table(sk_np, lens_np).device_arrays()
+    else:
+        table = (build_panel_table_device(sk, sk_lens),)
     return RefPanel(list(ref_packed.names), sk, sk_lens, table)
 
 
