@@ -1,0 +1,130 @@
+"""CLI wiring tests: every subcommand through the real argv surface.
+
+Runs rkmh_tpu.cli.main() in-process (argparse -> config -> command), the
+layer unit tests skip — this is where silently-dropped flags hide.
+"""
+
+import io
+import json
+import contextlib
+
+import pytest
+
+from rkmh_tpu.cli import main
+
+DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    td = tmp_path_factory.mktemp("cli")
+    refs = td / "refs.fa"
+    refs.write_text(">r1\nACGTACGTACGTACGTACGTACGT\n>r2\nTTTTACGTACGTGGGGACGTCCCC\n")
+    reads = td / "reads.fq"
+    reads.write_text("@q1\nACGTACGTACGTACGT\n+\nIIIIIIIIIIIIIIII\n")
+    empty = td / "empty.fa"
+    empty.write_text("")
+    return td, str(refs), str(reads), str(empty)
+
+
+def run_cli(argv, stdin_text=None):
+    out, err = io.StringIO(), io.StringIO()
+    with contextlib.redirect_stdout(out), contextlib.redirect_stderr(err):
+        rc = main(argv)
+    return rc, out.getvalue(), err.getvalue()
+
+
+def test_cli_stream(tiny):
+    td, refs, reads, _ = tiny
+    rc, out, err = run_cli(["stream", "-r", refs, "-f", reads, "-k", "8", "-s", "16"])
+    assert rc == 0
+    assert out.count("\n") == 1 and out.startswith("r1\tq1\t")
+
+
+def test_cli_classify_alias(tiny):
+    td, refs, reads, _ = tiny
+    rc, out, err = run_cli(["classify", "-r", refs, "-f", reads, "-k", "8", "-s", "16"])
+    assert rc == 0 and "alias of stream" in err
+
+
+def test_cli_stream_dead_flags_warn(tiny):
+    td, refs, reads, _ = tiny
+    rc, out, err = run_cli(["stream", "-r", refs, "-f", reads, "-k", "8", "-s", "16", "-z"])
+    assert rc == 0 and "dead in rkmh" in err
+
+
+def test_cli_filter_counter_size_forwarded(tiny):
+    td, refs, reads, _ = tiny
+    rc, out, err = run_cli(
+        ["filter", "-r", refs, "-f", reads, "-k", "8", "-s", "16",
+         "-M", "1", "--counter-size", "4096"]
+    )
+    assert rc == 0
+    assert out.startswith(">q1\n")  # read passes, re-emitted as 4-line record
+
+
+def test_cli_hash_and_kmers(tiny):
+    td, refs, reads, _ = tiny
+    rc, out, _ = run_cli(["hash", "-f", reads, "-k", "8"])
+    assert rc == 0 and out.startswith("q1\t")
+    rc, out, _ = run_cli(["hash", "-f", reads, "-k", "8", "-K"])
+    assert rc == 0 and out.splitlines()[0] == "ACGTACGT\tq1"
+
+
+def test_cli_hash_dead_flags_warn(tiny):
+    td, refs, reads, _ = tiny
+    rc, out, err = run_cli(["hash", "-f", reads, "-k", "8", "-M", "2"])
+    assert rc == 0 and "dead in rkmh" in err
+
+
+def test_cli_count_dump(tiny):
+    td, refs, reads, _ = tiny
+    rc, out, _ = run_cli(["count", "-f", reads, "-k", "8", "--counter-size", "512", "--dump"])
+    assert rc == 0
+    for line in out.splitlines():
+        slot, n = line.split("\t")
+        assert 0 <= int(slot) < 512 and int(n) >= 1
+
+
+def test_cli_search(tiny, tmp_path):
+    td, refs, reads, _ = tiny
+    mers = tmp_path / "mers.txt"
+    mers.write_text("ACGTACGT\n")
+    rc, out, _ = run_cli(["search", "-r", str(mers), "-f", reads, "-k", "8"])
+    assert rc == 0 and out.startswith("q1\tACGTACGT")
+
+
+def test_cli_call(tiny):
+    td, refs, reads, _ = tiny
+    rc, out, _ = run_cli(["call", "-r", refs, "-f", reads, "-k", "8"])
+    assert rc == 0 and out.startswith("##fileformat=VCF4.2")
+
+
+def test_cli_metrics_flag(tiny):
+    td, refs, reads, _ = tiny
+    rc, out, err = run_cli(
+        ["stream", "-r", refs, "-f", reads, "-k", "8", "-s", "16", "--metrics"]
+    )
+    assert rc == 0
+    line = json.loads(err.strip().splitlines()[-1])
+    assert line["command"] == "stream" and line["reads"] >= 1
+
+
+def test_cli_empty_reads(tiny):
+    td, refs, _, empty = tiny
+    rc, out, _ = run_cli(["stream", "-r", refs, "-f", empty, "-k", "8", "-s", "16"])
+    assert rc == 0 and out == ""
+    rc, out, _ = run_cli(["filter", "-r", refs, "-f", empty, "-k", "8", "-s", "16"])
+    assert rc == 0 and out == ""
+
+
+def test_cli_ref_sketches_roundtrip(tiny, tmp_path, monkeypatch):
+    td, refs, reads, _ = tiny
+    monkeypatch.chdir(tmp_path)
+    rc, *_ = run_cli(["hash", "-f", refs, "-k", "8", "-s", "16", "-o", "panel"])
+    assert rc == 0
+    rc1, out1, _ = run_cli(["stream", "-r", refs, "-f", reads, "-k", "8", "-s", "16"])
+    rc2, out2, _ = run_cli(
+        ["stream", "--ref-sketches", "panel.rkmh.json", "-f", reads, "-k", "8", "-s", "16"]
+    )
+    assert rc1 == rc2 == 0 and out1 == out2
