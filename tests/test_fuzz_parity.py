@@ -71,3 +71,53 @@ def test_stream_fuzz_matches_oracle(tmp_path, seed):
         out=buf,
     )
     assert buf.getvalue() == expected
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_filter_fuzz_matches_oracle(tmp_path, seed):
+    """filter file mode: keep decisions vs the filter-flavor oracle scan
+    (running max starts at 0, unmatched reads dropped)."""
+    from rkmh_tpu.commands.filter_cmd import FilterConfig, run as run_filter
+
+    rng = np.random.default_rng(seed)
+    ks = (8,)
+    s = int(rng.integers(8, 30))
+    min_matches = int(rng.integers(1, 4))
+
+    refs = [(f"ref{i}", _rand_seq(rng, int(rng.integers(80, 300))))
+            for i in range(int(rng.integers(2, 6)))]
+    reads = [(f"rd{i}",
+              (_repeat_rich(rng, 90) if i % 2 else
+               refs[i % len(refs)][1][:60] + _rand_seq(rng, 30)))
+             for i in range(20)]
+
+    rp = tmp_path / "refs.fa"
+    rp.write_text("".join(f">{n}\n{sq.decode()}\n" for n, sq in refs))
+    fp = tmp_path / "reads.fq"
+    fp.write_text("".join(f"@{n}\n{sq.decode()}\n+\n{'I' * len(sq)}\n"
+                          for n, sq in reads))
+
+    ref_sk = [oracle.minhashes(oracle.calc_hashes(sq, list(ks)), s) for _, sq in refs]
+    keep = []
+    for name, sq in reads:
+        mins = oracle.minhashes(oracle.calc_hashes(sq, list(ks)), s)
+        shared = [oracle.intersection_size(mins, r) for r in ref_sk]
+        mx, pm = 0, 0
+        for c in shared:
+            if c > mx:
+                pm, mx = mx, c
+        diff_ok = (mx - pm) > 0
+        depth_fail = len(mins) <= 0
+        match_fail = mx < min_matches
+        if not depth_fail and not match_fail and diff_ok:
+            keep.append(name)
+
+    buf = io.StringIO()
+    rc = run_filter(
+        FilterConfig(ref_files=[str(rp)], read_files=[str(fp)], ks=ks,
+                     sketch_size=s, min_matches=min_matches, batch_size=8),
+        out=buf,
+    )
+    assert rc == 0
+    got = [l[1:] for l in buf.getvalue().splitlines() if l.startswith(">")]
+    assert got == keep
