@@ -128,3 +128,12 @@ def test_cli_ref_sketches_roundtrip(tiny, tmp_path, monkeypatch):
         ["stream", "--ref-sketches", "panel.rkmh.json", "-f", reads, "-k", "8", "-s", "16"]
     )
     assert rc1 == rc2 == 0 and out1 == out2
+
+
+def test_cli_hash_json_stdout(tiny):
+    td, refs, reads, _ = tiny
+    rc, out, _ = run_cli(["hash", "-f", reads, "-k", "8", "-s", "4", "--json"])
+    assert rc == 0
+    data = json.loads(out)
+    assert data[0]["hash_type"] == "MurmurHash3_x64_128"
+    assert len(data[0]["sketches"]) <= 4
