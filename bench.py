@@ -47,9 +47,8 @@ def main():
     total_bp = int(lens.sum())
 
     def step(codes):
-        sk, sk_lens = engine.sketch_batch(codes, ks, s)
-        return engine.classify_sketches_table_packed(
-            sk, sk_lens, *panel.table,
+        return engine.classify_codes_table_packed(
+            codes, *panel.table, ks=ks, sketch_size=s,
             num_refs=panel.num_refs, min_diff=0, min_matches=-1,
         )
 

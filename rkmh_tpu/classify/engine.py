@@ -243,6 +243,29 @@ def classify_sketches_table_packed(
     return jnp.stack([best.astype(jnp.int64), shared.astype(jnp.int64), flags])
 
 
+@partial(jax.jit, static_argnames=("ks", "sketch_size", "num_refs", "min_diff", "min_matches"))
+def classify_codes_table_packed(
+    codes, table,
+    ks: tuple, sketch_size: int,
+    num_refs: int, min_diff: int, min_matches: int,
+):
+    """Whole stream step (hash -> sketch -> lookup -> argmax -> pack) as
+    ONE jit: one dispatch per batch instead of two, and XLA fuses across
+    the stage boundary."""
+    hashes = multi_k_window_hashes(codes, list(ks))
+    sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
+    counts = lookup_intersection_counts(sk, sk_lens, (table,), num_refs)
+    best, shared, diff_ok, depth_fail, match_fail = argmax_stream(
+        counts, min_diff, min_matches, sk_lens
+    )
+    flags = (
+        diff_ok.astype(jnp.int64)
+        | (depth_fail.astype(jnp.int64) << 1)
+        | (match_fail.astype(jnp.int64) << 2)
+    )
+    return jnp.stack([best.astype(jnp.int64), shared.astype(jnp.int64), flags])
+
+
 @partial(jax.jit, static_argnames=("num_refs", "min_diff", "min_matches"))
 def filter_sketches_table(
     sk, sk_lens, table, ref_lens,

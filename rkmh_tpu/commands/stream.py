@@ -126,11 +126,16 @@ def run(cfg: StreamConfig, out=None) -> int:
             sk, sk_lens = engine.sketch_batch_depth_filtered(
                 codes, lens, read_counter.table, ks, cfg.sketch_size, cfg.min_kmer_occ
             )
-        else:
-            sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
-        return engine.classify_sketches_table_packed(
-            sk, sk_lens, *panel.table,
-            num_refs=panel.num_refs, min_diff=cfg.min_diff, min_matches=cfg.min_matches,
+            return engine.classify_sketches_table_packed(
+                sk, sk_lens, *panel.table,
+                num_refs=panel.num_refs, min_diff=cfg.min_diff,
+                min_matches=cfg.min_matches,
+            )
+        # plain path: whole step in one jit (one dispatch per batch)
+        return engine.classify_codes_table_packed(
+            codes, *panel.table, ks=ks, sketch_size=cfg.sketch_size,
+            num_refs=panel.num_refs, min_diff=cfg.min_diff,
+            min_matches=cfg.min_matches,
         )
 
     # Pipelined drain: dispatches are async, so keep batches in flight and
