@@ -58,3 +58,46 @@ def test_sp_genome_sketch_matches_single_device(setup):
 
     assert np.array_equal(np.asarray(got_sk), np.asarray(want_sk))
     assert np.array_equal(np.asarray(got_lens), np.asarray(want_lens))
+
+
+@pytest.mark.parametrize("tp", [1, 2, 4])
+def test_sharded_table_classify_matches_single_device(setup, tp):
+    """Production bucket-table SPMD path (dp x tp) == single chip."""
+    import numpy as np
+    from rkmh_tpu.parallel.mesh import (
+        build_sharded_tables,
+        make_mesh,
+        sharded_classify_table_fn,
+    )
+    from rkmh_tpu.utils import to_host
+
+    read_codes, ref_codes = setup
+    ks, s = (16,), 64
+    from rkmh_tpu.classify import engine
+
+    ref_sk, ref_lens = engine.sketch_batch(ref_codes, ks, s)
+    sk_np, lens_np = to_host((ref_sk, ref_lens))
+    tables, rps = build_sharded_tables(sk_np, lens_np, tp=tp)
+
+    mesh = make_mesh(jax.devices()[: 8], dp=8 // tp, tp=tp)
+    step = sharded_classify_table_fn(mesh, ks, s, rps)
+    out = step(read_codes, tables)
+
+    want = engine.classify_batch(read_codes, ref_sk, ref_lens, ks, s)
+    assert np.array_equal(np.asarray(out[0]), np.asarray(want[0]))
+    assert np.array_equal(np.asarray(out[1]), np.asarray(want[1]))
+
+
+def test_sp_sketch_multi_k(setup):
+    """Sequence-parallel sketching with multiple k sizes == single device."""
+    import numpy as np
+    from rkmh_tpu.parallel.sp import make_sp_mesh, sp_sketch_fn
+    from rkmh_tpu.classify import engine
+
+    _, ref_codes = setup
+    ks, s = (12, 16), 48
+    mesh = make_sp_mesh(jax.devices()[:8])
+    sk, lens = sp_sketch_fn(mesh, ks, s)(ref_codes)
+    want_sk, want_lens = engine.sketch_batch(ref_codes, ks, s)
+    assert np.array_equal(np.asarray(sk), np.asarray(want_sk))
+    assert np.array_equal(np.asarray(lens), np.asarray(want_lens))
