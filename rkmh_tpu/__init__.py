@@ -35,6 +35,21 @@ if os.environ.get("RKMH_TPU_NO_X64", "0") != "1":
 
     jax.config.update("jax_enable_x64", True)
 
+# This container's sitecustomize force-registers the axon TPU plugin and
+# pins jax.config.jax_platforms='axon,cpu', silently overriding the
+# standard JAX_PLATFORMS env var; re-assert the user's choice here (it
+# must happen before the first jax.devices() call, after which the
+# platform list freezes).
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+del _plat
+
 # Persistent compilation cache: the classify program is compile-once,
 # run-forever (fixed shapes per length bucket).  ~60 s of XLA work on the
 # first-ever run, ~0 after.

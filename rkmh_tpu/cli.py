@@ -25,6 +25,9 @@ def _common_classify_flags(p):
     p.add_argument("-I", "--max-samples", type=int, default=None, dest="max_samples")
     p.add_argument("--batch-size", type=int, default=0,
                    help="reads per device dispatch; 0 = auto (16384 on TPU, 2048 on CPU)")
+    p.add_argument("--chunk-reads", type=int, default=0,
+                   help="reads parsed per streaming window (constant-memory input); "
+                        "0 = auto (65536)")
     p.add_argument("--counter-size", type=int, default=200_000_000)
     p.add_argument("--ref-sketches", default="",
                    help="load pre-hashed reference sketches from a JSON dump "
@@ -156,6 +159,7 @@ def _dispatch(args) -> int:
                 counter_size=args.counter_size,
                 batch_size=args.batch_size,
                 ref_sketches=args.ref_sketches,
+                chunk_reads=args.chunk_reads,
             )
         )
     if args.command == "filter":

@@ -163,6 +163,56 @@ def load_packed(paths, granularity: int = 128):
     return merged
 
 
+DEFAULT_CHUNK_READS = 65536
+
+
+def resolve_chunk_reads(requested: int | None = None) -> int:
+    """Streaming window size (reads per parsed chunk).  0/None = default;
+    RKMH_TPU_CHUNK_READS overrides (tests force tiny windows with it)."""
+    import os
+
+    if requested and requested > 0:
+        return requested
+    env = os.environ.get("RKMH_TPU_CHUNK_READS", "")
+    if env.isdigit() and int(env) > 0:
+        return int(env)
+    return DEFAULT_CHUNK_READS
+
+
+def iter_packed_chunks(paths, chunk_reads: int, granularity: int = 128):
+    """Yield device-ready PackedReads/PyPacked chunks of <= chunk_reads
+    records — the constant-memory input path (KSEQ_Reader equivalent,
+    rkmh.cpp:950-959): only one parsed chunk is resident at a time.
+
+    Files are consumed in order (chunks never span files, matching
+    load_packed's concatenation order).  Native streaming parser when
+    available; Python iter_batches fallback otherwise (also the '-'
+    stdin path).
+    """
+    from rkmh_tpu.io.fastx import iter_batches
+    from rkmh_tpu.io.native import FastxStream
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    for p in paths:
+        stream = None
+        if p not in ("-", b"-"):
+            try:
+                stream = FastxStream(p)
+            except OSError:
+                stream = None
+        if stream is not None:
+            with stream:
+                while True:
+                    chunk = stream.next_chunk(chunk_reads, granularity)
+                    if chunk is None:
+                        break
+                    yield chunk
+        else:
+            for recs in iter_batches(p, chunk_reads):
+                yield PyPacked(recs, granularity)
+
+
 def packed_batches(packed, batch_size: int):
     """Yield (start, stop, codes [B, L], lens [B]) row slices with a fixed
     batch shape (last chunk zero-padded) — at most 2 compiled shapes."""

@@ -28,11 +28,17 @@ from rkmh_tpu.commands.common import (
     build_ref_panel,
     load_packed,
     bucketed_batches,
+    iter_packed_chunks,
+    resolve_chunk_reads,
     log,
 )
 from rkmh_tpu.ops.counter import HashCounter
 
 FETCH_GROUP = 6  # results fetched per device_get; 2x this stays in flight
+
+# peak count of simultaneously buffered (formatted-but-unwritten) output
+# lines in the last run() — observability for the constant-memory claim
+last_peak_buffered_lines = 0
 
 
 @dataclass
@@ -49,6 +55,7 @@ class StreamConfig:
     batch_size: int = DEFAULT_BATCH
     threads: int = 1             # accepted for CLI parity; no-op on TPU
     ref_sketches: str = ""       # JSON panel dump (hash -o) to load
+    chunk_reads: int = 0         # streaming window; 0 = default (65536)
 
 
 # the 8 possible "\t<sketch>[FAIL:DEPTH]\t[FAIL:MATCHES]\t[FAIL:DIFF]\n"
@@ -88,16 +95,32 @@ def format_lines_packed(ref_keys, names, packed, sketch_size, as_list=False):
     return format_lines_host(ref_keys, names, to_host(packed), sketch_size, as_list)
 
 
+class _ChunkState:
+    """Per-input-chunk output buffer: lines land out of (bucket) order and
+    the chunk is written the moment every row has arrived."""
+
+    __slots__ = ("names", "lines", "filled", "dispatched")
+
+    def __init__(self, names):
+        self.names = names
+        self.lines = [None] * len(names)
+        self.filled = 0
+        self.dispatched = False  # all batches of this chunk sent to device
+
+    @property
+    def complete(self):
+        return self.dispatched and self.filled == len(self.lines)
+
+
 def run(cfg: StreamConfig, out=None) -> int:
     out = out or sys.stdout
     from rkmh_tpu.commands.common import resolve_batch_size
 
     cfg.batch_size = resolve_batch_size(cfg.batch_size)
+    chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
     ks = tuple(cfg.ks) if cfg.ks else (DEFAULT_KMER,)
     if not cfg.ks:
         log("No kmer size(s) provided. Will use a default kmer size of 16.")
-
-    reads = load_packed(cfg.read_files)
 
     if cfg.ref_sketches:
         from rkmh_tpu.io.sketch_json import load_sketches, panel_from_sketches
@@ -115,11 +138,14 @@ def run(cfg: StreamConfig, out=None) -> int:
 
     read_counter = None
     if cfg.min_kmer_occ >= 0:
-        # first pass: global read-kmer depth (rkmh.cpp:903-910)
+        # first pass: global read-kmer depth (rkmh.cpp:903-910).  The file
+        # is consumed in bounded chunks and re-read for the classify pass —
+        # constant memory, same two-pass shape as the reference.
         read_counter = HashCounter(cfg.counter_size)
-        for rows, codes, lens in bucketed_batches(reads, cfg.batch_size):
-            hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
-            read_counter.add(hashes, mask)
+        for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
+            for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
+                hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+                read_counter.add(hashes, mask)
 
     def dispatch(codes, lens):
         if read_counter is not None:
@@ -138,38 +164,58 @@ def run(cfg: StreamConfig, out=None) -> int:
             min_matches=cfg.min_matches,
         )
 
-    # Pipelined drain: dispatches are async, so keep batches in flight and
-    # fetch results late — in GROUPS, because each device_get costs ~2
-    # tunnel RTTs regardless of size (group-of-6 fetches measured 374k vs
-    # 266k reads/s one-by-one).  Batches are length-bucketed (padding
-    # waste bounded), so lines land in an index buffer and are emitted in
-    # input order at the end.
+    # Constant-memory pipelined drain: input is parsed in bounded chunks
+    # (iter_packed_chunks), dispatches are async so batches stay in flight,
+    # and results are fetched late in GROUPS (each device_get costs ~2
+    # tunnel RTTs; group-of-6 fetches measured 374k vs 266k reads/s
+    # one-by-one).  Batches are length-bucketed within a chunk (padding
+    # waste bounded), so lines land in per-chunk buffers and each chunk is
+    # written in input order the moment it completes — peak residency is
+    # the in-flight batches plus <= ~2 chunks of lines, independent of
+    # file size (unlike the reference, which still holds all parsed reads
+    # in RAM; rkmh.cpp:783-788).
     from collections import deque
 
     from rkmh_tpu.utils import to_host
 
-    names = reads.names
-    pending = deque()
-    out_lines: list = [None] * len(reads)
+    global last_peak_buffered_lines
+    last_peak_buffered_lines = 0
+    pending = deque()   # (chunk_state, rows, device_result)
+    emit_q = deque()    # chunk states in input order
+
+    def drain_emit():
+        while emit_q and emit_q[0].complete:
+            st = emit_q.popleft()
+            out.write("".join(st.lines))
 
     def flush(n):
+        global last_peak_buffered_lines
         group = [pending.popleft() for _ in range(min(n, len(pending)))]
         if not group:
             return
-        fetched = to_host([res for _, res in group])
-        for (rows, _), arr in zip(group, fetched):
-            batch_names = [names[i] for i in rows]
+        fetched = to_host([res for *_, res in group])
+        for (st, rows, _), arr in zip(group, fetched):
+            batch_names = [st.names[i] for i in rows]
             lines = format_lines_host(
                 panel.keys, batch_names, arr, cfg.sketch_size, as_list=True
             )
             for i, line in zip(rows, lines):
-                out_lines[i] = line
+                st.lines[i] = line
+            st.filled += len(rows)
+        buffered = sum(s.filled for s in emit_q)
+        if buffered > last_peak_buffered_lines:
+            last_peak_buffered_lines = buffered
+        drain_emit()
 
-    for rows, codes, lens in bucketed_batches(reads, cfg.batch_size):
-        pending.append((rows, dispatch(codes, lens)))
-        if len(pending) > 2 * FETCH_GROUP:
-            flush(FETCH_GROUP)
+    for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
+        st = _ChunkState(chunk.names)
+        emit_q.append(st)
+        for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
+            pending.append((st, rows, dispatch(codes, lens)))
+            if len(pending) > 2 * FETCH_GROUP:
+                flush(FETCH_GROUP)
+        st.dispatched = True
     while pending:
         flush(len(pending))
-    out.write("".join(out_lines))
+    drain_emit()
     return 0

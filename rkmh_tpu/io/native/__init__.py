@@ -69,6 +69,14 @@ def load():
     lib.rkmh_read_fastx.restype = ctypes.c_int
     lib.rkmh_free.argtypes = [ctypes.POINTER(_RkmhBatch)]
     lib.rkmh_free.restype = None
+    lib.rkmh_stream_open.argtypes = [ctypes.c_char_p]
+    lib.rkmh_stream_open.restype = ctypes.c_void_p
+    lib.rkmh_stream_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(_RkmhBatch)
+    ]
+    lib.rkmh_stream_next.restype = ctypes.c_int64
+    lib.rkmh_stream_close.argtypes = [ctypes.c_void_p]
+    lib.rkmh_stream_close.restype = None
     _lib = lib
     return _lib
 
@@ -128,18 +136,8 @@ class PackedReads:
         return self._quals
 
 
-def read_fastx_packed(path: str, granularity: int = 128) -> PackedReads | None:
-    """Parse + pack one file natively; None if the library is unavailable."""
-    lib = load()
-    if lib is None:
-        return None
-    batch = _RkmhBatch()
-    rc = lib.rkmh_read_fastx(
-        os.fspath(path).encode(), granularity, ctypes.byref(batch)
-    )
-    if rc != 0:
-        lib.rkmh_free(ctypes.byref(batch))
-        raise OSError(f"native fastx parse failed (rc={rc}) for {path}")
+def _batch_to_packed(lib, batch: _RkmhBatch) -> PackedReads:
+    """Copy an owned _RkmhBatch into numpy arrays and free it."""
     try:
         n, pad = batch.n, batch.pad_len
         codes = np.ctypeslib.as_array(batch.codes, shape=(n, pad)).copy() if n else np.zeros((0, pad), np.uint8)
@@ -154,3 +152,68 @@ def read_fastx_packed(path: str, granularity: int = 128) -> PackedReads | None:
         lib.rkmh_free(ctypes.byref(batch))
     return PackedReads(codes, lens, names_blob, name_offs, seqs_blob,
                        seq_offs, quals_blob, qual_offs)
+
+
+def read_fastx_packed(path: str, granularity: int = 128) -> PackedReads | None:
+    """Parse + pack one file natively; None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    batch = _RkmhBatch()
+    rc = lib.rkmh_read_fastx(
+        os.fspath(path).encode(), granularity, ctypes.byref(batch)
+    )
+    if rc != 0:
+        lib.rkmh_free(ctypes.byref(batch))
+        raise OSError(f"native fastx parse failed (rc={rc}) for {path}")
+    return _batch_to_packed(lib, batch)
+
+
+class FastxStream:
+    """Chunked native reader — the KSEQ_Reader::get_next_buffer equivalent
+    (rkmh.cpp:950-959): bounded memory regardless of file size.  Each
+    next_chunk(max_reads) returns a device-ready PackedReads of at most
+    max_reads records, or None at end of file.
+    """
+
+    def __init__(self, path: str):
+        lib = load()
+        if lib is None:
+            raise OSError("native io library unavailable")
+        self._lib = lib
+        self._h = lib.rkmh_stream_open(os.fspath(path).encode())
+        if not self._h:
+            raise OSError(f"cannot open {path}")
+        self._path = path
+
+    def next_chunk(self, max_reads: int, granularity: int = 128) -> PackedReads | None:
+        if self._h is None:
+            return None
+        batch = _RkmhBatch()
+        n = self._lib.rkmh_stream_next(
+            self._h, max_reads, granularity, ctypes.byref(batch)
+        )
+        if n < 0:
+            self._lib.rkmh_free(ctypes.byref(batch))
+            raise OSError(f"native fastx stream failed (rc={n}) for {self._path}")
+        if n == 0:
+            self._lib.rkmh_free(ctypes.byref(batch))
+            return None
+        return _batch_to_packed(self._lib, batch)
+
+    def close(self):
+        if self._h is not None:
+            self._lib.rkmh_stream_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

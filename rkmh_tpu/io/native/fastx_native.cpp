@@ -1,15 +1,20 @@
 // Native FASTA/FASTQ parser + 2-bit packer (C ABI, loaded via ctypes).
 //
 // TPU-native replacement for the reference's kseq.hpp streaming parser and
-// KSEQ_Reader buffered batch reader (SURVEY.md §2.1 rows 6-7): instead of
-// yielding one record at a time to a thread pool, it parses the whole file
-// (gzip or plain, detected by magic bytes like io/fastx.py) and emits the
-// exact device-ready layout the JAX pipeline consumes:
+// KSEQ_Reader buffered batch reader (SURVEY.md §2.1 rows 6-7): a streaming
+// chunk API (`rkmh_stream_open` / `rkmh_stream_next` / `rkmh_stream_close`)
+// parses gzip or plain files (detected by magic bytes like io/fastx.py)
+// incrementally — bounded buffer, KSEQ_Reader::get_next_buffer semantics
+// (rkmh.cpp:950-959, bufsize-1000 batches) — and emits the exact
+// device-ready layout the JAX pipeline consumes per chunk:
 //
 //   codes [n, pad_len] uint8   2-bit codes A=0 C=1 G=2 T=3, invalid/pad=255/4
 //   lens  [n] int32            true sequence lengths
 //   names / seqs / quals       concatenated raw bytes + offset tables
 //                              (seqs uppercased; quals empty for FASTA)
+//
+// `rkmh_read_fastx` (whole file in one batch) is a thin wrapper over the
+// stream API, so there is exactly one parser.
 //
 // Semantics match rkmh_tpu.io.fastx exactly (the Python parser is the
 // oracle): names are the header token up to the first whitespace, sequences
@@ -50,22 +55,92 @@ struct LutInit {
     }
 } lut_init;
 
-bool read_whole_file(const char* path, std::vector<uint8_t>& out) {
-    gzFile f = gzopen(path, "rb");  // transparently handles plain files too
-    if (!f) return false;
-    gzbuffer(f, 1 << 20);
-    const size_t CHUNK = 1 << 22;
-    size_t used = 0;
-    for (;;) {
-        out.resize(used + CHUNK);
-        int got = gzread(f, out.data() + used, CHUNK);
-        if (got < 0) { gzclose(f); return false; }
-        used += size_t(got);
-        if (got == 0) break;
+enum ParseStatus { P_OK, P_NEED_MORE, P_BAD, P_DONE };
+
+struct ChunkBuild {
+    std::vector<Record> recs;
+    std::string names, seqs, quals;
+};
+
+// Parse one record from buf[pos..]. On P_OK, advances pos past the record
+// and appends to `cb`. On P_NEED_MORE (record may continue past the buffer
+// end and !eof), pos and cb are left untouched so the caller can refill and
+// retry. P_DONE = only EOL/empty bytes remain at eof.
+ParseStatus parse_one(const std::vector<uint8_t>& buf, size_t& pos, bool eof,
+                      ChunkBuild& cb) {
+    size_t n = buf.size();
+    size_t i = pos;
+    auto skip_eol = [&](size_t& p) {
+        while (p < n && (buf[p] == '\n' || buf[p] == '\r')) ++p;
+    };
+    auto line_end = [&](size_t p) {
+        while (p < n && buf[p] != '\n' && buf[p] != '\r') ++p;
+        return p;
+    };
+
+    skip_eol(i);
+    if (i >= n) return eof ? P_DONE : P_NEED_MORE;
+    uint8_t c = buf[i];
+    if (c != '>' && c != '@') return P_BAD;
+    bool fastq = (c == '@');
+    size_t he = line_end(i);
+    if (he >= n && !eof) return P_NEED_MORE;  // header may continue
+    // name: token up to first whitespace after the marker
+    size_t ns = i + 1, ne = ns;
+    while (ne < he && buf[ne] != ' ' && buf[ne] != '\t') ++ne;
+
+    size_t names0 = cb.names.size(), seqs0 = cb.seqs.size(), quals0 = cb.quals.size();
+    Record r{};
+    r.name_off = names0;
+    r.name_len = ne - ns;
+    cb.names.append((const char*)buf.data() + ns, ne - ns);
+    i = he;
+    skip_eol(i);
+
+    auto rollback = [&]() {
+        cb.names.resize(names0);
+        cb.seqs.resize(seqs0);
+        cb.quals.resize(quals0);
+        return P_NEED_MORE;
+    };
+
+    r.seq_off = cb.seqs.size();
+    if (fastq) {
+        size_t se = line_end(i);
+        if (se >= n && !eof) return rollback();
+        for (size_t p = i; p < se; ++p) cb.seqs.push_back((char)UPPER_LUT[buf[p]]);
+        i = se; skip_eol(i);
+        r.qual_off = cb.quals.size();
+        if (i >= n && !eof) return rollback();  // can't tell if '+' follows
+        if (i < n && buf[i] == '+') {           // separator line
+            size_t pe = line_end(i);
+            if (pe >= n && !eof) return rollback();
+            i = pe; skip_eol(i);
+            size_t qe = line_end(i);
+            if (qe >= n && !eof) return rollback();
+            cb.quals.append((const char*)buf.data() + i, qe - i);
+            i = qe;
+        }
+        r.qual_len = cb.quals.size() - r.qual_off;
+    } else {
+        for (;;) {
+            if (i >= n) {
+                if (!eof) return rollback();  // next line may be more seq
+                break;
+            }
+            if (buf[i] == '>' || buf[i] == '@') break;
+            size_t se = line_end(i);
+            if (se >= n && !eof) return rollback();
+            for (size_t p = i; p < se; ++p) cb.seqs.push_back((char)UPPER_LUT[buf[p]]);
+            i = se; skip_eol(i);
+        }
+        r.qual_off = cb.quals.size();
+        r.qual_len = 0;
     }
-    out.resize(used);
-    gzclose(f);
-    return true;
+    r.seq_len = cb.seqs.size() - r.seq_off;
+    cb.recs.push_back(r);
+    pos = i;
+    return P_OK;
 }
 
 }  // namespace
@@ -94,71 +169,11 @@ void rkmh_free(RkmhBatch* b) {
     memset(b, 0, sizeof(*b));
 }
 
-// Parse one FASTA/FASTQ file into a packed batch.
-// granularity: pad_len rounds the max sequence length up to this multiple.
-// Returns 0 on success, nonzero on error.
-int rkmh_read_fastx(const char* path, int64_t granularity, RkmhBatch* out) {
-    memset(out, 0, sizeof(*out));
-    std::vector<uint8_t> buf;
-    if (!read_whole_file(path, buf)) return 1;
+namespace {
 
-    std::vector<Record> recs;
-    std::string names, seqs, quals;
-    names.reserve(1 << 16);
-    seqs.reserve(buf.size());
-
-    size_t i = 0, n = buf.size();
-    auto skip_eol = [&](size_t& p) {
-        while (p < n && (buf[p] == '\n' || buf[p] == '\r')) ++p;
-    };
-    auto line_end = [&](size_t p) {
-        while (p < n && buf[p] != '\n' && buf[p] != '\r') ++p;
-        return p;
-    };
-
-    while (i < n) {
-        skip_eol(i);
-        if (i >= n) break;
-        uint8_t c = buf[i];
-        if (c != '>' && c != '@') return 2;  // malformed
-        bool fastq = (c == '@');
-        size_t he = line_end(i);
-        // name: token up to first whitespace after the marker
-        size_t ns = i + 1, ne = ns;
-        while (ne < he && buf[ne] != ' ' && buf[ne] != '\t') ++ne;
-        Record r{};
-        r.name_off = names.size();
-        r.name_len = ne - ns;
-        names.append((const char*)buf.data() + ns, ne - ns);
-        i = he;
-        skip_eol(i);
-
-        r.seq_off = seqs.size();
-        if (fastq) {
-            size_t se = line_end(i);
-            for (size_t p = i; p < se; ++p) seqs.push_back((char)UPPER_LUT[buf[p]]);
-            i = se; skip_eol(i);
-            r.qual_off = quals.size();
-            if (i < n && buf[i] == '+') {           // separator line
-                i = line_end(i); skip_eol(i);
-                size_t qe = line_end(i);
-                quals.append((const char*)buf.data() + i, qe - i);
-                i = qe;
-            }
-            r.qual_len = quals.size() - r.qual_off;
-        } else {
-            while (i < n && buf[i] != '>' && buf[i] != '@') {
-                size_t se = line_end(i);
-                for (size_t p = i; p < se; ++p) seqs.push_back((char)UPPER_LUT[buf[p]]);
-                i = se; skip_eol(i);
-            }
-            r.qual_off = quals.size();
-            r.qual_len = 0;
-        }
-        r.seq_len = seqs.size() - r.seq_off;
-        recs.push_back(r);
-    }
-
+// Pack a parsed chunk into the C-ABI batch. Returns 0 ok / 3 alloc failure.
+int fill_batch(const ChunkBuild& cb, int64_t granularity, RkmhBatch* out) {
+    const std::vector<Record>& recs = cb.recs;
     int64_t N = (int64_t)recs.size();
     int64_t max_len = 0;
     for (auto& r : recs) if ((int64_t)r.seq_len > max_len) max_len = r.seq_len;
@@ -168,13 +183,13 @@ int rkmh_read_fastx(const char* path, int64_t granularity, RkmhBatch* out) {
 
     out->n = N;
     out->pad_len = pad;
-    out->codes = (uint8_t*)malloc(size_t(N) * size_t(pad));
-    out->lens = (int32_t*)malloc(size_t(N) * sizeof(int32_t));
-    out->names = (char*)malloc(names.size() ? names.size() : 1);
+    out->codes = (uint8_t*)malloc(size_t(N) * size_t(pad) + 1);
+    out->lens = (int32_t*)malloc(size_t(N) * sizeof(int32_t) + 1);
+    out->names = (char*)malloc(cb.names.size() ? cb.names.size() : 1);
     out->name_offs = (int64_t*)malloc((N + 1) * sizeof(int64_t));
-    out->seqs = (char*)malloc(seqs.size() ? seqs.size() : 1);
+    out->seqs = (char*)malloc(cb.seqs.size() ? cb.seqs.size() : 1);
     out->seq_offs = (int64_t*)malloc((N + 1) * sizeof(int64_t));
-    out->quals = (char*)malloc(quals.size() ? quals.size() : 1);
+    out->quals = (char*)malloc(cb.quals.size() ? cb.quals.size() : 1);
     out->qual_offs = (int64_t*)malloc((N + 1) * sizeof(int64_t));
     if (!out->codes || !out->lens || !out->names || !out->name_offs ||
         !out->seqs || !out->seq_offs || !out->quals || !out->qual_offs) {
@@ -183,9 +198,9 @@ int rkmh_read_fastx(const char* path, int64_t granularity, RkmhBatch* out) {
     }
 
     memset(out->codes, 255, size_t(N) * size_t(pad));  // PAD_CODE
-    memcpy(out->names, names.data(), names.size());
-    memcpy(out->seqs, seqs.data(), seqs.size());
-    memcpy(out->quals, quals.data(), quals.size());
+    memcpy(out->names, cb.names.data(), cb.names.size());
+    memcpy(out->seqs, cb.seqs.data(), cb.seqs.size());
+    memcpy(out->quals, cb.quals.data(), cb.quals.size());
 
     int64_t noff = 0, soff = 0, qoff = 0;
     for (int64_t j = 0; j < N; ++j) {
@@ -195,12 +210,89 @@ int rkmh_read_fastx(const char* path, int64_t granularity, RkmhBatch* out) {
         out->qual_offs[j] = qoff; qoff += (int64_t)r.qual_len;
         out->lens[j] = (int32_t)r.seq_len;
         uint8_t* row = out->codes + size_t(j) * size_t(pad);
-        const char* sp = seqs.data() + r.seq_off;
+        const char* sp = cb.seqs.data() + r.seq_off;
         for (size_t p = 0; p < r.seq_len; ++p) row[p] = CODE_LUT[(uint8_t)sp[p]];
     }
     out->name_offs[N] = noff;
     out->seq_offs[N] = soff;
     out->qual_offs[N] = qoff;
+    return 0;
+}
+
+}  // namespace
+
+typedef struct RkmhStream {
+    gzFile f;
+    std::vector<uint8_t> buf;  // unparsed bytes
+    size_t pos;                // parse cursor into buf
+    bool eof;
+} RkmhStream;
+
+RkmhStream* rkmh_stream_open(const char* path) {
+    gzFile f = gzopen(path, "rb");  // transparently handles plain files too
+    if (!f) return nullptr;
+    gzbuffer(f, 1 << 20);
+    RkmhStream* s = new RkmhStream();
+    s->f = f;
+    s->pos = 0;
+    s->eof = false;
+    return s;
+}
+
+void rkmh_stream_close(RkmhStream* s) {
+    if (!s) return;
+    if (s->f) gzclose(s->f);
+    delete s;
+}
+
+// Parse up to max_reads records into *out (caller rkmh_free's it).
+// Returns the record count (0 = end of file), -1 on read error,
+// -2 on malformed input, -3 on allocation failure.
+int64_t rkmh_stream_next(RkmhStream* s, int64_t max_reads, int64_t granularity,
+                         RkmhBatch* out) {
+    memset(out, 0, sizeof(*out));
+    if (!s) return -1;
+    ChunkBuild cb;
+    const size_t CHUNK = 1 << 22;
+    while ((int64_t)cb.recs.size() < max_reads) {
+        ParseStatus st = parse_one(s->buf, s->pos, s->eof, cb);
+        if (st == P_OK) continue;
+        if (st == P_BAD) return -2;
+        if (st == P_DONE) break;
+        // P_NEED_MORE: drop consumed prefix, pull the next compressed chunk
+        if (s->pos > 0) {
+            s->buf.erase(s->buf.begin(), s->buf.begin() + (ptrdiff_t)s->pos);
+            s->pos = 0;
+        }
+        size_t used = s->buf.size();
+        s->buf.resize(used + CHUNK);
+        int got = gzread(s->f, s->buf.data() + used, (unsigned)CHUNK);
+        if (got < 0) return -1;
+        s->buf.resize(used + (size_t)got);
+        if (got == 0) s->eof = true;
+    }
+    if (cb.recs.empty()) return 0;
+    int rc = fill_batch(cb, granularity, out);
+    if (rc != 0) return -3;
+    return (int64_t)cb.recs.size();
+}
+
+// Parse one whole FASTA/FASTQ file into a single packed batch.
+// Returns 0 on success, nonzero on error (1 io, 2 malformed, 3 alloc).
+int rkmh_read_fastx(const char* path, int64_t granularity, RkmhBatch* out) {
+    memset(out, 0, sizeof(*out));
+    RkmhStream* s = rkmh_stream_open(path);
+    if (!s) return 1;
+    int64_t n = rkmh_stream_next(s, INT64_MAX, granularity, out);
+    rkmh_stream_close(s);
+    if (n == -1) return 1;
+    if (n == -2) return 2;
+    if (n == -3) return 3;
+    if (n == 0) {
+        // empty file: emit a valid 0-record batch (offsets arrays of size 1)
+        ChunkBuild cb;
+        return fill_batch(cb, granularity, out);
+    }
     return 0;
 }
 
