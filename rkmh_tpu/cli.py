@@ -83,6 +83,8 @@ def build_parser():
     p.add_argument("--json", action="store_true", help="emit Mash/sourmash-style JSON sketches")
     p.add_argument("--batch-size", type=int, default=0,
                    help="reads per device dispatch; 0 = auto (16384 on TPU, 2048 on CPU)")
+    p.add_argument("--chunk-reads", type=int, default=0,
+                   help="reads parsed per streaming window; 0 = auto (65536)")
 
     p = sub.add_parser("count")
     p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
@@ -93,12 +95,16 @@ def build_parser():
                    help="reads per device dispatch; 0 = auto (16384 on TPU, 2048 on CPU)")
     p.add_argument("-o", "--out-file", default="", help="save counter table (npz)")
     p.add_argument("--dump", action="store_true", help="print occupied slots")
+    p.add_argument("--chunk-reads", type=int, default=0,
+                   help="reads parsed per streaming window; 0 = auto (65536)")
 
     p = sub.add_parser("search")
     p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
     p.add_argument("-r", "--reference", action="append", default=[], dest="refs")
     p.add_argument("-k", "--kmer", action="append", type=int, default=[], dest="ks")
     p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("--chunk-reads", type=int, default=0,
+                   help="reads parsed per streaming window; 0 = auto (65536)")
 
     p = sub.add_parser("call")
     p.add_argument("-r", "--reference", action="append", default=[], dest="refs")
@@ -201,6 +207,7 @@ def _dispatch(args) -> int:
                 json_out=args.json,
                 out_prefix=args.out_prefix,
                 batch_size=args.batch_size,
+                chunk_reads=args.chunk_reads,
             )
         )
     if args.command == "count":
@@ -214,13 +221,15 @@ def _dispatch(args) -> int:
                 batch_size=args.batch_size,
                 out_file=args.out_file,
                 dump=args.dump,
+                chunk_reads=args.chunk_reads,
             )
         )
     if args.command == "search":
         from rkmh_tpu.commands.search_cmd import SearchConfig, run
 
         return run(
-            SearchConfig(ref_files=args.refs, read_files=args.reads, ks=tuple(args.ks))
+            SearchConfig(ref_files=args.refs, read_files=args.reads,
+                         ks=tuple(args.ks), chunk_reads=args.chunk_reads)
         )
     if args.command == "call":
         from rkmh_tpu.commands.call_cmd import CallConfig, run

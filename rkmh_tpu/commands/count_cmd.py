@@ -24,7 +24,13 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from rkmh_tpu.classify import engine
-from rkmh_tpu.commands.common import DEFAULT_KMER, load_packed, packed_batches, log
+from rkmh_tpu.commands.common import (
+    DEFAULT_KMER,
+    iter_packed_chunks,
+    packed_batches,
+    resolve_chunk_reads,
+    log,
+)
 from rkmh_tpu.ops.counter import HashCounter
 
 
@@ -36,6 +42,7 @@ class CountConfig:
     batch_size: int = 2048
     out_file: str = ""              # -o: save table as npz
     dump: bool = False              # --dump: print occupied slots
+    chunk_reads: int = 0            # streaming window; 0 = default
 
 
 def run(cfg: CountConfig, out=None) -> int:
@@ -47,20 +54,23 @@ def run(cfg: CountConfig, out=None) -> int:
     if not cfg.ks:
         log("Using default kmer size of 16.")
 
-    reads = load_packed(cfg.read_files)
     hc = HashCounter(cfg.counter_size)
     total_kmers = 0
-    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
-        hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
-        hc.add(hashes, mask)
-        # window count is a host-side function of lens — no D2H needed
-        total_kmers += int(
-            sum(np.maximum(lens.astype(np.int64) - (k - 1), 0).sum() for k in ks)
-        )
+    total_reads = 0
+    # bounded-memory chunked input (KSEQ_Reader semantics, rkmh.cpp:2323-2337)
+    for chunk in iter_packed_chunks(cfg.read_files, resolve_chunk_reads(cfg.chunk_reads)):
+        total_reads += len(chunk)
+        for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
+            hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+            hc.add(hashes, mask)
+            # window count is a host-side function of lens — no D2H needed
+            total_kmers += int(
+                sum(np.maximum(lens.astype(np.int64) - (k - 1), 0).sum() for k in ks)
+            )
 
     table = hc.to_numpy()
     occupied = int((table > 0).sum())
-    log(f"Counted {total_kmers} kmers from {len(reads)} reads into "
+    log(f"Counted {total_kmers} kmers from {total_reads} reads into "
         f"{cfg.counter_size}-slot table ({occupied} slots occupied).")
 
     if cfg.out_file:

@@ -32,7 +32,13 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from rkmh_tpu.classify import engine
-from rkmh_tpu.commands.common import DEFAULT_KMER, load_packed, packed_batches, log
+from rkmh_tpu.commands.common import (
+    DEFAULT_KMER,
+    iter_packed_chunks,
+    packed_batches,
+    resolve_chunk_reads,
+    log,
+)
 from rkmh_tpu.io.sketch_json import SketchRecord, dump_sketches
 from rkmh_tpu.utils import to_host
 
@@ -48,6 +54,7 @@ class HashConfig:
     json_out: bool = False        # --json to stdout
     out_prefix: str = ""          # -o prefix -> prefix.rkmh.json
     batch_size: int = 2048
+    chunk_reads: int = 0          # streaming window; 0 = default
 
 
 def _wabbit_line(name: str, mins: list[int], ks, sketch_size: int,
@@ -82,55 +89,60 @@ def run(cfg: HashConfig, out=None) -> int:
     else:
         log(f"Using a kmer size of {ks[0]}")
 
-    reads = load_packed(cfg.read_files)
-    names = reads.names
-
-    if cfg.output_kmers:
-        # -K: raw k-mer strings need no device pass (rkmh.cpp:2078)
-        k = ks[0]
-        for name, seq in zip(names, reads.seqs):
-            for i in range(max(0, len(seq) - k + 1)):
-                out.write(f"{seq[i:i + k].decode()}\t{name}\n")
-        return 0
-
     json_records: list[SketchRecord] = []
     want_json = cfg.json_out or bool(cfg.out_prefix)
+    chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
 
-    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
-        if cfg.sketch_size > 0:
-            sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
-            sk_np, lens_np = to_host((sk, sk_lens))
-            for i in range(e - s):
-                name, seq_len = names[s + i], int(reads.lens[s + i])
-                mins = sk_np[i, : lens_np[i]].tolist()
-                if cfg.wabbitize:
-                    counts = _multiset_counts(mins) if cfg.output_counts else None
-                    out.write(_wabbit_line(name, mins, ks, cfg.sketch_size, counts))
-                elif want_json:
-                    json_records.append(
-                        SketchRecord(name, mins, list(ks), cfg.sketch_size, seq_len)
-                    )
-                else:
-                    out.write(f"{name}\t{' '.join(map(str, mins))}\n")
-        else:
-            hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
-            h_np, m_np = to_host((hashes, mask))
-            for i in range(e - s):
-                name, seq_len = names[s + i], int(reads.lens[s + i])
-                vals = h_np[i][m_np[i]].tolist()
-                if cfg.wabbitize:
-                    mins = sorted(v for v in vals if v != 0)
-                    counts = _multiset_counts(mins) if cfg.output_counts else None
-                    out.write(_wabbit_line(name, mins, ks, cfg.sketch_size, counts))
-                elif want_json:
-                    json_records.append(
-                        SketchRecord(
-                            name, sorted(v for v in vals if v != 0),
-                            list(ks), cfg.sketch_size, seq_len,
+    # input is consumed in bounded chunks (KSEQ_Reader semantics,
+    # rkmh.cpp:2058-2073) and per-read lines are written as each batch is
+    # fetched, so memory stays constant in the file size (JSON mode is the
+    # exception: the dump schema needs every record)
+    for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
+        names = chunk.names
+
+        if cfg.output_kmers:
+            # -K: raw k-mer strings need no device pass (rkmh.cpp:2078)
+            k = ks[0]
+            for name, seq in zip(names, chunk.seqs):
+                for i in range(max(0, len(seq) - k + 1)):
+                    out.write(f"{seq[i:i + k].decode()}\t{name}\n")
+            continue
+
+        for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
+            if cfg.sketch_size > 0:
+                sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
+                sk_np, lens_np = to_host((sk, sk_lens))
+                for i in range(e - s):
+                    name, seq_len = names[s + i], int(chunk.lens[s + i])
+                    mins = sk_np[i, : lens_np[i]].tolist()
+                    if cfg.wabbitize:
+                        counts = _multiset_counts(mins) if cfg.output_counts else None
+                        out.write(_wabbit_line(name, mins, ks, cfg.sketch_size, counts))
+                    elif want_json:
+                        json_records.append(
+                            SketchRecord(name, mins, list(ks), cfg.sketch_size, seq_len)
                         )
-                    )
-                else:
-                    out.write(f"{name}\t{' '.join(map(str, vals))}\n")
+                    else:
+                        out.write(f"{name}\t{' '.join(map(str, mins))}\n")
+            else:
+                hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+                h_np, m_np = to_host((hashes, mask))
+                for i in range(e - s):
+                    name, seq_len = names[s + i], int(chunk.lens[s + i])
+                    vals = h_np[i][m_np[i]].tolist()
+                    if cfg.wabbitize:
+                        mins = sorted(v for v in vals if v != 0)
+                        counts = _multiset_counts(mins) if cfg.output_counts else None
+                        out.write(_wabbit_line(name, mins, ks, cfg.sketch_size, counts))
+                    elif want_json:
+                        json_records.append(
+                            SketchRecord(
+                                name, sorted(v for v in vals if v != 0),
+                                list(ks), cfg.sketch_size, seq_len,
+                            )
+                        )
+                    else:
+                        out.write(f"{name}\t{' '.join(map(str, vals))}\n")
 
     if want_json:
         if cfg.out_prefix:

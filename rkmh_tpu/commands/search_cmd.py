@@ -28,7 +28,13 @@ import numpy as np
 import jax.numpy as jnp
 
 from rkmh_tpu import oracle
-from rkmh_tpu.commands.common import DEFAULT_KMER, load_packed, packed_batches, log
+from rkmh_tpu.commands.common import (
+    DEFAULT_KMER,
+    iter_packed_chunks,
+    packed_batches,
+    resolve_chunk_reads,
+    log,
+)
 from rkmh_tpu.ops.hashing import kmer_window_hashes
 
 
@@ -38,6 +44,7 @@ class SearchConfig:
     read_files: list = field(default_factory=list)  # fasta/fastq
     ks: tuple = ()
     batch_size: int = 2048
+    chunk_reads: int = 0            # streaming window; 0 = default
 
 
 def load_ref_kmers(paths) -> np.ndarray:
@@ -67,26 +74,28 @@ def run(cfg: SearchConfig, out=None) -> int:
     ref_hashes = load_ref_kmers(cfg.ref_files)
     log(f"Loaded {len(ref_hashes)} reference kmers.")
     ref_dev = jnp.asarray(ref_hashes)
-    reads = load_packed(cfg.read_files)
-    names, seqs = reads.names, reads.seqs
 
-    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
-        wh = kmer_window_hashes(codes, k)                       # [B, W]
-        if ref_hashes.size:
-            pos = jnp.searchsorted(ref_dev, wh)
-            pos = jnp.clip(pos, 0, len(ref_hashes) - 1)
-            found = (ref_dev[pos] == wh) & (wh != np.uint64(0))
-        else:
-            found = jnp.zeros(wh.shape, dtype=bool)
-        from rkmh_tpu.utils import to_host
+    # bounded-memory chunked input (the reference's task-per-read streaming
+    # loop, rkmh.cpp:2210-2218)
+    for chunk in iter_packed_chunks(cfg.read_files, resolve_chunk_reads(cfg.chunk_reads)):
+        names, seqs = chunk.names, chunk.seqs
+        for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
+            wh = kmer_window_hashes(codes, k)                       # [B, W]
+            if ref_hashes.size:
+                pos = jnp.searchsorted(ref_dev, wh)
+                pos = jnp.clip(pos, 0, len(ref_hashes) - 1)
+                found = (ref_dev[pos] == wh) & (wh != np.uint64(0))
+            else:
+                found = jnp.zeros(wh.shape, dtype=bool)
+            from rkmh_tpu.utils import to_host
 
-        found_np = to_host(found)
-        for i in range(e - s):
-            seq = seqs[s + i]
-            nwin = len(seq) - k + 1
-            if nwin <= 0:
-                continue  # reference emits nothing for reads shorter than k
-            idx = np.nonzero(found_np[i, :nwin])[0]
-            mers = ",".join(seq[j : j + k].decode() for j in idx)
-            out.write(f"{names[s + i]}\t{mers}\n")
+            found_np = to_host(found)
+            for i in range(e - s):
+                seq = seqs[s + i]
+                nwin = len(seq) - k + 1
+                if nwin <= 0:
+                    continue  # reference emits nothing for reads shorter than k
+                idx = np.nonzero(found_np[i, :nwin])[0]
+                mers = ",".join(seq[j : j + k].decode() for j in idx)
+                out.write(f"{names[s + i]}\t{mers}\n")
     return 0

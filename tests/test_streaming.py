@@ -146,6 +146,52 @@ def test_stream_output_buffering_bounded(tmp_path):
     assert 0 < sm.last_peak_buffered_lines <= 2048  # ~13 batches + 2 chunks
 
 
+def test_hash_count_search_chunked_identical(tmp_path):
+    """hash / count --dump / search output must not depend on the
+    streaming window size."""
+    import io as _io
+
+    from rkmh_tpu.commands.hash_cmd import HashConfig, run as hash_run
+    from rkmh_tpu.commands.count_cmd import CountConfig, run as count_run
+    from rkmh_tpu.commands.search_cmd import SearchConfig, run as search_run
+
+    fp = str(tmp_path / "reads.fq")
+    _write_synth_fastq(fp, 157, minlen=30, maxlen=90, alphabet="ACGTN")
+
+    def capture(fn, cfg):
+        buf = _io.StringIO()
+        fn(cfg, out=buf)
+        return buf.getvalue()
+
+    whole = capture(hash_run, HashConfig(read_files=[fp], ks=(12,), batch_size=32,
+                                         chunk_reads=10**9))
+    chunked = capture(hash_run, HashConfig(read_files=[fp], ks=(12,), batch_size=32,
+                                           chunk_reads=13))
+    assert chunked == whole and whole.count("\n") == 157
+
+    whole = capture(count_run, CountConfig(read_files=[fp], ks=(12,), batch_size=32,
+                                           counter_size=4096, dump=True,
+                                           chunk_reads=10**9))
+    chunked = capture(count_run, CountConfig(read_files=[fp], ks=(12,), batch_size=32,
+                                             counter_size=4096, dump=True,
+                                             chunk_reads=13))
+    assert chunked == whole and whole
+
+    # search: reference kmer list from the first read's kmers
+    from rkmh_tpu.io.fastx import read_fastx as _rf
+
+    first = _rf(fp)[0].seq.decode()
+    kp = str(tmp_path / "kmers.txt")
+    with open(kp, "w") as f:
+        for j in range(0, max(1, len(first) - 12), 3):
+            f.write(first[j : j + 12] + "\n")
+    whole = capture(search_run, SearchConfig(ref_files=[kp], read_files=[fp],
+                                             ks=(12,), chunk_reads=10**9))
+    chunked = capture(search_run, SearchConfig(ref_files=[kp], read_files=[fp],
+                                               ks=(12,), chunk_reads=13))
+    assert chunked == whole and whole
+
+
 @pytest.mark.slow
 def test_stream_rss_bounded_subprocess(tmp_path):
     """Peak RSS of a chunked `stream` run stays a small constant over the
