@@ -29,7 +29,7 @@ def main():
 
     from rkmh_tpu.classify import engine
     from rkmh_tpu.commands.common import build_ref_panel, load_packed
-    from rkmh_tpu.commands.stream import format_lines_host
+    from rkmh_tpu.commands.stream import _NativeFormatCtx, format_lines_host
     from rkmh_tpu.utils import to_host
 
     DATA = "/root/reference/data"
@@ -46,6 +46,18 @@ def main():
     batch = codes.shape[0]
     total_bp = int(lens.sum())
 
+    # production formatting path: native block formatter reading names
+    # straight from the parser blob (commands/stream.py flush); the
+    # python per-line loop is the fallback when the .so is unavailable
+    fmt_ctx = _NativeFormatCtx(panel.keys, s)
+    fmt_rows = np.arange(batch, dtype=np.int64) % len(reads)
+
+    def format_result(arr):
+        blk = fmt_ctx.format_block(arr, fmt_rows, reads)
+        if blk is not None:
+            return blk.decode()
+        return format_lines_host(panel.keys, names, arr, s)
+
     def step(codes):
         return engine.classify_codes_table_packed(
             codes, *panel.table, ks=ks, sketch_size=s,
@@ -53,7 +65,20 @@ def main():
         )
 
     # warmup / compile
-    _ = format_lines_host(panel.keys, names, to_host(step(codes)), s)
+    _ = format_result(to_host(step(codes)))
+
+    # real-TPU regression gate for the Pallas hash kernel: Mosaic
+    # miscompiles (the shift-bug class, CLAUDE.md) only reproduce on
+    # hardware, where CI can't see them — catch them in the recorded run
+    pallas_parity = None
+    if platform == "tpu":
+        from rkmh_tpu.ops.hashing import kmer_window_hashes
+        from rkmh_tpu.ops.pallas_hash import kmer_window_hashes_pallas
+
+        sub = codes[:512]
+        a, b = to_host((kmer_window_hashes_pallas(sub, ks[0]),
+                        kmer_window_hashes(sub, ks[0])))
+        pallas_parity = "ok" if bool((np.asarray(a) == np.asarray(b)).all()) else "MISMATCH"
 
     # pipelined like commands/stream.py: batches stay in flight, results
     # fetched in groups (each device_get costs ~2 tunnel RTTs)
@@ -74,8 +99,8 @@ def main():
             if not grp:
                 return
             for arr in to_host(grp):
-                text = format_lines_host(panel.keys, names, arr, s)
-                lines += len(text.splitlines())
+                text = format_result(arr)
+                lines += text.count("\n")
 
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -99,6 +124,8 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(reads_per_sec / baseline, 2),
     }
+    if pallas_parity is not None:
+        result["pallas_parity"] = pallas_parity
     print(json.dumps(result))
     print(
         f"# platform={platform} batch={batch} iters={iters} "

@@ -95,21 +95,72 @@ def format_lines_packed(ref_keys, names, packed, sketch_size, as_list=False):
     return format_lines_host(ref_keys, names, to_host(packed), sketch_size, as_list)
 
 
+class _NativeFormatCtx:
+    """Precomputed ref-key / tail blobs for the native block formatter."""
+
+    __slots__ = ("ref_blob", "ref_offs", "tails_blob", "tail_offs")
+
+    def __init__(self, ref_keys, sketch_size: int):
+        keys = [k.encode() for k in ref_keys]
+        self.ref_blob = b"".join(keys)
+        self.ref_offs = np.cumsum([0] + [len(k) for k in keys], dtype=np.int64)
+        tails = [t.encode() for t in _tail_table(sketch_size)]
+        self.tails_blob = b"".join(tails)
+        self.tail_offs = np.cumsum([0] + [len(t) for t in tails], dtype=np.int64)
+
+    def format_block(self, arr, row_ids, chunk) -> bytes | None:
+        """One formatted byte block for a fetched [3, n] result, reading
+        names straight from the native parser's blob (no per-read Python
+        string).  None when the chunk lacks blobs (PyPacked fallback)."""
+        blob = getattr(chunk, "_names_blob", None)
+        if blob is None:
+            return None
+        from rkmh_tpu.io.native import format_lines_block
+
+        return format_lines_block(
+            arr, row_ids, blob, chunk._name_offs,
+            self.ref_blob, self.ref_offs, self.tails_blob, self.tail_offs,
+        )
+
+
 class _ChunkState:
-    """Per-input-chunk output buffer: lines land out of (bucket) order and
-    the chunk is written the moment every row has arrived."""
+    """Per-input-chunk output buffer: results land out of (bucket) order
+    and the chunk is written the moment every row has arrived.
 
-    __slots__ = ("names", "lines", "filled", "dispatched")
+    Parts are either (start_row:int, text_block) — the native formatter's
+    contiguous-rows fast path — or (rows:list, lines:list) from the
+    per-line fallback; render() reassembles input order either way.
+    """
 
-    def __init__(self, names):
-        self.names = names
-        self.lines = [None] * len(names)
+    __slots__ = ("chunk", "n", "parts", "filled", "dispatched")
+
+    def __init__(self, chunk):
+        self.chunk = chunk
+        self.n = len(chunk)
+        self.parts = []
         self.filled = 0
         self.dispatched = False  # all batches of this chunk sent to device
 
     @property
     def complete(self):
-        return self.dispatched and self.filled == len(self.lines)
+        return self.dispatched and self.filled == self.n
+
+    def render(self) -> str:
+        if all(isinstance(key, int) for key, _ in self.parts):
+            return "".join(
+                text for _, text in sorted(self.parts, key=lambda p: p[0])
+            )
+        lines = [None] * self.n
+        for key, payload in self.parts:
+            if isinstance(key, int):
+                seg = payload.split("\n")
+                seg.pop()  # trailing empty piece
+                for j, s in enumerate(seg):
+                    lines[key + j] = s + "\n"
+            else:
+                for i, line in zip(key, payload):
+                    lines[i] = line
+        return "".join(lines)
 
 
 def run(cfg: StreamConfig, out=None) -> int:
@@ -182,11 +233,12 @@ def run(cfg: StreamConfig, out=None) -> int:
     last_peak_buffered_lines = 0
     pending = deque()   # (chunk_state, rows, device_result)
     emit_q = deque()    # chunk states in input order
+    fmt_ctx = _NativeFormatCtx(panel.keys, cfg.sketch_size)
 
     def drain_emit():
         while emit_q and emit_q[0].complete:
             st = emit_q.popleft()
-            out.write("".join(st.lines))
+            out.write(st.render())
 
     def flush(n):
         global last_peak_buffered_lines
@@ -195,12 +247,21 @@ def run(cfg: StreamConfig, out=None) -> int:
             return
         fetched = to_host([res for *_, res in group])
         for (st, rows, _), arr in zip(group, fetched):
-            batch_names = [st.names[i] for i in rows]
-            lines = format_lines_host(
-                panel.keys, batch_names, arr, cfg.sketch_size, as_list=True
-            )
-            for i, line in zip(rows, lines):
-                st.lines[i] = line
+            # contiguous-rows batches (the common single-length-bucket
+            # case) format as one native block — no per-read Python work
+            blk = None
+            if len(rows) and rows[-1] - rows[0] == len(rows) - 1:
+                # arr may carry pad rows (batches round up to a power of
+                # two); format only the real ones
+                blk = fmt_ctx.format_block(arr[:, : len(rows)], rows, st.chunk)
+            if blk is not None:
+                st.parts.append((int(rows[0]), blk.decode()))
+            else:
+                batch_names = [st.chunk.names[i] for i in rows]
+                lines = format_lines_host(
+                    panel.keys, batch_names, arr, cfg.sketch_size, as_list=True
+                )
+                st.parts.append((list(rows), lines))
             st.filled += len(rows)
         buffered = sum(s.filled for s in emit_q)
         if buffered > last_peak_buffered_lines:
@@ -208,7 +269,7 @@ def run(cfg: StreamConfig, out=None) -> int:
         drain_emit()
 
     for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
-        st = _ChunkState(chunk.names)
+        st = _ChunkState(chunk)
         emit_q.append(st)
         for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
             pending.append((st, rows, dispatch(codes, lens)))

@@ -77,8 +77,60 @@ def load():
     lib.rkmh_stream_next.restype = ctypes.c_int64
     lib.rkmh_stream_close.argtypes = [ctypes.c_void_p]
     lib.rkmh_stream_close.restype = None
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.rkmh_format_lines.argtypes = [
+        _i64p, _i64p, _i64p, ctypes.c_int64, _i64p,
+        ctypes.c_char_p, _i64p,
+        ctypes.c_char_p, _i64p, ctypes.c_int64,
+        ctypes.c_char_p, _i64p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+    ]
+    lib.rkmh_format_lines.restype = ctypes.c_int64
+    lib.rkmh_buf_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
+    lib.rkmh_buf_free.restype = None
     _lib = lib
     return _lib
+
+
+def _i64_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def format_lines_block(arr, row_ids, names_blob: bytes, name_offs,
+                       ref_blob: bytes, ref_offs,
+                       tails_blob: bytes, tail_offs) -> bytes | None:
+    """Format a [3, n] packed classify result into one output-byte block
+    natively (see rkmh_format_lines).  None if the library is unavailable.
+
+    row_ids maps result rows to records in names_blob/name_offs; None
+    means identity.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    best = np.ascontiguousarray(arr[0], dtype=np.int64)
+    shared = np.ascontiguousarray(arr[1], dtype=np.int64)
+    flags = np.ascontiguousarray(arr[2], dtype=np.int64)
+    n = best.shape[0]
+    name_offs = np.ascontiguousarray(name_offs, dtype=np.int64)
+    ref_offs = np.ascontiguousarray(ref_offs, dtype=np.int64)
+    tail_offs = np.ascontiguousarray(tail_offs, dtype=np.int64)
+    if row_ids is not None:
+        row_ids = np.ascontiguousarray(row_ids, dtype=np.int64)
+    out = ctypes.POINTER(ctypes.c_char)()
+    ln = lib.rkmh_format_lines(
+        _i64_ptr(best), _i64_ptr(shared), _i64_ptr(flags), n,
+        _i64_ptr(row_ids) if row_ids is not None else None,
+        names_blob, _i64_ptr(name_offs),
+        ref_blob, _i64_ptr(ref_offs), len(ref_offs) - 1,
+        tails_blob, _i64_ptr(tail_offs),
+        ctypes.byref(out),
+    )
+    if ln < 0:
+        return None
+    data = ctypes.string_at(out, ln)
+    lib.rkmh_buf_free(out)
+    return data
 
 
 class PackedReads:

@@ -277,6 +277,72 @@ int64_t rkmh_stream_next(RkmhStream* s, int64_t max_reads, int64_t granularity,
     return (int64_t)cb.recs.size();
 }
 
+// Format a batch of classify/stream output lines (rkmh.cpp:891-893 layout)
+// in one call — replaces a per-read Python f-string loop (~0.5 us/line)
+// with ~30 ns/line native code.  Inputs are the packed [3, B] int64 device
+// result (best, shared, flags) plus the parser's zero-copy name blob:
+//
+//   line[i] = ref_key[best[i]] \t name[row_ids[i]] \t shared[i] tails[flags[i]]
+//
+// tails are the 8 precomputed "\t<s>[FAIL:...]" variants (flag bits
+// diff_ok | depth_fail<<1 | match_fail<<2).  Returns the byte length and
+// mallocs *out (caller frees via rkmh_buf_free); -1 on allocation failure.
+int64_t rkmh_format_lines(const int64_t* best, const int64_t* shared,
+                          const int64_t* flags, int64_t n,
+                          const int64_t* row_ids,
+                          const char* names_blob, const int64_t* name_offs,
+                          const char* ref_blob, const int64_t* ref_offs,
+                          int64_t num_refs,
+                          const char* tails_blob, const int64_t* tail_offs,
+                          char** out) {
+    *out = nullptr;
+    // upper-bound the buffer: per line = ref + name + 2 tabs + 20-digit
+    // count + longest tail
+    int64_t max_ref = 0, max_tail = 0;
+    for (int64_t r = 0; r < num_refs; ++r) {
+        int64_t l = ref_offs[r + 1] - ref_offs[r];
+        if (l > max_ref) max_ref = l;
+    }
+    for (int t = 0; t < 8; ++t) {
+        int64_t l = tail_offs[t + 1] - tail_offs[t];
+        if (l > max_tail) max_tail = l;
+    }
+    int64_t names_total = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t rid = row_ids ? row_ids[i] : i;
+        names_total += name_offs[rid + 1] - name_offs[rid];
+    }
+    size_t cap = size_t(n) * size_t(max_ref + max_tail + 24) + size_t(names_total) + 1;
+    char* buf = (char*)malloc(cap);
+    if (!buf) return -1;
+    char* p = buf;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t b = best[i];
+        if (b < 0) b = 0;
+        if (b >= num_refs) b = num_refs - 1;
+        int64_t rl = ref_offs[b + 1] - ref_offs[b];
+        memcpy(p, ref_blob + ref_offs[b], (size_t)rl); p += rl;
+        *p++ = '\t';
+        int64_t rid = row_ids ? row_ids[i] : i;
+        int64_t nl = name_offs[rid + 1] - name_offs[rid];
+        memcpy(p, names_blob + name_offs[rid], (size_t)nl); p += nl;
+        *p++ = '\t';
+        // itoa (shared is small and non-negative; handle negatives anyway)
+        int64_t v = shared[i];
+        if (v < 0) { *p++ = '-'; v = -v; }
+        char tmp[24]; int ti = 0;
+        do { tmp[ti++] = char('0' + (v % 10)); v /= 10; } while (v);
+        while (ti) *p++ = tmp[--ti];
+        int64_t f = flags[i] & 7;
+        int64_t tl = tail_offs[f + 1] - tail_offs[f];
+        memcpy(p, tails_blob + tail_offs[f], (size_t)tl); p += tl;
+    }
+    *out = buf;
+    return (int64_t)(p - buf);
+}
+
+void rkmh_buf_free(char* p) { free(p); }
+
 // Parse one whole FASTA/FASTQ file into a single packed batch.
 // Returns 0 on success, nonzero on error (1 io, 2 malformed, 3 alloc).
 int rkmh_read_fastx(const char* path, int64_t granularity, RkmhBatch* out) {
