@@ -1,6 +1,11 @@
-"""Multi-host helpers + scaling harness mechanics (virtual CPU mesh)."""
+"""Multi-host helpers + scaling harness mechanics (virtual CPU mesh),
+plus a REAL 2-process jax.distributed run (localhost coordinator, Gloo
+collectives) proving the multi-host path end to end — the one capability
+axis the reference has no analog of (SURVEY.md §2.4)."""
 
 import json
+import os
+import socket
 import subprocess
 import sys
 
@@ -28,6 +33,77 @@ def test_host_read_shard_partitions_exactly():
 def test_initialize_single_process_noop():
     # no coordinator configured -> returns without touching jax.distributed
     initialize()
+
+
+def test_two_process_distributed_classify_bit_identical(tmp_path):
+    """Two OS processes x 4 virtual CPU devices each: initialize() brings
+    up the distributed runtime, each process parses only its
+    host_read_shard slice, and the tp=2-sharded shard_map classify runs
+    over the 8-device GLOBAL mesh.  The merged per-read results must be
+    bit-identical to the single-process engine."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+    outs = [str(tmp_path / f"dist_{p}.json") for p in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, f"localhost:{port}", "2", str(p), outs[p]],
+            env={
+                "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+                "PYTHONPATH": "/root/repo",
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+                "HOME": os.environ.get("HOME", "/root"),
+            },
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for p in range(2)
+    ]
+    errs = []
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        errs.append(err)
+    assert all(p.returncode == 0 for p in procs), "\n".join(e[-1500:] for e in errs)
+
+    merged = {}
+    shards = []
+    for o in outs:
+        with open(o) as f:
+            d = json.load(f)
+        shards.append(tuple(d["shard"]))
+        for k, v in d["rows"].items():
+            i = int(k)
+            if i in merged:
+                assert merged[i] == v, f"row {i} disagrees between processes"
+            merged[i] = v
+    assert sorted(shards) == [(0, 32), (32, 64)]  # block partition held
+    assert sorted(merged) == list(range(64))
+
+    # single-process oracle: same refs/reads/params through the engine
+    from rkmh_tpu.classify import engine
+    from rkmh_tpu.io.fastx import read_fastx
+    from rkmh_tpu.io.packing import encode_seqs
+    from rkmh_tpu.utils import to_host
+
+    DATA = "/root/reference/data"
+    ks, s = (12,), 200
+    refs = read_fastx(f"{DATA}/zika.refs.fa")[:8]
+    ref_codes, _ = encode_seqs([r.seq for r in refs])
+    ref_sk, ref_lens = engine.sketch_batch(ref_codes, ks, s)
+    reads = read_fastx(f"{DATA}/z1.fq")[:64]
+    codes, _ = encode_seqs([r.seq for r in reads], pad_to=256)
+    best, shared, _, diff_ok, depth_fail, match_fail = to_host(
+        engine.classify_batch(codes, ref_sk, ref_lens, ks, s)
+    )
+    for i in range(64):
+        got = merged[i]
+        assert got["best"] == int(best[i]), i
+        assert got["shared"] == int(shared[i]), i
+        assert got["diff_ok"] == int(diff_ok[i]), i
+        assert got["depth_fail"] == int(depth_fail[i]), i
+        assert got["match_fail"] == int(match_fail[i]), i
 
 
 def test_scaling_harness_runs():
