@@ -1,0 +1,100 @@
+"""Benchmark matrix: all five canonical BASELINE.md configs, end to end.
+
+Unlike bench.py (the driver's single headline metric: steady-state
+classify throughput), this measures whole-command wall time — parse,
+panel build, classify, output — for each canonical config, twice each
+(the second run reuses the persistent compile cache; report the best to
+factor out tunnel load swings).  One JSON line per config.
+
+Run: python bench_matrix.py            (real TPU)
+     JAX_PLATFORMS=cpu python bench_matrix.py
+"""
+
+import io
+import json
+import sys
+import time
+
+DATA = "/root/reference/data"
+
+
+def timed(fn, repeats=2):
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import rkmh_tpu  # noqa: F401
+    import jax
+
+    platform = jax.devices()[0].platform
+
+    from rkmh_tpu.commands.stream import StreamConfig, run as stream_run
+    from rkmh_tpu.commands.filter_cmd import FilterConfig, run as filter_run
+    from rkmh_tpu.commands.call_cmd import CallConfig, run as call_run
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run as hpv16_run
+
+    rows = []
+
+    def record(config, seconds, reads, note=""):
+        rows.append({
+            "config": config,
+            "seconds": round(seconds, 3),
+            "reads_per_sec": round(reads / seconds, 1) if seconds else None,
+            "platform": platform,
+            **({"note": note} if note else {}),
+        })
+
+    # 1. zika classify (BASELINE config 1)
+    dt = timed(lambda: stream_run(
+        StreamConfig(ref_files=[f"{DATA}/zika.refs.fa"],
+                     read_files=[f"{DATA}/z1.fq"], ks=(12,), sketch_size=1000),
+        out=io.StringIO()))
+    record("classify zika k=12 s=1000 (60 refs x 1000 reads)", dt, 1000)
+
+    # 2. hpv16 k=18 s=4000 on real minION reads (BASELINE config 2)
+    import contextlib, os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        cwd = os.getcwd()
+        os.chdir(td)  # the .tst side-effect file lands here
+        try:
+            dt = timed(lambda: hpv16_run(
+                Hpv16Config(read_files=[f"{DATA}/minION25.fq"], refpath=DATA,
+                            ks=(18,), sketch_size=4000), out=io.StringIO()))
+        finally:
+            os.chdir(cwd)
+    record("hpv16 k=18 s=4000 (182-type panel, 25 minION reads)", dt, 25)
+
+    # 3. filter on minION25.fq (BASELINE config 3)
+    dt = timed(lambda: filter_run(
+        FilterConfig(ref_files=[f"{DATA}/hpv_16.fa"],
+                     read_files=[f"{DATA}/minION25.fq"], ks=(16,),
+                     sketch_size=1000, min_matches=25), out=io.StringIO()))
+    record("filter minION25 vs hpv_16.fa k=16 N=25", dt, 25)
+
+    # 4. stream -M/-I constant-memory counters (BASELINE config 4)
+    dt = timed(lambda: stream_run(
+        StreamConfig(ref_files=[f"{DATA}/zika.refs.fa"],
+                     read_files=[f"{DATA}/z1.fq"], ks=(12,), sketch_size=1000,
+                     min_kmer_occ=2, max_samples=40, counter_size=1 << 22),
+        out=io.StringIO()))
+    record("stream -M 2 -I 40 zika k=12 s=1000", dt, 1000)
+
+    # 5. call on hpv_16.fa + minION reads (BASELINE config 5)
+    dt = timed(lambda: call_run(
+        CallConfig(ref_files=[f"{DATA}/hpv_16.fa"],
+                   read_files=[f"{DATA}/minION25.fq"], ks=(16,),
+                   window_len=100), out=io.StringIO()))
+    record("call hpv_16.fa + 25 minION reads k=16 w=100", dt, 25,
+           note="ref claims ~10s/1100 reads (README.md:111)")
+
+    for r in rows:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

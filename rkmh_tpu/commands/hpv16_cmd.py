@@ -36,12 +36,12 @@ import sys
 from dataclasses import dataclass, field
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from rkmh_tpu.classify import engine
 from rkmh_tpu.commands.common import load_packed, packed_batches, log
 from rkmh_tpu.ops.counter import HashCounter
-from rkmh_tpu.ops.lookup import build_set_table
 
 
 @dataclass
@@ -63,31 +63,51 @@ def _fmt_double(x: float) -> str:
     return f"{x:.6g}"
 
 
-def _distinct_rows(packed, ks, batch_size):
-    """Hash records on device, return per-record distinct nonzero hashes."""
-    rows = []
-    for s, e, codes, lens in packed_batches(packed, batch_size):
-        hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
-        from rkmh_tpu.utils import to_host
+def _group_unique_keep(hashes, mask, rows_g, rows_other):
+    """Device: keep-mask for the hashes of group `rows_g` that appear in
+    NO row of `rows_other` — one iterated std::set_difference step of
+    rkmh.cpp:2575-2590, as a sort + searchsorted membership test."""
+    from rkmh_tpu.ops.sketch import SENTINEL
 
-        h_np, m_np = to_host((hashes, mask))
-        for i in range(e - s):
-            vals = np.unique(h_np[i][m_np[i]])
-            rows.append(vals[vals != 0])
-    return rows
+    g_h = hashes[rows_g]
+    g_m = mask[rows_g] & (g_h != np.uint64(0))
+    oth = jnp.where(mask[rows_other], hashes[rows_other], SENTINEL).reshape(-1)
+    oth = jnp.sort(oth)
+    pos = jnp.clip(jnp.searchsorted(oth, g_h), 0, oth.shape[0] - 1)
+    present = oth[pos] == g_h
+    return g_h, g_m & ~present
 
 
-def _unique_tables(group_sets: list[np.ndarray]):
-    """Per-group unique hashes: set minus union of all other groups
-    (the iterated std::set_difference of rkmh.cpp:2575-2590)."""
-    out = []
-    for i, s in enumerate(group_sets):
-        uniq = s
-        for j, o in enumerate(group_sets):
-            if j != i:
-                uniq = np.setdiff1d(uniq, o, assume_unique=True)
-        out.append(uniq)
-    return out
+_group_unique_keep_jit = jax.jit(_group_unique_keep)
+
+
+def _family_unique(hashes, mask, groups):
+    """Per-group unique-hash rows for one family (lineage or sublineage),
+    entirely on device: group g keeps the hashes found in none of the
+    other groups (the reference's iterated set_difference,
+    rkmh.cpp:2558-2653).  Returns ([G, Lmax] u64 SENTINEL-padded rows,
+    [G, Lmax] keep masks) ready for the set-table builder."""
+    from rkmh_tpu.ops.sketch import SENTINEL
+
+    R, W = hashes.shape
+    parts = []
+    for g, rows_g in enumerate(groups):
+        rows_other = np.asarray(
+            [r for gg, rs in enumerate(groups) if gg != g for r in rs],
+            dtype=np.int32,
+        )
+        g_h, keep = _group_unique_keep_jit(
+            hashes, mask, np.asarray(rows_g, dtype=np.int32), rows_other
+        )
+        parts.append((g_h.reshape(-1), keep.reshape(-1)))
+    Lmax = max(p[0].shape[0] for p in parts)
+    G = len(groups)
+    out_h = jnp.full((G, Lmax), SENTINEL, dtype=jnp.uint64)
+    out_m = jnp.zeros((G, Lmax), dtype=bool)
+    for g, (h, m) in enumerate(parts):
+        out_h = out_h.at[g, : h.shape[0]].set(h)
+        out_m = out_m.at[g, : m.shape[0]].set(m)
+    return out_h, out_m
 
 
 def run(cfg: Hpv16Config, out=None) -> int:
@@ -117,25 +137,47 @@ def run(cfg: Hpv16Config, out=None) -> int:
     )
     type_table = build_set_table_device(th, tm, num_refs=len(type_names))
 
-    # sublineage hash sets at kmer_sizes[0] (rkmh.cpp:2553)
-    sub_rows = _distinct_rows(sub_recs, (k0,), cfg.batch_size)
+    # sublineage hash sets at kmer_sizes[0] (rkmh.cpp:2553) and the
+    # lineage/sublineage unique-kmer tables (iterated set_difference,
+    # rkmh.cpp:2558-2653) — built ENTIRELY on device: hash once, group
+    # membership masks + searchsorted differences + set-table scatter,
+    # no per-record host loop (scales to panels far beyond 10 genomes)
     sub_names_all = list(sub_recs.names)
     lin_names = sorted({n[0] for n in sub_names_all})            # map<char,..>
     sublin_names = sorted({n[:2] for n in sub_names_all})        # map<string,..>
-    lin_sets = [
-        np.unique(np.concatenate(
-            [row for name, row in zip(sub_names_all, sub_rows) if name[0] == ln]
-        ))
-        for ln in lin_names
+    sh, sm = engine.hash_batch_with_mask(
+        sub_recs.codes, jnp.asarray(sub_recs.lens), (k0,)
+    )
+    lin_groups = [
+        [i for i, n in enumerate(sub_names_all) if n[0] == ln] for ln in lin_names
     ]
-    sublin_sets = [
-        np.unique(np.concatenate(
-            [row for name, row in zip(sub_names_all, sub_rows) if name[:2] == sn]
-        ))
-        for sn in sublin_names
+    sublin_groups = [
+        [i for i, n in enumerate(sub_names_all) if n[:2] == sn] for sn in sublin_names
     ]
-    lin_uniqs = _unique_tables(lin_sets)
-    sublin_uniqs = _unique_tables(sublin_sets)
+    lin_h, lin_keep = _family_unique(sh, sm, lin_groups)
+    sub_h, sub_keep = _family_unique(sh, sm, sublin_groups)
+    n_lin, n_sub = len(lin_names), len(sublin_names)
+
+    # one combined 14-row set table for the read-batch intersections
+    from rkmh_tpu.ops.lookup import build_set_table_device as _bstd
+
+    Lmax = max(lin_h.shape[1], sub_h.shape[1])
+
+    def _pad(a, fill):
+        return jnp.pad(a, ((0, 0), (0, Lmax - a.shape[1])),
+                       constant_values=fill)
+
+    comb_h = jnp.concatenate([_pad(lin_h, 0), _pad(sub_h, 0)])
+    comb_m = jnp.concatenate([_pad(lin_keep, False), _pad(sub_keep, False)])
+    uniq_table = _bstd(comb_h, comb_m, num_refs=n_lin + n_sub)
+
+    # the .tst side-effect file + stderr stats need the distinct values on
+    # host — ONE grouped fetch (int64 fast path), then per-row np.unique
+    from rkmh_tpu.utils import to_host
+
+    ch, cm = to_host((comb_h, comb_m))
+    uniq_rows = [np.unique(ch[i][cm[i]]) for i in range(n_lin + n_sub)]
+    lin_uniqs, sublin_uniqs = uniq_rows[:n_lin], uniq_rows[n_lin:]
 
     if cfg.tst_file:
         with open(f"lineage_specific_hashes.{k0}.tst", "w") as fh:
@@ -147,11 +189,6 @@ def run(cfg: Hpv16Config, out=None) -> int:
     log("Sublineage specific kmer table created:")
     for sn, uniq in zip(sublin_names, sublin_uniqs):
         log(f"\t{sn}\t{len(uniq)}")
-
-    uniq_panel = build_set_table(lin_uniqs + sublin_uniqs)
-    n_lin, n_sub = len(lin_names), len(sublin_names)
-
-    (uniq_table,) = uniq_panel.device_arrays()
 
     counter_table = None
     if cfg.min_kmer_occ > 0:

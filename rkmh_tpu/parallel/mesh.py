@@ -132,6 +132,85 @@ def sharded_classify_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
     return jax.jit(fn)
 
 
+def sharded_hpv16_fn(mesh: Mesh, ks: tuple, num_types: int, num_uniq: int):
+    """SPMD hpv16 read step: dp-sharded reads x replicated set tables
+    (type panel + lineage/sublineage unique-kmer panel).  Matches
+    engine.hpv16_batch bit for bit; reads are embarrassingly parallel so
+    no collective is needed in the hot loop (the tables broadcast once).
+    """
+    from rkmh_tpu.ops.lookup import lookup_intersection_counts
+    import jax.numpy as jnp
+
+    def local_step(codes, type_table, uniq_table):
+        hashes = multi_k_window_hashes(codes, list(ks))
+        full, lens = bottom_s_sketch(hashes, hashes.shape[-1])
+        tc = lookup_intersection_counts(full, lens, (type_table,), num_types)
+        uc = lookup_intersection_counts(full, lens, (uniq_table,), num_uniq)
+        best = jnp.argmax(tc, axis=-1)
+        max_shared = jnp.max(tc, axis=-1)
+        return jnp.concatenate(
+            [best.astype(jnp.int64)[:, None],
+             max_shared.astype(jnp.int64)[:, None],
+             uc.astype(jnp.int64)],
+            axis=1,
+        )
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("dp", None), P(None, None), P(None, None)),
+        out_specs=P("dp", None),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_call_enum_fn(mesh: Mesh, k: int):
+    """SPMD `call` mutation-enumeration: positions sharded over dp.
+
+    Input: overlapping code slices [dp, Pl + k] (halo k, host-built),
+    replicated read-depth hashmap.  Each device hashes its Pl windows,
+    enumerates all SNP alts (Pl x k x 3) and gathers their depths; the
+    global max rescue depth reduces with a pmax collective.  Returns
+    ([dp*Pl] window depths, [dp*Pl, k, 3] alt depths, scalar max).
+    """
+    from rkmh_tpu.ops.hashing import kmer_window_hashes
+    from rkmh_tpu.ops.hashmap import hashmap_get
+    from rkmh_tpu.call_engine import ROT, _slice_stack
+    import jax.numpy as jnp
+
+    def local_step(codes_slice, *table):
+        codes = codes_slice[0]                      # [Pl + k]
+        Pl = codes.shape[0] - k
+        wh = kmer_window_hashes(codes[None], k)[0][:Pl]      # [Pl]
+        depth = hashmap_get(table, wh)
+        win = _slice_stack(codes, 0, k, Pl)                  # [Pl, k]
+        rot = jnp.asarray(ROT)
+        alts = rot[jnp.minimum(win, 3)]                      # [Pl, k, 3]
+        eye = jnp.eye(k, dtype=bool)
+        alt_codes = jnp.where(
+            eye[None, :, None, :], alts[:, :, :, None], win[:, None, None, :]
+        )
+        snp_hash = kmer_window_hashes(
+            alt_codes.reshape(-1, k), k
+        )[:, 0].reshape(Pl, k, 3)
+        snp_depth = hashmap_get(table, snp_hash)
+        gmax = jax.lax.pmax(jnp.max(snp_depth), "dp")
+        return depth, snp_depth, gmax[None]
+
+    def wrapper(codes_slices, table_arrays):
+        fn = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P("dp", None),) + (P(None),) * len(table_arrays),
+            out_specs=(P("dp"), P("dp", None, None), P("dp")),
+            check_vma=False,
+        )
+        return fn(codes_slices, *table_arrays)
+
+    return jax.jit(wrapper)
+
+
 def shard_batch(mesh: Mesh, codes):
     """Place a host batch onto the mesh sharded along dp."""
     sharding = jax.sharding.NamedSharding(mesh, P("dp", None))
