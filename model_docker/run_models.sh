@@ -12,7 +12,8 @@ reads=$1
 refpath=${2:-data}
 modeldir=${3:-$(dirname "$0")}
 
-command -v vw >/dev/null || { echo "vw (Vowpal Wabbit) not found on PATH" >&2; exit 1; }
+if command -v vw >/dev/null; then VW=vw; MODEL_EXT=model
+else VW=rkmh-tpu-wabbit; MODEL_EXT=npz; fi   # built-in jax fallback
 
 work=$(mktemp -d)
 trap 'rm -rf "$work"' EXIT
@@ -21,11 +22,11 @@ rkmh-tpu hpv16 -f "$reads" -R "$refpath" -k 18 -s 4000 > "$work/sample.cls"
 rkmh-tpu-vwize -n -i "$work/sample.cls" -C 0 > "$work/sample.vw"
 
 for model in coinf_binary coinf_interactions lineage_ect sublineage_ect; do
-    if [ -f "$modeldir/$model.model" ]; then
-        vw -i "$modeldir/$model.model" -t -p "$work/$model.pred" "$work/sample.vw" 2>/dev/null
+    if [ -f "$modeldir/$model.$MODEL_EXT" ]; then
+        $VW -i "$modeldir/$model.$MODEL_EXT" -t -p "$work/$model.pred" "$work/sample.vw" 2>/dev/null
         echo "== $model =="
         paste -d' ' "$work/$model.pred" <(echo "$(basename "$reads")")
     else
-        echo "== $model == (no $model.model in $modeldir; train with scripts/train_the_wabbit.sh)" >&2
+        echo "== $model == (no $model.$MODEL_EXT in $modeldir; train with scripts/train_the_wabbit.sh)" >&2
     fi
 done
