@@ -46,20 +46,21 @@ def main():
     batch = codes.shape[0]
     total_bp = int(lens.sum())
 
-    # production formatting path: native block formatter reading names
-    # straight from the parser blob (commands/stream.py flush); the
-    # python per-line loop is the fallback when the .so is unavailable
+    # production formatting path: packed2 wire format (4 B/read D2H) +
+    # native block formatter reading names straight from the parser blob
+    # (commands/stream.py flush); python per-line loop is the fallback
     fmt_ctx = _NativeFormatCtx(panel.keys, s)
     fmt_rows = np.arange(batch, dtype=np.int64) % len(reads)
 
-    def format_result(arr):
+    def format_result(packed):
+        arr = engine.unpack2_host(packed, batch)
         blk = fmt_ctx.format_block(arr, fmt_rows, reads)
         if blk is not None:
             return blk.decode()
         return format_lines_host(panel.keys, names, arr, s)
 
     def step(codes):
-        return engine.classify_codes_table_packed(
+        return engine.classify_codes_table_packed2(
             codes, *panel.table, ks=ks, sketch_size=s,
             num_refs=panel.num_refs, min_diff=0, min_matches=-1,
         )
@@ -84,7 +85,7 @@ def main():
     # fetched in groups (each device_get costs ~2 tunnel RTTs)
     from collections import deque
 
-    GROUP = 6
+    GROUP = 12
     iters = 24 if platform != "cpu" else 3
     lines = 0
 

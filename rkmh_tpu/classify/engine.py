@@ -266,6 +266,77 @@ def classify_codes_table_packed(
     return jnp.stack([best.astype(jnp.int64), shared.astype(jnp.int64), flags])
 
 
+# ---------------------------------------------------------------------------
+# 2-reads-per-int64 result packing: the D2H wire moves ~50 MB/s through
+# the remote-TPU tunnel, so the [3, B] int64 layout (24 B/read) costs
+# ~0.5 us/read of host wait at 32k batches.  One u32 word per read
+# (best 16b | shared 13b | diff_ok<<29 | depth<<30 | match<<31), two
+# words bitcast into each int64 (the fast-D2H dtype), is 4 B/read —
+# measured on-chip: e2e throughput == pure-device throughput.
+# Requires num_refs < 2^16 and shared (<= sketch len) < 2^13; callers
+# fall back to the [3, B] layout outside that envelope.
+# ---------------------------------------------------------------------------
+
+
+def pack2_supported(num_refs: int, sketch_size: int) -> bool:
+    return num_refs <= 0xFFFF and sketch_size <= 0x1FFF
+
+
+def _pack2(best, shared, diff_ok, depth_fail, match_fail):
+    word = (
+        best.astype(jnp.uint32)
+        | (shared.astype(jnp.uint32) << jnp.uint32(16))
+        | (diff_ok.astype(jnp.uint32) << jnp.uint32(29))
+        | (depth_fail.astype(jnp.uint32) << jnp.uint32(30))
+        | (match_fail.astype(jnp.uint32) << jnp.uint32(31))
+    )
+    n = word.shape[0]
+    if n % 2:
+        word = jnp.pad(word, (0, 1))
+    w2 = word.reshape(-1, 2).astype(jnp.uint64)
+    return jax.lax.bitcast_convert_type(
+        w2[:, 0] | (w2[:, 1] << jnp.uint64(32)), jnp.int64
+    )
+
+
+def unpack2_host(arr_i64, n: int):
+    """Host: [ceil(n/2)] int64 -> [3, n] int64 (best, shared, flag bits
+    diff_ok | depth<<1 | match<<2), matching the [3, B] layout."""
+    w = np.asarray(arr_i64).view(np.uint64)
+    words = np.empty(2 * len(w), np.uint32)
+    words[0::2] = (w & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    words[1::2] = (w >> np.uint64(32)).astype(np.uint32)
+    words = words[:n]
+    out = np.empty((3, n), np.int64)
+    out[0] = words & 0xFFFF
+    out[1] = (words >> 16) & 0x1FFF
+    out[2] = words >> 29
+    return out
+
+
+@partial(jax.jit, static_argnames=("ks", "sketch_size", "num_refs", "min_diff", "min_matches"))
+def classify_codes_table_packed2(
+    codes, table,
+    ks: tuple, sketch_size: int,
+    num_refs: int, min_diff: int, min_matches: int,
+):
+    """classify_codes_table_packed with the 2-reads-per-int64 wire format."""
+    hashes = multi_k_window_hashes(codes, list(ks))
+    sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
+    counts = lookup_intersection_counts(sk, sk_lens, (table,), num_refs)
+    return _pack2(*argmax_stream(counts, min_diff, min_matches, sk_lens))
+
+
+@partial(jax.jit, static_argnames=("num_refs", "min_diff", "min_matches"))
+def classify_sketches_table_packed2(
+    sk, sk_lens, table,
+    num_refs: int, min_diff: int, min_matches: int,
+):
+    """classify_sketches_table_packed (-M/-I path) in the packed2 format."""
+    counts = lookup_intersection_counts(sk, sk_lens, (table,), num_refs)
+    return _pack2(*argmax_stream(counts, min_diff, min_matches, sk_lens))
+
+
 @partial(jax.jit, static_argnames=("num_refs", "min_diff", "min_matches"))
 def filter_sketches_table(
     sk, sk_lens, table, ref_lens,

@@ -34,7 +34,7 @@ from rkmh_tpu.commands.common import (
 )
 from rkmh_tpu.ops.counter import HashCounter
 
-FETCH_GROUP = 6  # results fetched per device_get; 2x this stays in flight
+FETCH_GROUP = 12  # results fetched per device_get; 2x this stays in flight
 
 # peak count of simultaneously buffered (formatted-but-unwritten) output
 # lines in the last run() — observability for the constant-memory claim
@@ -198,18 +198,26 @@ def run(cfg: StreamConfig, out=None) -> int:
                 hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
                 read_counter.add(hashes, mask)
 
+    # 4-byte-per-read wire format when the panel fits it (see engine
+    # pack2 notes); the [3, B] int64 layout is the general fallback
+    pack2 = engine.pack2_supported(panel.num_refs, cfg.sketch_size)
+
     def dispatch(codes, lens):
         if read_counter is not None:
             sk, sk_lens = engine.sketch_batch_depth_filtered(
                 codes, lens, read_counter.table, ks, cfg.sketch_size, cfg.min_kmer_occ
             )
-            return engine.classify_sketches_table_packed(
+            fn = (engine.classify_sketches_table_packed2 if pack2
+                  else engine.classify_sketches_table_packed)
+            return fn(
                 sk, sk_lens, *panel.table,
                 num_refs=panel.num_refs, min_diff=cfg.min_diff,
                 min_matches=cfg.min_matches,
             )
         # plain path: whole step in one jit (one dispatch per batch)
-        return engine.classify_codes_table_packed(
+        fn = (engine.classify_codes_table_packed2 if pack2
+              else engine.classify_codes_table_packed)
+        return fn(
             codes, *panel.table, ks=ks, sketch_size=cfg.sketch_size,
             num_refs=panel.num_refs, min_diff=cfg.min_diff,
             min_matches=cfg.min_matches,
@@ -247,12 +255,14 @@ def run(cfg: StreamConfig, out=None) -> int:
             return
         fetched = to_host([res for *_, res in group])
         for (st, rows, _), arr in zip(group, fetched):
+            if pack2:
+                # arr may carry pad rows (batches round up to a power of
+                # two and pack 2 reads per int64); unpack the real ones
+                arr = engine.unpack2_host(arr, len(rows))
             # contiguous-rows batches (the common single-length-bucket
             # case) format as one native block — no per-read Python work
             blk = None
             if len(rows) and rows[-1] - rows[0] == len(rows) - 1:
-                # arr may carry pad rows (batches round up to a power of
-                # two); format only the real ones
                 blk = fmt_ctx.format_block(arr[:, : len(rows)], rows, st.chunk)
             if blk is not None:
                 st.parts.append((int(rows[0]), blk.decode()))
