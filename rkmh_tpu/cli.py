@@ -185,6 +185,7 @@ def _dispatch(args) -> int:
                 counter_size=args.counter_size,
                 batch_size=args.batch_size,
                 ref_sketches=args.ref_sketches,
+                chunk_reads=args.chunk_reads,
             )
         )
     if args.command == "hash":

@@ -27,8 +27,10 @@ from rkmh_tpu.classify import engine
 from rkmh_tpu.commands.common import (
     DEFAULT_BATCH,
     DEFAULT_KMER,
+    iter_packed_chunks,
     load_packed,
     packed_batches,
+    resolve_chunk_reads,
     log,
 )
 from rkmh_tpu.io.fastx import iter_batches
@@ -50,6 +52,7 @@ class FilterConfig:
     counter_size: int = 10_000_000  # rkmh.cpp:1187-1188
     batch_size: int = DEFAULT_BATCH
     ref_sketches: str = ""          # JSON panel dump (hash -o) to load
+    chunk_reads: int = 0            # streaming window; 0 = default
 
 
 def run(cfg: FilterConfig, out=None, stdin=None) -> int:
@@ -76,15 +79,16 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
         )
     ref_keys = panel.keys
 
+    chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
     read_counter = None
-    reads = load_packed(cfg.read_files) if cfg.read_files else None
-
     if cfg.min_kmer_occ >= 0:
         # counter exists (possibly empty) whenever -M is given, matching the
-        # reference where an unpopulated counter fails every streamed read
+        # reference where an unpopulated counter fails every streamed read.
+        # First pass over the files is chunked (constant memory); the
+        # classify pass re-reads them.
         read_counter = HashCounter(cfg.counter_size)
-        if reads is not None:
-            for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
+        for chunk in iter_packed_chunks(cfg.read_files or [], chunk_reads):
+            for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
                 hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
                 read_counter.add(hashes, mask)
 
@@ -109,30 +113,53 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
     from rkmh_tpu.commands.common import bucketed_batches
     from rkmh_tpu.utils import to_host
 
-    if reads is not None:
-        names, seqs, quals = reads.names, reads.seqs, reads.quals
-        keep_buf = np.zeros(len(reads), dtype=bool)
+    if cfg.read_files:
+        class _Chunk:
+            __slots__ = ("chunk", "keep", "filled", "dispatched")
+
+            def __init__(self, chunk):
+                self.chunk = chunk
+                self.keep = np.zeros(len(chunk), dtype=bool)
+                self.filled = 0
+                self.dispatched = False
+
+            @property
+            def complete(self):
+                return self.dispatched and self.filled == len(self.keep)
+
         pending = deque()
+        emit_q = deque()
+
+        def drain_emit():
+            while emit_q and emit_q[0].complete:
+                st = emit_q.popleft()
+                names, seqs, quals = st.chunk.names, st.chunk.seqs, st.chunk.quals
+                for i in np.nonzero(st.keep)[0]:
+                    seq = seqs[i]
+                    qual = quals[i] if quals[i] is not None else b"I" * len(seq)
+                    out.write(f">{names[i]}\n{seq.decode()}\n+\n{qual.decode()}\n")
 
         def flush(n):
             group = [pending.popleft() for _ in range(min(n, len(pending)))]
             if not group:
                 return
-            fetched = to_host([res for _, res in group])
-            for (rows, _), arr in zip(group, fetched):
-                keep_buf[rows] = arr[3, : len(rows)].astype(bool)
+            fetched = to_host([res for *_, res in group])
+            for (st, rows, _), arr in zip(group, fetched):
+                st.keep[rows] = arr[3, : len(rows)].astype(bool)
+                st.filled += len(rows)
+            drain_emit()
 
-        for rows, codes, lens in bucketed_batches(reads, cfg.batch_size):
-            pending.append((rows, classify(codes, lens, packed=True)))
-            if len(pending) > 8:
-                flush(4)
+        for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
+            st = _Chunk(chunk)
+            emit_q.append(st)
+            for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
+                pending.append((st, rows, classify(codes, lens, packed=True)))
+                if len(pending) > 8:
+                    flush(4)
+            st.dispatched = True
         while pending:
             flush(len(pending))
-
-        for i in np.nonzero(keep_buf)[0]:
-            seq = seqs[i]
-            qual = quals[i] if quals[i] is not None else b"I" * len(seq)
-            out.write(f">{names[i]}\n{seq.decode()}\n+\n{qual.decode()}\n")
+        drain_emit()
 
     # ---- -i: STDIN streaming classification (rkmh.cpp:1329-1414) ----------
     # a reader thread fills a bounded queue (the KSEQ_Reader producer /
