@@ -252,9 +252,7 @@ def classify_codes_table_packed(
     """Whole stream step (hash -> sketch -> lookup -> argmax -> pack) as
     ONE jit: one dispatch per batch instead of two, and XLA fuses across
     the stage boundary."""
-    hashes = multi_k_window_hashes(codes, list(ks))
-    sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
-    counts = lookup_intersection_counts(sk, sk_lens, (table,), num_refs)
+    counts, sk_lens = _table_counts_from_codes(codes, table, ks, sketch_size, num_refs)
     best, shared, diff_ok, depth_fail, match_fail = argmax_stream(
         counts, min_diff, min_matches, sk_lens
     )
@@ -280,6 +278,38 @@ def classify_codes_table_packed(
 
 def pack2_supported(num_refs: int, sketch_size: int) -> bool:
     return num_refs <= 0xFFFF and sketch_size <= 0x1FFF
+
+
+# Short-read fast path: when every window hash fits in the sketch
+# (W <= s — e.g. zika 150 bp reads at s=1000), bottom-s selection is the
+# identity, so the row sort only serves to compute duplicate ranks.  The
+# ranks come cheaper from a fused O(W^2) prefix-equality count (XLA fuses
+# the [B, W, W] compare into the reduce; measured ~5% over the sort path
+# on-chip, bit-identical).  Guarded to small W so the quadratic term
+# can't blow up on long reads, which need real bottom-s selection anyway.
+NOSORT_MAX_W = 256
+
+
+def _table_counts_from_codes(codes, table, ks, sketch_size, num_refs):
+    """(counts [B, R], sketch_lens [B]) for a code batch, choosing the
+    sort-free short-read path when shapes allow (trace-time decision)."""
+    from rkmh_tpu.ops.lookup import lookup_intersection_counts_masked
+
+    hashes = multi_k_window_hashes(codes, list(ks))
+    W = hashes.shape[-1]
+    if W <= sketch_size and W <= NOSORT_MAX_W:
+        valid = hashes != np.uint64(0)
+        lower = np.tril(np.ones((W, W), dtype=bool), k=-1)
+        eq = hashes[:, None, :] == hashes[:, :, None]
+        occ = jnp.sum(eq & lower[None], axis=-1).astype(jnp.uint32)
+        sk_lens = jnp.sum(valid, axis=-1).astype(jnp.int32)
+        counts = lookup_intersection_counts_masked(
+            hashes, valid, occ, (table,), num_refs
+        )
+        return counts, sk_lens
+    sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
+    counts = lookup_intersection_counts(sk, sk_lens, (table,), num_refs)
+    return counts, sk_lens
 
 
 def _pack2(best, shared, diff_ok, depth_fail, match_fail):
@@ -321,9 +351,7 @@ def classify_codes_table_packed2(
     num_refs: int, min_diff: int, min_matches: int,
 ):
     """classify_codes_table_packed with the 2-reads-per-int64 wire format."""
-    hashes = multi_k_window_hashes(codes, list(ks))
-    sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
-    counts = lookup_intersection_counts(sk, sk_lens, (table,), num_refs)
+    counts, sk_lens = _table_counts_from_codes(codes, table, ks, sketch_size, num_refs)
     return _pack2(*argmax_stream(counts, min_diff, min_matches, sk_lens))
 
 

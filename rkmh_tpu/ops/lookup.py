@@ -158,21 +158,21 @@ def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = 
     return PanelTable(table, R, Wm)
 
 
-def lookup_intersection_counts(read_sk, read_lens, table_arrays, num_refs: int):
-    """[B, s] sorted read sketches -> [B, R] intersection counts, exactly
-    matching intersect.intersection_counts, via the bucket table."""
-    from rkmh_tpu.ops.intersect import occ_ranks
+def lookup_intersection_counts_masked(read_sk, qmask, occ, table_arrays,
+                                      num_refs: int):
+    """[B, s] read hash arrays (ANY order) + validity mask + per-element
+    duplicate ranks -> [B, R] intersection counts via the bucket table.
 
+    Order-free core of lookup_intersection_counts: the table probe only
+    needs each element's value and its occurrence rank, so callers that
+    already know the ranks (e.g. the sort-free short-read path) skip the
+    row sort entirely."""
     (table,) = table_arrays
     nb = table.shape[0]
     Wm = table.shape[1] // SLOTS - 3
     shift = np.uint32(32 - int(np.log2(nb)))
 
-    B, s = read_sk.shape
-    occ = occ_ranks(read_sk).astype(jnp.uint32)
-    qmask = (jnp.arange(s, dtype=jnp.int32)[None, :] < read_lens[:, None]) & (
-        read_sk != SENTINEL
-    )
+    occ = occ.astype(jnp.uint32)
     lo = read_sk.astype(jnp.uint32)
     hi = (read_sk >> np.uint64(32)).astype(jnp.uint32)
     x = (lo ^ (hi * np.uint32(_MIX)) ^ (occ * np.uint32(_MIX))) * np.uint32(_MUL)
@@ -209,6 +209,21 @@ def lookup_intersection_counts(read_sk, read_lens, table_arrays, num_refs: int):
                 )
             )
     return jnp.stack(counts, axis=-1)  # [B, R]
+
+
+def lookup_intersection_counts(read_sk, read_lens, table_arrays, num_refs: int):
+    """[B, s] sorted read sketches -> [B, R] intersection counts, exactly
+    matching intersect.intersection_counts, via the bucket table."""
+    from rkmh_tpu.ops.intersect import occ_ranks
+
+    B, s = read_sk.shape
+    occ = occ_ranks(read_sk).astype(jnp.uint32)
+    qmask = (jnp.arange(s, dtype=jnp.int32)[None, :] < read_lens[:, None]) & (
+        read_sk != SENTINEL
+    )
+    return lookup_intersection_counts_masked(
+        read_sk, qmask, occ, table_arrays, num_refs
+    )
 
 
 def build_set_table(ref_hash_rows: list, num_refs: int | None = None) -> PanelTable:

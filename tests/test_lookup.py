@@ -68,3 +68,50 @@ def test_device_panel_table_matches_host():
     want = np.asarray(lookup_intersection_counts(rsk, rlen, host.device_arrays(), 70))
     got = np.asarray(lookup_intersection_counts(rsk, rlen, (dev,), 70))
     assert np.array_equal(got, want)
+
+
+def test_nosort_short_read_path_matches_sorted():
+    """classify_codes_table_packed* take the sort-free path when W <= s
+    (engine.NOSORT_MAX_W guard); results must be bit-identical to the
+    sorted bottom-s path, duplicates and invalid windows included."""
+    import numpy as np
+    from rkmh_tpu.classify import engine
+    from rkmh_tpu.ops.lookup import build_panel_table
+    from rkmh_tpu.ops.sketch import bottom_s_sketch
+    from rkmh_tpu.ops.hashing import multi_k_window_hashes
+    from rkmh_tpu.ops.lookup import lookup_intersection_counts
+    from rkmh_tpu.utils import to_host
+
+    rng = np.random.default_rng(42)
+    # tiny alphabet slice so duplicate k-mers (and thus occ>0 ranks) occur
+    read_codes = rng.integers(0, 3, size=(32, 64)).astype(np.uint8)
+    read_codes[5, 10:20] = 255            # invalid stretch -> 0-hashes
+    read_codes[11, :] = read_codes[3, :]  # exact duplicate read
+    ref_codes = rng.integers(0, 3, size=(6, 256)).astype(np.uint8)
+
+    ks, s = (8,), 1000  # W = 57 <= s -> nosort path active
+    ref_sk, ref_lens = engine.sketch_batch(ref_codes, ks, s)
+    panel = build_panel_table(np.asarray(ref_sk), np.asarray(ref_lens))
+
+    import jax.numpy as jnp
+
+    packed_fast = engine.classify_codes_table_packed2(
+        read_codes, jnp.asarray(panel.table), ks=ks, sketch_size=s,
+        num_refs=panel.num_refs, min_diff=0, min_matches=5,
+    )
+    # reference computation through the explicit sorted path
+    hashes = multi_k_window_hashes(read_codes, list(ks))
+    sk, sk_lens = bottom_s_sketch(hashes, s)
+    counts = lookup_intersection_counts(sk, sk_lens, (jnp.asarray(panel.table),),
+                                        panel.num_refs)
+    best, shared, diff_ok, depth_fail, match_fail = engine.argmax_stream(
+        counts, 0, 5, sk_lens
+    )
+    want = np.stack([
+        np.asarray(best), np.asarray(shared),
+        np.asarray(diff_ok).astype(np.int64)
+        | (np.asarray(depth_fail).astype(np.int64) << 1)
+        | (np.asarray(match_fail).astype(np.int64) << 2),
+    ]).astype(np.int64)
+    got = engine.unpack2_host(to_host(packed_fast), 32)
+    assert np.array_equal(got, want)
