@@ -127,6 +127,8 @@ def build_parser():
     p.add_argument("--counter-size", type=int, default=800_000_000)  # rkmh.cpp:2516
     p.add_argument("--batch-size", type=int, default=0,
                    help="reads per device dispatch; 0 = auto")
+    p.add_argument("--chunk-reads", type=int, default=0,
+                   help="reads parsed per streaming window; 0 = auto (65536)")
 
     return ap
 
@@ -256,6 +258,7 @@ def _dispatch(args) -> int:
                 min_kmer_occ=args.min_kmer_occ,
                 counter_size=args.counter_size,
                 batch_size=args.batch_size,
+                chunk_reads=args.chunk_reads,
             )
         )
     return 1

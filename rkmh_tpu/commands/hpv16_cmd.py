@@ -56,6 +56,7 @@ class Hpv16Config:
     counter_size: int = 800_000_000  # rkmh.cpp:2516
     batch_size: int = 512
     tst_file: bool = True          # write lineage_specific_hashes.<k>.tst
+    chunk_reads: int = 0           # streaming window; 0 = default
 
 
 def _fmt_double(x: float) -> str:
@@ -124,7 +125,6 @@ def run(cfg: Hpv16Config, out=None) -> int:
 
     type_recs = load_packed([f"{cfg.refpath}/all_pave_ref.fa"])
     sub_recs = load_packed([f"{cfg.refpath}/new_refs.fa"])
-    reads = load_packed(cfg.read_files)
 
     # type panel: full distinct hash sets at kmer_sizes[0] (rkmh.cpp:2546),
     # built entirely on device — the ~600 MB bucket table never crosses
@@ -190,14 +190,20 @@ def run(cfg: Hpv16Config, out=None) -> int:
     for sn, uniq in zip(sublin_names, sublin_uniqs):
         log(f"\t{sn}\t{len(uniq)}")
 
+    from rkmh_tpu.commands.common import iter_packed_chunks, resolve_chunk_reads
+
+    chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
+
     counter_table = None
     if cfg.min_kmer_occ > 0:
         # -M: every read k-mer occurrence into the big lossy counter
-        # (rkmh.cpp:2513-2530; size 8e8)
+        # (rkmh.cpp:2513-2530; size 8e8); chunked first pass, the
+        # classify pass re-reads the files (constant memory)
         hc = HashCounter(cfg.counter_size)
-        for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
-            hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
-            hc.add(hashes, mask)
+        for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
+            for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
+                hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+                hc.add(hashes, mask)
         counter_table = hc.table
 
     from collections import deque
@@ -205,11 +211,23 @@ def run(cfg: Hpv16Config, out=None) -> int:
     from rkmh_tpu.commands.common import bucketed_batches
     from rkmh_tpu.utils import to_host
 
-    read_names = reads.names
     pending = deque()
-    out_lines: list = [None] * len(reads)
+    emit_q = deque()
 
-    def fmt_rows(rows, lens, packed):
+    class _Chunk:
+        __slots__ = ("names", "lines", "filled", "dispatched")
+
+        def __init__(self, names):
+            self.names = names
+            self.lines = [None] * len(names)
+            self.filled = 0
+            self.dispatched = False
+
+        @property
+        def complete(self):
+            return self.dispatched and self.filled == len(self.lines)
+
+    def fmt_rows(st, rows, lens, packed):
         best_np = packed[:, 0]
         shared_np = packed[:, 1]
         uc_np = packed[:, 2:]
@@ -227,7 +245,7 @@ def run(cfg: Hpv16Config, out=None) -> int:
             sub_order = sorted(range(n_sub), key=lambda x: -sub_sims[x])
 
             parts = [
-                read_names[ridx],
+                st.names[ridx],
                 type_names[int(best_np[i])],
                 f"{int(shared_np[i])}/{hn}",
                 "".join(f"{lin_names[x]}:{_fmt_double(lin_sims[x])};" for x in lin_order),
@@ -235,29 +253,40 @@ def run(cfg: Hpv16Config, out=None) -> int:
                 "".join(f"{int(lin_ints[x])};" for x in lin_order),
                 "".join(f"{int(sub_ints[x])};" for x in sub_order),
             ]
-            out_lines[ridx] = "\t".join(parts) + "\n"
+            st.lines[ridx] = "\t".join(parts) + "\n"
+        st.filled += len(rows)
+
+    def drain_emit():
+        while emit_q and emit_q[0].complete:
+            out.write("".join(emit_q.popleft().lines))
 
     def flush(n):
         group = [pending.popleft() for _ in range(min(n, len(pending)))]
         if not group:
             return
-        fetched = to_host([res for _, _, res in group])
-        for (rows, lens, _), arr in zip(group, fetched):
-            fmt_rows(rows, lens, arr)
+        fetched = to_host([res for *_, res in group])
+        for (st, rows, lens, _), arr in zip(group, fetched):
+            fmt_rows(st, rows, lens, arr)
+        drain_emit()
 
-    # length-bucketed + pipelined + group-fetched (see commands/stream.py);
-    # lines reassemble in input order
-    for rows, codes, lens in bucketed_batches(reads, cfg.batch_size):
-        res = engine.hpv16_batch(
-            codes,
-            type_table, uniq_table,
-            ks, len(type_names), n_lin + n_sub,
-            counter_table=counter_table, min_occ=cfg.min_kmer_occ,
-        )
-        pending.append((rows, lens, res))
-        if len(pending) > 6:
-            flush(3)
+    # chunked input + length-bucketed + pipelined + group-fetched (see
+    # commands/stream.py); each chunk's lines emit in input order the
+    # moment its batches return — constant memory in the read count
+    for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
+        st = _Chunk(chunk.names)
+        emit_q.append(st)
+        for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
+            res = engine.hpv16_batch(
+                codes,
+                type_table, uniq_table,
+                ks, len(type_names), n_lin + n_sub,
+                counter_table=counter_table, min_occ=cfg.min_kmer_occ,
+            )
+            pending.append((st, rows, lens, res))
+            if len(pending) > 6:
+                flush(3)
+        st.dispatched = True
     while pending:
         flush(len(pending))
-    out.write("".join(out_lines))
+    drain_emit()
     return 0

@@ -105,10 +105,14 @@ def _pick_tile(B: int, W: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("k", "seed", "interpret"))
-def kmer_window_hashes_pallas(codes, k: int, seed: int = 42, interpret: bool = False):
-    """[B, L] uint8 codes -> [B, L-k+1] uint64 canonical window hashes.
+def kmer_window_hashes_pallas_pair(codes, k: int, seed: int = 42,
+                                   interpret: bool = False):
+    """[B, L] uint8 codes -> ([B, W] lo, [B, W] hi) uint32 halves of the
+    canonical window hashes (W = L-k+1).
 
-    Pallas TPU fast path; bit-identical to hashing.kmer_window_hashes.
+    The kernel computes in u32 pairs natively; returning the halves lets
+    all-u32 consumers (the sort-free classify path) skip the u64
+    pack/unpack, which XLA:TPU emulates expensively.
     """
     if not 1 <= k <= 32:
         raise ValueError(f"pallas hash kernel supports k in 1..32, got {k}")
@@ -116,7 +120,8 @@ def kmer_window_hashes_pallas(codes, k: int, seed: int = 42, interpret: bool = F
     B, L = codes.shape
     W = L - k + 1
     if W <= 0 or B == 0:
-        return jnp.zeros((B, max(W, 0)), dtype=jnp.uint64)
+        z = jnp.zeros((B, max(W, 0)), dtype=jnp.uint32)
+        return z, z
 
     TB = _pick_tile(B, W)
     Bp = (B + TB - 1) // TB * TB
@@ -146,8 +151,17 @@ def kmer_window_hashes_pallas(codes, k: int, seed: int = 42, interpret: bool = F
         ),
         interpret=interpret,
     )(codes)
-    h = lo[:B].astype(jnp.uint64) | (hi[:B].astype(jnp.uint64) << np.uint64(32))
-    return h
+    return lo[:B], hi[:B]
+
+
+@partial(jax.jit, static_argnames=("k", "seed", "interpret"))
+def kmer_window_hashes_pallas(codes, k: int, seed: int = 42, interpret: bool = False):
+    """[B, L] uint8 codes -> [B, L-k+1] uint64 canonical window hashes.
+
+    Pallas TPU fast path; bit-identical to hashing.kmer_window_hashes.
+    """
+    lo, hi = kmer_window_hashes_pallas_pair(codes, k, seed, interpret)
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << np.uint64(32))
 
 
 def pallas_enabled() -> bool:
