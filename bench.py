@@ -59,8 +59,13 @@ def main():
             return blk.decode()
         return format_lines_host(panel.keys, names, arr, s)
 
+    W = sum(codes.shape[1] - k + 1 for k in ks)
+    step_fn = (engine.classify_codes_table_packed2_pair
+               if engine.pair_path_ok(ks, W, s)
+               else engine.classify_codes_table_packed2)
+
     def step(codes):
-        return engine.classify_codes_table_packed2(
+        return step_fn(
             codes, *panel.table, ks=ks, sketch_size=s,
             num_refs=panel.num_refs, min_diff=0, min_matches=-1,
         )

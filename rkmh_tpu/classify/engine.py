@@ -355,6 +355,68 @@ def classify_codes_table_packed2(
     return _pack2(*argmax_stream(counts, min_diff, min_matches, sk_lens))
 
 
+def pair_path_ok(ks, W: int, sketch_size: int) -> bool:
+    """True when the all-u32 Pallas pair path applies: RKMH_TPU_PALLAS=1
+    (explicit opt-in), TPU backend, every k in the Pallas kernel's range,
+    and the sort-free W <= s regime.
+
+    Measured head-to-head on chip (zika config, same session): the pair
+    path is bit-identical and within tunnel noise of the XLA u64 path
+    (434k vs 439k reads/s) — XLA already fuses the u64 emulation well —
+    so the XLA path stays the default and this is the explicit-control
+    alternative, same policy as ops.pallas_hash.pallas_enabled."""
+    import os
+
+    if os.environ.get("RKMH_TPU_PALLAS", "0") != "1":
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return (
+        backend == "tpu"
+        and all(1 <= k <= 32 for k in ks)
+        and W <= sketch_size
+        and W <= NOSORT_MAX_W
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "ks", "sketch_size", "num_refs", "min_diff", "min_matches", "interpret"))
+def classify_codes_table_packed2_pair(
+    codes, table,
+    ks: tuple, sketch_size: int,
+    num_refs: int, min_diff: int, min_matches: int,
+    interpret: bool = False,
+):
+    """All-u32 classify step: Pallas pair hash -> prefix-equality occ ->
+    pair bucket-table probe -> argmax -> pack2.  No u64 tensor is ever
+    materialized (XLA:TPU emulates 64-bit ops as u32-pair arithmetic at
+    several times the cost).  Bit-identical to classify_codes_table_packed2
+    in the W <= s regime it is gated to (pair_path_ok)."""
+    from rkmh_tpu.ops.lookup import lookup_intersection_counts_masked_pair
+    from rkmh_tpu.ops.pallas_hash import kmer_window_hashes_pallas_pair
+
+    los, his = [], []
+    for k in ks:
+        lo_k, hi_k = kmer_window_hashes_pallas_pair(codes, k, interpret=interpret)
+        los.append(lo_k)
+        his.append(hi_k)
+    lo = jnp.concatenate(los, axis=-1) if len(los) > 1 else los[0]
+    hi = jnp.concatenate(his, axis=-1) if len(his) > 1 else his[0]
+    W = lo.shape[-1]
+
+    valid = (lo | hi) != np.uint32(0)
+    lower = np.tril(np.ones((W, W), dtype=bool), k=-1)
+    eq = (lo[:, None, :] == lo[:, :, None]) & (hi[:, None, :] == hi[:, :, None])
+    occ = jnp.sum(eq & lower[None], axis=-1).astype(jnp.uint32)
+    sk_lens = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    counts = lookup_intersection_counts_masked_pair(
+        lo, hi, valid, occ, (table,), num_refs
+    )
+    return _pack2(*argmax_stream(counts, min_diff, min_matches, sk_lens))
+
+
 @partial(jax.jit, static_argnames=("num_refs", "min_diff", "min_matches"))
 def classify_sketches_table_packed2(
     sk, sk_lens, table,

@@ -214,9 +214,15 @@ def run(cfg: StreamConfig, out=None) -> int:
                 num_refs=panel.num_refs, min_diff=cfg.min_diff,
                 min_matches=cfg.min_matches,
             )
-        # plain path: whole step in one jit (one dispatch per batch)
-        fn = (engine.classify_codes_table_packed2 if pack2
-              else engine.classify_codes_table_packed)
+        # plain path: whole step in one jit (one dispatch per batch);
+        # on TPU short reads take the all-u32 Pallas pair pipeline
+        W = sum(codes.shape[1] - k + 1 for k in ks)
+        if pack2 and engine.pair_path_ok(ks, W, cfg.sketch_size):
+            fn = engine.classify_codes_table_packed2_pair
+        elif pack2:
+            fn = engine.classify_codes_table_packed2
+        else:
+            fn = engine.classify_codes_table_packed
         return fn(
             codes, *panel.table, ks=ks, sketch_size=cfg.sketch_size,
             num_refs=panel.num_refs, min_diff=cfg.min_diff,

@@ -167,14 +167,25 @@ def lookup_intersection_counts_masked(read_sk, qmask, occ, table_arrays,
     needs each element's value and its occurrence rank, so callers that
     already know the ranks (e.g. the sort-free short-read path) skip the
     row sort entirely."""
+    lo = read_sk.astype(jnp.uint32)
+    hi = (read_sk >> np.uint64(32)).astype(jnp.uint32)
+    return lookup_intersection_counts_masked_pair(
+        lo, hi, qmask, occ, table_arrays, num_refs
+    )
+
+
+def lookup_intersection_counts_masked_pair(lo, hi, qmask, occ, table_arrays,
+                                           num_refs: int):
+    """lookup_intersection_counts_masked with the hash halves supplied as
+    u32 arrays — the all-u32 query path (no u64 anywhere; XLA:TPU
+    emulates 64-bit ops expensively, so pair-producing hashers feed this
+    directly)."""
     (table,) = table_arrays
     nb = table.shape[0]
     Wm = table.shape[1] // SLOTS - 3
     shift = np.uint32(32 - int(np.log2(nb)))
 
     occ = occ.astype(jnp.uint32)
-    lo = read_sk.astype(jnp.uint32)
-    hi = (read_sk >> np.uint64(32)).astype(jnp.uint32)
     x = (lo ^ (hi * np.uint32(_MIX)) ^ (occ * np.uint32(_MIX))) * np.uint32(_MUL)
     bidx = (x >> shift).astype(jnp.int32)
 

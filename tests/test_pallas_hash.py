@@ -78,3 +78,36 @@ def test_u64pair_primitives():
 
     assert np.array_equal(np.asarray(up.ult32(j(alo), j(blo))), alo < blo)
     assert np.array_equal(np.asarray(up.ule32(j(alo), j(blo))), alo <= blo)
+
+
+def test_pair_classify_path_matches_u64_path():
+    """The all-u32 pair pipeline (Pallas pair hash -> pair lookup) must be
+    bit-identical to the u64 packed2 path (interpret mode on CPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rkmh_tpu.classify import engine
+    from rkmh_tpu.ops.lookup import build_panel_table
+    from rkmh_tpu.utils import to_host
+
+    rng = np.random.default_rng(9)
+    read_codes = rng.integers(0, 3, size=(16, 64)).astype(np.uint8)
+    read_codes[2, 20:30] = 255           # invalid stretch
+    read_codes[7] = read_codes[1]        # duplicate read
+    ref_codes = rng.integers(0, 3, size=(4, 200)).astype(np.uint8)
+
+    ks, s = (10,), 500
+    ref_sk, ref_lens = engine.sketch_batch(ref_codes, ks, s)
+    panel = build_panel_table(np.asarray(ref_sk), np.asarray(ref_lens))
+    table = jnp.asarray(panel.table)
+
+    want = to_host(engine.classify_codes_table_packed2(
+        read_codes, table, ks=ks, sketch_size=s,
+        num_refs=panel.num_refs, min_diff=0, min_matches=3,
+    ))
+    got = to_host(engine.classify_codes_table_packed2_pair(
+        read_codes, table, ks=ks, sketch_size=s,
+        num_refs=panel.num_refs, min_diff=0, min_matches=3,
+        interpret=True,
+    ))
+    assert np.array_equal(np.asarray(got), np.asarray(want))
