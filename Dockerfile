@@ -12,7 +12,10 @@ COPY pyproject.toml README.md ./
 COPY rkmh_tpu ./rkmh_tpu
 COPY scripts ./scripts
 
-RUN pip install --no-cache-dir "jax[cpu]" numpy && pip install --no-cache-dir -e . \
+COPY model_docker ./model_docker
+
+# optax powers the built-in VW-format trainer (rkmh-tpu-wabbit)
+RUN pip install --no-cache-dir "jax[cpu]" numpy optax && pip install --no-cache-dir -e . \
     && python -c "from rkmh_tpu.io.native import load; load()"  # prebuild librkmh_io.so
 
 ENTRYPOINT ["rkmh-tpu"]
