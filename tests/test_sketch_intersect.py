@@ -100,3 +100,18 @@ def test_sort_hashes_padded_keeps_zeros():
     x, lens = sort_hashes_padded(h, mask)
     assert np.asarray(x)[0].tolist() == [0, 3, 5, int(SENTINEL)]
     assert int(lens[0]) == 3
+
+
+def test_pair_sort_matches_u64_sort():
+    """The TPU two-key (hi, lo) row sort must order u64 values exactly
+    like the native sort, high bits included."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rkmh_tpu.ops.sketch import _sort_u64_rows_pair
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2**64, size=(16, 257), dtype=np.uint64)
+    x[0, :5] = [0, 1, 2**32 - 1, 2**32, 2**63]
+    x[1] = x[1][0]  # constant row
+    got = np.asarray(_sort_u64_rows_pair(jnp.asarray(x)))
+    assert np.array_equal(got, np.sort(x, axis=-1))
