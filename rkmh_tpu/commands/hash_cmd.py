@@ -97,16 +97,18 @@ def run(cfg: HashConfig, out=None) -> int:
     # rkmh.cpp:2058-2073) and per-read lines are written as each batch is
     # fetched, so memory stays constant in the file size (JSON mode is the
     # exception: the dump schema needs every record)
-    for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
-        names = chunk.names
-
-        if cfg.output_kmers:
-            # -K: raw k-mer strings need no device pass (rkmh.cpp:2078)
-            k = ks[0]
-            for name, seq in zip(names, chunk.seqs):
+    if cfg.output_kmers:
+        # -K: raw k-mer strings need no device pass (rkmh.cpp:2078) and
+        # suppress every other output mode (the pre-chunking early return)
+        k = ks[0]
+        for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
+            for name, seq in zip(chunk.names, chunk.seqs):
                 for i in range(max(0, len(seq) - k + 1)):
                     out.write(f"{seq[i:i + k].decode()}\t{name}\n")
-            continue
+        return 0
+
+    for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
+        names = chunk.names
 
         for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
             if cfg.sketch_size > 0:

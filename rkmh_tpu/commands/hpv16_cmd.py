@@ -97,9 +97,14 @@ def _family_unique(hashes, mask, groups):
             [r for gg, rs in enumerate(groups) if gg != g for r in rs],
             dtype=np.int32,
         )
-        g_h, keep = _group_unique_keep_jit(
-            hashes, mask, np.asarray(rows_g, dtype=np.int32), rows_other
-        )
+        rows_g = np.asarray(rows_g, dtype=np.int32)
+        if rows_other.size == 0:
+            # single-group family: nothing to subtract (the reference's
+            # set_difference loop body never runs)
+            g_h = hashes[rows_g]
+            keep = mask[rows_g] & (g_h != np.uint64(0))
+        else:
+            g_h, keep = _group_unique_keep_jit(hashes, mask, rows_g, rows_other)
         parts.append((g_h.reshape(-1), keep.reshape(-1)))
     Lmax = max(p[0].shape[0] for p in parts)
     G = len(groups)

@@ -23,6 +23,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC fastx_native.cpp -o librkmh_io.so -lz
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -254,9 +255,13 @@ int64_t rkmh_stream_next(RkmhStream* s, int64_t max_reads, int64_t granularity,
     if (!s) return -1;
     ChunkBuild cb;
     const size_t CHUNK = 1 << 22;
+    // parse_one restarts the current record after every refill, so the
+    // refill size doubles while one record keeps spanning the buffer —
+    // a single R-byte record costs O(R log R) instead of O(R^2/CHUNK)
+    size_t refill = CHUNK;
     while ((int64_t)cb.recs.size() < max_reads) {
         ParseStatus st = parse_one(s->buf, s->pos, s->eof, cb);
-        if (st == P_OK) continue;
+        if (st == P_OK) { refill = CHUNK; continue; }
         if (st == P_BAD) return -2;
         if (st == P_DONE) break;
         // P_NEED_MORE: drop consumed prefix, pull the next compressed chunk
@@ -265,11 +270,18 @@ int64_t rkmh_stream_next(RkmhStream* s, int64_t max_reads, int64_t granularity,
             s->pos = 0;
         }
         size_t used = s->buf.size();
-        s->buf.resize(used + CHUNK);
-        int got = gzread(s->f, s->buf.data() + used, (unsigned)CHUNK);
-        if (got < 0) return -1;
-        s->buf.resize(used + (size_t)got);
-        if (got == 0) s->eof = true;
+        size_t want = refill;
+        s->buf.resize(used + want);
+        size_t got_total = 0;
+        while (got_total < want) {  // gzread caps each call at ~2^31
+            unsigned ask = (unsigned)std::min<size_t>(want - got_total, 1u << 30);
+            int got = gzread(s->f, s->buf.data() + used + got_total, ask);
+            if (got < 0) return -1;
+            got_total += (size_t)got;
+            if (got == 0) { s->eof = true; break; }
+        }
+        s->buf.resize(used + got_total);
+        if (refill < (size_t(1) << 31)) refill *= 2;
     }
     if (cb.recs.empty()) return 0;
     int rc = fill_batch(cb, granularity, out);

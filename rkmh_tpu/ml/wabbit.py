@@ -232,11 +232,14 @@ def train_multiclass(idx, val, y, n_classes: int, bits: int,
 
 
 def save_model(path: str, kind: str, weights, bits: int, interactions, ignore):
-    np.savez_compressed(
-        path, kind=kind, weights=weights, bits=bits,
-        interactions=np.asarray(list(interactions), dtype=object),
-        ignore=np.asarray(sorted(ignore), dtype=object),
-    )
+    # write through a file object: np.savez would otherwise append .npz to
+    # the name, breaking `-f trained.model`-style invocations
+    with open(path, "wb") as fh:
+        np.savez_compressed(
+            fh, kind=kind, weights=weights, bits=bits,
+            interactions=np.asarray(list(interactions), dtype=object),
+            ignore=np.asarray(sorted(ignore), dtype=object),
+        )
 
 
 def load_model(path: str):
@@ -301,16 +304,34 @@ def main(argv=None, stdin=None, stdout=None) -> int:
     idx, val, labels = vectorize(examples, bits, interactions, set(ignore))
 
     if weights is None and not args.testonly:
+        # train only on labeled examples (vwize's unlabeled placeholder
+        # lines would otherwise silently skew the model)
+        labeled = np.asarray([ex.label is not None for ex in examples])
+        if not labeled.all():
+            print(f"skipping {int((~labeled).sum())} unlabeled examples "
+                  "for training", file=sys.stderr)
+        if not labeled.any():
+            print("no labeled examples to train on", file=sys.stderr)
+            return 1
+        t_idx, t_val, t_lab = idx[labeled], val[labeled], labels[labeled]
         if kind == "binary":
-            y = np.where(labels >= 0, 1.0, -1.0).astype(np.float32)
-            weights = train_binary(idx, val, y, bits, args.passes,
+            y = np.where(t_lab >= 0, 1.0, -1.0).astype(np.float32)
+            weights = train_binary(t_idx, t_val, y, bits, args.passes,
                                    args.learning_rate)
         else:
-            weights = train_multiclass(idx, val, labels, args.ect, bits,
+            if not np.isin(t_lab, np.arange(1, args.ect + 1)).all():
+                print(f"--ect {args.ect}: labels must be in 1..{args.ect}",
+                      file=sys.stderr)
+                return 1
+            weights = train_multiclass(t_idx, t_val, t_lab, args.ect, bits,
                                        args.passes, args.learning_rate)
         if args.out_model:
             save_model(args.out_model, kind, weights, bits,
                        interactions, ignore)
+
+    if weights is None and (args.testonly or args.predictions):
+        print("no model: pass -i <model> (or drop -t to train)", file=sys.stderr)
+        return 1
 
     preds_out = None
     if args.predictions:
