@@ -98,6 +98,41 @@ def test_chunked_parse_multi_file_order(tmp_path):
     assert names == [r.name for r in oracle]
 
 
+def test_chunked_parse_fuzz_pathological_inputs(tmp_path):
+    """Randomized pathological files (CRLF, blank lines, plus-less FASTQ
+    records, empty sequences, mixed FASTA/FASTQ) must parse identically
+    through the native chunked parser and the Python oracle, at several
+    chunk sizes."""
+    rng = random.Random(1234)
+    for trial in range(6):
+        parts = []
+        n = rng.randint(1, 60)
+        for i in range(n):
+            kind = rng.choice(["fa", "fq", "fq_noplus"])
+            L = rng.randint(0, 200)
+            seq = "".join(rng.choice("ACGTNacgtnRYx") for _ in range(L))
+            eol = rng.choice(["\n", "\r\n"])
+            blank = rng.choice(["", eol])
+            if kind == "fa":
+                body = eol.join(seq[j : j + 13] for j in range(0, L, 13)) if L else ""
+                parts.append(f">{kind}{trial}_{i} extra words{eol}{body}{eol}{blank}")
+            elif kind == "fq":
+                qual = "".join(chr(33 + rng.randrange(40)) for _ in range(L))
+                parts.append(f"@{kind}{trial}_{i}{eol}{seq}{eol}+{eol}{qual}{eol}{blank}")
+            else:
+                # '@' record without the '+' line: next line is lookahead
+                parts.append(f"@{kind}{trial}_{i}{eol}{seq}{eol}")
+        p = str(tmp_path / f"fuzz{trial}.fx")
+        with open(p, "w", newline="") as f:
+            f.write("".join(parts))
+        oracle = read_fastx(p)
+        for chunk_reads in (1, 3, 10**9):
+            names, seqs, quals, lens, _ = _collect_chunks([p], chunk_reads)
+            assert names == [r.name for r in oracle], (trial, chunk_reads)
+            assert seqs == [r.seq for r in oracle], (trial, chunk_reads)
+            assert quals == [r.qual for r in oracle], (trial, chunk_reads)
+
+
 def test_stream_chunked_output_byte_identical(tmp_path):
     from rkmh_tpu.commands.stream import StreamConfig, run
 
