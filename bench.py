@@ -60,15 +60,30 @@ def main():
         return format_lines_host(panel.keys, names, arr, s)
 
     W = sum(codes.shape[1] - k + 1 for k in ks)
-    step_fn = (engine.classify_codes_table_packed2_pair
-               if engine.pair_path_ok(ks, W, s)
-               else engine.classify_codes_table_packed2)
+    L = codes.shape[1]
+    if engine.pair_path_ok(ks, W, s):
+        def step(codes):
+            return engine.classify_codes_table_packed2_pair(
+                codes, *panel.table, ks=ks, sketch_size=s,
+                num_refs=panel.num_refs, min_diff=0, min_matches=-1,
+            )
+    elif engine.pack4_ok(L):
+        # production wire format: 2-bit packed codes per batch (H2D is
+        # the tunnel's scarce resource; packing cost is part of the step)
+        from rkmh_tpu.io.packing import pack_codes4
 
-    def step(codes):
-        return step_fn(
-            codes, *panel.table, ks=ks, sketch_size=s,
-            num_refs=panel.num_refs, min_diff=0, min_matches=-1,
-        )
+        def step(codes):
+            pk, vb = pack_codes4(codes)
+            return engine.classify_packed4_table_packed2(
+                pk, vb, L, *panel.table, ks=ks, sketch_size=s,
+                num_refs=panel.num_refs, min_diff=0, min_matches=-1,
+            )
+    else:
+        def step(codes):
+            return engine.classify_codes_table_packed2(
+                codes, *panel.table, ks=ks, sketch_size=s,
+                num_refs=panel.num_refs, min_diff=0, min_matches=-1,
+            )
 
     # warmup / compile
     _ = format_result(to_host(step(codes)))

@@ -195,18 +195,41 @@ def run(cfg: StreamConfig, out=None) -> int:
         read_counter = HashCounter(cfg.counter_size)
         for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
             for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
-                hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+                if engine.pack4_ok(codes.shape[1]):
+                    from rkmh_tpu.io.packing import pack_codes4
+
+                    pk, vb = pack_codes4(codes)
+                    hashes, mask = engine.hash_packed4_with_mask(
+                        pk, vb, lens, codes.shape[1], ks
+                    )
+                else:
+                    hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
                 read_counter.add(hashes, mask)
 
-    # 4-byte-per-read wire format when the panel fits it (see engine
-    # pack2 notes); the [3, B] int64 layout is the general fallback
+    # 4-byte-per-read result wire format when the panel fits it (see
+    # engine pack2 notes); the [3, B] int64 layout is the general
+    # fallback.  Input codes ship 2-bit packed on accelerators (the
+    # tunnel's H2D was ~45% of the classify wall; engine.pack4_ok).
     pack2 = engine.pack2_supported(panel.num_refs, cfg.sketch_size)
 
     def dispatch(codes, lens):
+        L = codes.shape[1]
+        pack4 = engine.pack4_ok(L)
+        if pack4:
+            from rkmh_tpu.io.packing import pack_codes4
+
+            pk, vb = pack_codes4(codes)
         if read_counter is not None:
-            sk, sk_lens = engine.sketch_batch_depth_filtered(
-                codes, lens, read_counter.table, ks, cfg.sketch_size, cfg.min_kmer_occ
-            )
+            if pack4:
+                sk, sk_lens = engine.sketch_packed4_depth_filtered(
+                    pk, vb, lens, read_counter.table, L, ks,
+                    cfg.sketch_size, cfg.min_kmer_occ,
+                )
+            else:
+                sk, sk_lens = engine.sketch_batch_depth_filtered(
+                    codes, lens, read_counter.table, ks, cfg.sketch_size,
+                    cfg.min_kmer_occ,
+                )
             fn = (engine.classify_sketches_table_packed2 if pack2
                   else engine.classify_sketches_table_packed)
             return fn(
@@ -216,7 +239,13 @@ def run(cfg: StreamConfig, out=None) -> int:
             )
         # plain path: whole step in one jit (one dispatch per batch);
         # on TPU short reads take the all-u32 Pallas pair pipeline
-        W = sum(codes.shape[1] - k + 1 for k in ks)
+        W = sum(L - k + 1 for k in ks)
+        if pack2 and pack4 and not engine.pair_path_ok(ks, W, cfg.sketch_size):
+            return engine.classify_packed4_table_packed2(
+                pk, vb, L, *panel.table, ks=ks, sketch_size=cfg.sketch_size,
+                num_refs=panel.num_refs, min_diff=cfg.min_diff,
+                min_matches=cfg.min_matches,
+            )
         if pack2 and engine.pair_path_ok(ks, W, cfg.sketch_size):
             fn = engine.classify_codes_table_packed2_pair
         elif pack2:

@@ -46,6 +46,30 @@ def encode_seqs(seqs: list[bytes], pad_to: int | None = None, granularity: int =
     return codes, lens
 
 
+def pack_codes4(codes: np.ndarray):
+    """[B, L] uint8 codes -> ([B, L/4] 2-bit-packed bases, [B, L/8]
+    validity bitmask), L % 8 == 0.
+
+    The device wire format for read batches: 0.375 B/base instead of 1
+    (the axon tunnel moves ~50 MB/s, so per-batch H2D of raw codes was
+    ~45% of the classify wall; measured 480k -> 770k reads/s).  Invalid
+    bases/padding lose their exact byte value (restored as 255), which
+    every consumer treats identically (only `code < 4` matters).
+    """
+    B, L = codes.shape
+    assert L % 8 == 0, L
+    v = codes < 4
+    c2 = np.where(v, codes, 0).astype(np.uint8)
+    packed = (
+        c2[:, 0::4]
+        | (c2[:, 1::4] << 2)
+        | (c2[:, 2::4] << 4)
+        | (c2[:, 3::4] << 6)
+    )
+    vbits = np.packbits(v, axis=1, bitorder="little")
+    return packed, vbits
+
+
 def decode_codes(codes: np.ndarray, length: int) -> bytes:
     """codes[:length] -> ASCII bytes (invalid codes become 'N')."""
     c = np.asarray(codes[:length])

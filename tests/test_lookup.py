@@ -115,3 +115,49 @@ def test_nosort_short_read_path_matches_sorted():
     ]).astype(np.int64)
     got = engine.unpack2_host(to_host(packed_fast), 32)
     assert np.array_equal(got, want)
+
+
+def test_packed4_wire_format_classify_identical():
+    """2-bit packed code upload (pack_codes4 -> device unpack) must give
+    byte-identical classify results, invalid bases and padding included."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rkmh_tpu.classify import engine
+    from rkmh_tpu.io.packing import pack_codes4
+    from rkmh_tpu.ops.lookup import build_panel_table
+    from rkmh_tpu.utils import to_host
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=(24, 64)).astype(np.uint8)
+    codes[3, 10:14] = 4        # invalid base byte value from the encoder
+    codes[5, 40:] = 255        # padding
+    ref_codes = rng.integers(0, 4, size=(5, 256)).astype(np.uint8)
+
+    ks, s = (12,), 40  # W=53 > s -> exercises the sorted path through unpack
+    ref_sk, ref_lens = engine.sketch_batch(ref_codes, ks, s)
+    panel = build_panel_table(np.asarray(ref_sk), np.asarray(ref_lens))
+    table = jnp.asarray(panel.table)
+
+    want = to_host(engine.classify_codes_table_packed2(
+        codes, table, ks=ks, sketch_size=s,
+        num_refs=panel.num_refs, min_diff=0, min_matches=2,
+    ))
+    pk, vb = pack_codes4(codes)
+    got = to_host(engine.classify_packed4_table_packed2(
+        pk, vb, 64, table, ks=ks, sketch_size=s,
+        num_refs=panel.num_refs, min_diff=0, min_matches=2,
+    ))
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    # unpack round-trips exactly for encoder-produced byte values
+    codes2 = np.where(codes < 4, codes, 255).astype(np.uint8)
+    pk2, vb2 = pack_codes4(codes2)
+    back = np.asarray(engine.unpack_codes4(pk2, vb2, 64))
+    assert np.array_equal(back, codes2)
+
+    # depth-filter and hash wrappers agree too
+    lens = np.full(24, 64, np.int32)
+    h1, m1 = engine.hash_batch_with_mask(codes, lens, ks)
+    h2, m2 = engine.hash_packed4_with_mask(pk, vb, lens, 64, ks)
+    assert np.array_equal(np.asarray(h1), np.asarray(h2))
+    assert np.array_equal(np.asarray(m1), np.asarray(m2))
