@@ -403,6 +403,43 @@ def hash_packed4_with_mask(packed, vbits, lengths, L: int, ks: tuple):
     return hashes, mask
 
 
+@partial(jax.jit, static_argnames=("L", "ks", "sketch_size"))
+def sketch_packed4(packed, vbits, L: int, ks: tuple, sketch_size: int):
+    """sketch_batch over the packed wire format (filter's classify pass)."""
+    codes = unpack_codes4(packed, vbits, L)
+    hashes = multi_k_window_hashes(codes, list(ks))
+    return bottom_s_sketch(hashes, sketch_size)
+
+
+@partial(jax.jit, static_argnames=("L", "ks", "num_types", "num_uniq", "min_occ"))
+def hpv16_packed4_batch(
+    packed, vbits, L: int,
+    type_table, uniq_table,
+    ks: tuple, num_types: int, num_uniq: int,
+    counter_table=None, min_occ: int = 0,
+):
+    """hpv16_batch over the packed wire format (long nanopore reads ship
+    2.7x less H2D)."""
+    codes = unpack_codes4(packed, vbits, L)
+    hashes = multi_k_window_hashes(codes, list(ks))
+    if counter_table is not None:
+        counts = counter_get(counter_table, hashes)
+        hashes = mask_by_frequency(hashes, counts, min_occ)
+    full, lens = bottom_s_sketch(hashes, hashes.shape[-1])
+    tc = lookup_intersection_counts(full, lens, (type_table,), num_types)
+    uc = lookup_intersection_counts(full, lens, (uniq_table,), num_uniq)
+    best = jnp.argmax(tc, axis=-1)
+    max_shared = jnp.max(tc, axis=-1)
+    return jnp.concatenate(
+        [
+            best.astype(jnp.int64)[:, None],
+            max_shared.astype(jnp.int64)[:, None],
+            uc.astype(jnp.int64),
+        ],
+        axis=1,
+    )
+
+
 @partial(jax.jit, static_argnames=("L", "ks", "sketch_size", "min_occ"))
 def sketch_packed4_depth_filtered(
     packed, vbits, lengths, table, L: int, ks: tuple, sketch_size: int, min_occ: int

@@ -93,10 +93,26 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
                 read_counter.add(hashes, mask)
 
     def classify(codes, lens, packed: bool = False):
+        # codes ship 2-bit packed on accelerators (engine.pack4_ok)
+        L = codes.shape[1]
+        pack4 = engine.pack4_ok(L)
+        if pack4:
+            from rkmh_tpu.io.packing import pack_codes4
+
+            pk, vb = pack_codes4(codes)
         if read_counter is not None:
-            sk, sk_lens = engine.sketch_batch_depth_filtered(
-                codes, lens, read_counter.table, ks, cfg.sketch_size, cfg.min_kmer_occ
-            )
+            if pack4:
+                sk, sk_lens = engine.sketch_packed4_depth_filtered(
+                    pk, vb, lens, read_counter.table, L, ks,
+                    cfg.sketch_size, cfg.min_kmer_occ,
+                )
+            else:
+                sk, sk_lens = engine.sketch_batch_depth_filtered(
+                    codes, lens, read_counter.table, ks, cfg.sketch_size,
+                    cfg.min_kmer_occ,
+                )
+        elif pack4:
+            sk, sk_lens = engine.sketch_packed4(pk, vb, L, ks, cfg.sketch_size)
         else:
             sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
         fn = engine.filter_sketches_table_packed if packed else engine.filter_sketches_table

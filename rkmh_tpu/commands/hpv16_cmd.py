@@ -281,12 +281,23 @@ def run(cfg: Hpv16Config, out=None) -> int:
         st = _Chunk(chunk.names)
         emit_q.append(st)
         for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
-            res = engine.hpv16_batch(
-                codes,
-                type_table, uniq_table,
-                ks, len(type_names), n_lin + n_sub,
-                counter_table=counter_table, min_occ=cfg.min_kmer_occ,
-            )
+            if engine.pack4_ok(codes.shape[1]):
+                from rkmh_tpu.io.packing import pack_codes4
+
+                pk, vb = pack_codes4(codes)
+                res = engine.hpv16_packed4_batch(
+                    pk, vb, codes.shape[1],
+                    type_table, uniq_table,
+                    ks, len(type_names), n_lin + n_sub,
+                    counter_table=counter_table, min_occ=cfg.min_kmer_occ,
+                )
+            else:
+                res = engine.hpv16_batch(
+                    codes,
+                    type_table, uniq_table,
+                    ks, len(type_names), n_lin + n_sub,
+                    counter_table=counter_table, min_occ=cfg.min_kmer_occ,
+                )
             pending.append((st, rows, lens, res))
             if len(pending) > 6:
                 flush(3)

@@ -161,3 +161,45 @@ def test_packed4_wire_format_classify_identical():
     h2, m2 = engine.hash_packed4_with_mask(pk, vb, lens, 64, ks)
     assert np.array_equal(np.asarray(h1), np.asarray(h2))
     assert np.array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_packed4_sketch_and_hpv16_variants_identical():
+    """sketch_packed4(_depth_filtered) and hpv16_packed4_batch must match
+    their raw-codes counterparts element for element."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rkmh_tpu.classify import engine
+    from rkmh_tpu.io.packing import pack_codes4
+    from rkmh_tpu.ops.counter import HashCounter
+    from rkmh_tpu.ops.lookup import build_set_table_device
+    from rkmh_tpu.utils import to_host
+
+    rng = np.random.default_rng(8)
+    codes = rng.integers(0, 4, size=(12, 96)).astype(np.uint8)
+    codes[2, 80:] = 255
+    lens = np.where(np.arange(12) == 2, 80, 96).astype(np.int32)
+    pk, vb = pack_codes4(codes)
+    ks = (14,)
+
+    a = to_host(engine.sketch_batch(codes, ks, 30))
+    b = to_host(engine.sketch_packed4(pk, vb, 96, ks, 30))
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+    hc = HashCounter(4096)
+    h, m = engine.hash_batch_with_mask(codes, lens, ks)
+    hc.add(h, m)
+    a = to_host(engine.sketch_batch_depth_filtered(codes, lens, hc.table, ks, 30, 2))
+    b = to_host(engine.sketch_packed4_depth_filtered(pk, vb, lens, hc.table, 96, ks, 30, 2))
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+    ref_codes = rng.integers(0, 4, size=(3, 200)).astype(np.uint8)
+    rh, rm = engine.hash_batch_with_mask(
+        ref_codes, np.full(3, 200, np.int32), ks
+    )
+    tt = build_set_table_device(rh, rm, num_refs=3)
+    ut = build_set_table_device(rh[:2], rm[:2], num_refs=2)
+    a = to_host(engine.hpv16_batch(codes, tt, ut, ks, 3, 2,
+                                   counter_table=hc.table, min_occ=1))
+    b = to_host(engine.hpv16_packed4_batch(pk, vb, 96, tt, ut, ks, 3, 2,
+                                           counter_table=hc.table, min_occ=1))
+    assert np.array_equal(np.asarray(a), np.asarray(b))
