@@ -137,8 +137,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from rkmh_tpu.observability import observed_run
 
-    with observed_run(args.command, enabled=getattr(args, "metrics", False) or None):
-        return _dispatch(args)
+    try:
+        with observed_run(args.command, enabled=getattr(args, "metrics", False) or None):
+            return _dispatch(args)
+    except (FileNotFoundError, IsADirectoryError, PermissionError) as e:
+        # bad input paths exit cleanly like the reference's exit(1)
+        # (rkmh.cpp:1585-1594), not with a traceback
+        print(f"rkmh-tpu {args.command}: {e.strerror}: {e.filename}", file=sys.stderr)
+        return 1
+    except BrokenPipeError:
+        return 0  # e.g. `rkmh-tpu ... | head`
 
 
 def _dispatch(args) -> int:

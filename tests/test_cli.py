@@ -137,3 +137,13 @@ def test_cli_hash_json_stdout(tiny):
     data = json.loads(out)
     assert data[0]["hash_type"] == "MurmurHash3_x64_128"
     assert len(data[0]["sketches"]) <= 4
+
+
+def test_cli_missing_file_clean_error(capsys):
+    from rkmh_tpu.cli import main
+
+    rc = main(["stream", "-r", "/nonexistent/refs.fa", "-f", "/nonexistent/reads.fq",
+               "-k", "12"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "nonexistent" in err and "Traceback" not in err
