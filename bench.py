@@ -39,7 +39,9 @@ def main():
     panel = build_ref_panel(load_packed(f"{DATA}/zika.refs.fa"), ks, s)
 
     platform = jax.devices()[0].platform
-    tile = 32 if platform != "cpu" else 4  # 32k reads per dispatch on accelerator
+    # 16k/dispatch measured optimal on-chip (sweep: 8k 810k, 16k 832k,
+    # 32k 767k, 64k 736k reads/s) — matches the stream auto batch size
+    tile = 16 if platform != "cpu" else 4
     codes = np.tile(reads.codes, (tile, 1))
     lens = np.tile(reads.lens, tile)
     names = list(reads.names) * tile
@@ -106,7 +108,7 @@ def main():
     from collections import deque
 
     GROUP = 12
-    iters = 24 if platform != "cpu" else 3
+    iters = 48 if platform != "cpu" else 3
     lines = 0
 
     def measure():

@@ -297,7 +297,13 @@ def _table_counts_from_codes(codes, table, ks, sketch_size, num_refs):
 
     hashes = multi_k_window_hashes(codes, list(ks))
     W = hashes.shape[-1]
-    if W <= sketch_size and W <= NOSORT_MAX_W:
+    try:
+        accel = jax.default_backend() != "cpu"
+    except Exception:
+        accel = False
+    # the quadratic prefix-equality trade only pays on wide-vector
+    # hardware; a single CPU core is ~15x faster with the sort
+    if accel and W <= sketch_size and W <= NOSORT_MAX_W:
         valid = hashes != np.uint64(0)
         lower = np.tril(np.ones((W, W), dtype=bool), k=-1)
         eq = hashes[:, None, :] == hashes[:, :, None]

@@ -71,15 +71,22 @@ def test_device_panel_table_matches_host():
 
 
 def test_nosort_short_read_path_matches_sorted():
-    """classify_codes_table_packed* take the sort-free path when W <= s
-    (engine.NOSORT_MAX_W guard); results must be bit-identical to the
-    sorted bottom-s path, duplicates and invalid windows included."""
+    """The sort-free classify computation (prefix-equality occ ranks +
+    order-free masked lookup — the accelerator W <= s path inside
+    engine._table_counts_from_codes) must be bit-identical to the sorted
+    bottom-s path, duplicates and invalid windows included.  Built
+    explicitly here because the jitted wrapper only selects it on
+    accelerator backends."""
     import numpy as np
+    import jax.numpy as jnp
     from rkmh_tpu.classify import engine
-    from rkmh_tpu.ops.lookup import build_panel_table
+    from rkmh_tpu.ops.lookup import (
+        build_panel_table,
+        lookup_intersection_counts,
+        lookup_intersection_counts_masked,
+    )
     from rkmh_tpu.ops.sketch import bottom_s_sketch
     from rkmh_tpu.ops.hashing import multi_k_window_hashes
-    from rkmh_tpu.ops.lookup import lookup_intersection_counts
     from rkmh_tpu.utils import to_host
 
     rng = np.random.default_rng(42)
@@ -89,32 +96,31 @@ def test_nosort_short_read_path_matches_sorted():
     read_codes[11, :] = read_codes[3, :]  # exact duplicate read
     ref_codes = rng.integers(0, 3, size=(6, 256)).astype(np.uint8)
 
-    ks, s = (8,), 1000  # W = 57 <= s -> nosort path active
+    ks, s = (8,), 1000  # W = 57 <= s
     ref_sk, ref_lens = engine.sketch_batch(ref_codes, ks, s)
     panel = build_panel_table(np.asarray(ref_sk), np.asarray(ref_lens))
+    table = jnp.asarray(panel.table)
 
-    import jax.numpy as jnp
-
-    packed_fast = engine.classify_codes_table_packed2(
-        read_codes, jnp.asarray(panel.table), ks=ks, sketch_size=s,
-        num_refs=panel.num_refs, min_diff=0, min_matches=5,
-    )
-    # reference computation through the explicit sorted path
     hashes = multi_k_window_hashes(read_codes, list(ks))
-    sk, sk_lens = bottom_s_sketch(hashes, s)
-    counts = lookup_intersection_counts(sk, sk_lens, (jnp.asarray(panel.table),),
-                                        panel.num_refs)
-    best, shared, diff_ok, depth_fail, match_fail = engine.argmax_stream(
-        counts, 0, 5, sk_lens
+    W = hashes.shape[-1]
+
+    # sort-free computation exactly as _table_counts_from_codes builds it
+    valid = hashes != np.uint64(0)
+    lower = np.tril(np.ones((W, W), dtype=bool), k=-1)
+    eq = hashes[:, None, :] == hashes[:, :, None]
+    occ = jnp.sum(eq & lower[None], axis=-1).astype(jnp.uint32)
+    ns_lens = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    ns_counts = lookup_intersection_counts_masked(
+        hashes, valid, occ, (table,), panel.num_refs
     )
-    want = np.stack([
-        np.asarray(best), np.asarray(shared),
-        np.asarray(diff_ok).astype(np.int64)
-        | (np.asarray(depth_fail).astype(np.int64) << 1)
-        | (np.asarray(match_fail).astype(np.int64) << 2),
-    ]).astype(np.int64)
-    got = engine.unpack2_host(to_host(packed_fast), 32)
-    assert np.array_equal(got, want)
+
+    sk, sk_lens = bottom_s_sketch(hashes, s)
+    so_counts = lookup_intersection_counts(sk, sk_lens, (table,), panel.num_refs)
+
+    a = to_host((ns_counts, ns_lens))
+    b = to_host((so_counts, sk_lens))
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
 
 
 def test_packed4_wire_format_classify_identical():
