@@ -107,8 +107,10 @@ def main():
     # fetched in groups (each device_get costs ~2 tunnel RTTs)
     from collections import deque
 
-    GROUP = 12
-    iters = 48 if platform != "cpu" else 3
+    # fetches cost ~2 tunnel RTTs each regardless of size; 24-batch groups
+    # measured 753k vs 663k reads/s at 12 (RKMH_BENCH_GROUP overrides)
+    GROUP = int(__import__("os").environ.get("RKMH_BENCH_GROUP", "24"))
+    iters = 96 if platform != "cpu" else 3
     lines = 0
 
     def measure():

@@ -34,7 +34,9 @@ from rkmh_tpu.commands.common import (
 )
 from rkmh_tpu.ops.counter import HashCounter
 
-FETCH_GROUP = 12  # results fetched per device_get; 2x this stays in flight
+FETCH_GROUP = 24  # results fetched per device_get; 2x this stays in flight
+                  # (each device_get costs ~2 tunnel RTTs regardless of
+                  # size: 24-groups measured 753k vs 663k reads/s at 12)
 
 # peak count of simultaneously buffered (formatted-but-unwritten) output
 # lines in the last run() — observability for the constant-memory claim
