@@ -165,6 +165,11 @@ def load_packed(paths, granularity: int = 128):
 
 DEFAULT_CHUNK_READS = 65536
 
+# results fetched per grouped device_get; 2x this stays in flight.  Each
+# device_get costs ~2 tunnel RTTs regardless of payload: 24-batch groups
+# measured 753k vs 663k reads/s at 12 on the zika bench.
+FETCH_GROUP = 24
+
 
 def resolve_chunk_reads(requested: int | None = None) -> int:
     """Streaming window size (reads per parsed chunk).  0/None = default;
@@ -211,6 +216,116 @@ def iter_packed_chunks(paths, chunk_reads: int, granularity: int = 128):
         else:
             for recs in iter_batches(p, chunk_reads):
                 yield PyPacked(recs, granularity)
+
+
+def _is_fifo(path) -> bool:
+    import stat as _stat
+
+    try:
+        import os
+
+        return _stat.S_ISFIFO(os.stat(path).st_mode)
+    except OSError:
+        return False
+
+
+def two_pass_chunks(paths, chunk_reads: int, granularity: int = 128):
+    """(first_pass_iterable, second_pass_factory) over packed chunks.
+
+    The -M commands read their input twice (counter pass, then classify
+    pass).  Plain file paths re-read from disk — constant memory.  Stdin
+    and FIFOs can only be read once, so their chunks are buffered in
+    memory for the second pass (the reference buffers ALL input always,
+    rkmh.cpp:783-788 — this is strictly no worse).
+    """
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    rewindable = all(
+        p not in ("-", b"-") and not _is_fifo(p) for p in paths
+    )
+    if rewindable:
+        return (
+            iter_packed_chunks(paths, chunk_reads, granularity),
+            lambda: iter_packed_chunks(paths, chunk_reads, granularity),
+        )
+    chunks = list(iter_packed_chunks(paths, chunk_reads, granularity))
+    return iter(chunks), lambda: iter(chunks)
+
+
+class ChunkState:
+    """Book-keeping base for a chunk moving through ChunkedPipeline:
+    complete once all its batches were dispatched AND their results
+    landed."""
+
+    __slots__ = ("n", "filled", "dispatched")
+
+    def __init__(self, n: int):
+        self.n = n
+        self.filled = 0
+        self.dispatched = False
+
+    @property
+    def complete(self) -> bool:
+        return self.dispatched and self.filled == self.n
+
+
+class ChunkedPipeline:
+    """Shared pipelined dispatch -> grouped-fetch -> in-order-emit loop
+    for the chunked commands (stream/filter/hpv16).
+
+    Dispatches are asynchronous; up to 2*group batches stay in flight and
+    results are fetched in groups (each device_get costs ~2 tunnel RTTs).
+    Chunks are emitted in input order the moment they complete, so peak
+    residency is the in-flight window plus ~2 chunks — constant in the
+    input size.
+
+    on_result(state, meta, host_array): record one batch's fetched result
+        into its chunk state and advance state.filled.
+    emit(state): write one completed chunk's output.
+    """
+
+    def __init__(self, on_result, emit, group: int = FETCH_GROUP):
+        from collections import deque
+
+        self.on_result = on_result
+        self.emit = emit
+        self.group = group
+        self.pending = deque()   # (state, meta, device_result)
+        self.emit_q = deque()    # chunk states in input order
+        self.peak_buffered = 0
+
+    def _drain(self):
+        while self.emit_q and self.emit_q[0].complete:
+            self.emit(self.emit_q.popleft())
+
+    def _flush(self, n: int):
+        from rkmh_tpu.utils import to_host
+
+        group = [self.pending.popleft() for _ in range(min(n, len(self.pending)))]
+        if not group:
+            return
+        fetched = to_host([res for *_, res in group])
+        for (st, meta, _), arr in zip(group, fetched):
+            self.on_result(st, meta, arr)
+        buffered = sum(s.filled for s in self.emit_q)
+        if buffered > self.peak_buffered:
+            self.peak_buffered = buffered
+        self._drain()
+
+    def run(self, chunk_iter, make_state, dispatch, batch_size: int):
+        """Drive chunks end to end; dispatch(codes, lens) -> (meta,
+        device_result) pairs come from bucketed batches of each chunk."""
+        for chunk in chunk_iter:
+            st = make_state(chunk)
+            self.emit_q.append(st)
+            for rows, codes, lens in bucketed_batches(chunk, batch_size):
+                self.pending.append((st, *dispatch(st, rows, codes, lens)))
+                if len(self.pending) > 2 * self.group:
+                    self._flush(self.group)
+            st.dispatched = True
+        while self.pending:
+            self._flush(len(self.pending))
+        self._drain()
 
 
 def packed_batches(packed, batch_size: int):

@@ -79,18 +79,24 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
         )
     ref_keys = panel.keys
 
+    from rkmh_tpu.commands.common import ChunkedPipeline, ChunkState, two_pass_chunks
+
     chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
+    classify_chunks = None
     read_counter = None
     if cfg.min_kmer_occ >= 0:
         # counter exists (possibly empty) whenever -M is given, matching the
         # reference where an unpopulated counter fails every streamed read.
-        # First pass over the files is chunked (constant memory); the
-        # classify pass re-reads them.
+        # First pass over plain files is chunked (constant memory) and the
+        # classify pass re-reads them; stdin/FIFO inputs are buffered so the
+        # second pass still sees every read (two_pass_chunks).
         read_counter = HashCounter(cfg.counter_size)
-        for chunk in iter_packed_chunks(cfg.read_files or [], chunk_reads):
+        pass1, pass2 = two_pass_chunks(cfg.read_files or [], chunk_reads)
+        for chunk in pass1:
             for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
                 hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
                 read_counter.add(hashes, mask)
+        classify_chunks = pass2()
 
     def classify(codes, lens, packed: bool = False):
         # codes ship 2-bit packed on accelerators (engine.pack4_ok)
@@ -130,52 +136,37 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
     from rkmh_tpu.utils import to_host
 
     if cfg.read_files:
-        class _Chunk:
-            __slots__ = ("chunk", "keep", "filled", "dispatched")
+        if classify_chunks is None:
+            classify_chunks = iter_packed_chunks(cfg.read_files, chunk_reads)
+
+        class _Chunk(ChunkState):
+            __slots__ = ("chunk", "keep")
 
             def __init__(self, chunk):
+                super().__init__(len(chunk))
                 self.chunk = chunk
                 self.keep = np.zeros(len(chunk), dtype=bool)
-                self.filled = 0
-                self.dispatched = False
 
-            @property
-            def complete(self):
-                return self.dispatched and self.filled == len(self.keep)
+        def emit(st):
+            names, seqs, quals = st.chunk.names, st.chunk.seqs, st.chunk.quals
+            for i in np.nonzero(st.keep)[0]:
+                seq = seqs[i]
+                qual = quals[i] if quals[i] is not None else b"I" * len(seq)
+                out.write(f">{names[i]}\n{seq.decode()}\n+\n{qual.decode()}\n")
 
-        pending = deque()
-        emit_q = deque()
+        def on_result(st, rows, arr):
+            st.keep[rows] = arr[3, : len(rows)].astype(bool)
+            st.filled += len(rows)
 
-        def drain_emit():
-            while emit_q and emit_q[0].complete:
-                st = emit_q.popleft()
-                names, seqs, quals = st.chunk.names, st.chunk.seqs, st.chunk.quals
-                for i in np.nonzero(st.keep)[0]:
-                    seq = seqs[i]
-                    qual = quals[i] if quals[i] is not None else b"I" * len(seq)
-                    out.write(f">{names[i]}\n{seq.decode()}\n+\n{qual.decode()}\n")
-
-        def flush(n):
-            group = [pending.popleft() for _ in range(min(n, len(pending)))]
-            if not group:
-                return
-            fetched = to_host([res for *_, res in group])
-            for (st, rows, _), arr in zip(group, fetched):
-                st.keep[rows] = arr[3, : len(rows)].astype(bool)
-                st.filled += len(rows)
-            drain_emit()
-
-        for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
-            st = _Chunk(chunk)
-            emit_q.append(st)
-            for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
-                pending.append((st, rows, classify(codes, lens, packed=True)))
-                if len(pending) > 8:
-                    flush(4)
-            st.dispatched = True
-        while pending:
-            flush(len(pending))
-        drain_emit()
+        pipeline = ChunkedPipeline(on_result=on_result, emit=emit)
+        pipeline.run(
+            classify_chunks,
+            make_state=_Chunk,
+            dispatch=lambda st, rows, codes, lens: (
+                rows, classify(codes, lens, packed=True)
+            ),
+            batch_size=cfg.batch_size,
+        )
 
     # ---- -i: STDIN streaming classification (rkmh.cpp:1329-1414) ----------
     # a reader thread fills a bounded queue (the KSEQ_Reader producer /

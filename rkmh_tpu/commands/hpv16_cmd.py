@@ -195,42 +195,41 @@ def run(cfg: Hpv16Config, out=None) -> int:
     for sn, uniq in zip(sublin_names, sublin_uniqs):
         log(f"\t{sn}\t{len(uniq)}")
 
-    from rkmh_tpu.commands.common import iter_packed_chunks, resolve_chunk_reads
+    from rkmh_tpu.commands.common import (
+        ChunkState,
+        ChunkedPipeline,
+        iter_packed_chunks,
+        resolve_chunk_reads,
+        two_pass_chunks,
+    )
 
     chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
 
+    classify_chunks = None
     counter_table = None
     if cfg.min_kmer_occ > 0:
         # -M: every read k-mer occurrence into the big lossy counter
-        # (rkmh.cpp:2513-2530; size 8e8); chunked first pass, the
-        # classify pass re-reads the files (constant memory)
+        # (rkmh.cpp:2513-2530; size 8e8); chunked first pass, plain files
+        # re-read for the classify pass (constant memory) and stdin/FIFO
+        # inputs buffered so the second pass still sees every read
         hc = HashCounter(cfg.counter_size)
-        for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
+        pass1, pass2 = two_pass_chunks(cfg.read_files, chunk_reads)
+        for chunk in pass1:
             for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
                 hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
                 hc.add(hashes, mask)
         counter_table = hc.table
+        classify_chunks = pass2()
+    if classify_chunks is None:
+        classify_chunks = iter_packed_chunks(cfg.read_files, chunk_reads)
 
-    from collections import deque
-
-    from rkmh_tpu.commands.common import bucketed_batches
-    from rkmh_tpu.utils import to_host
-
-    pending = deque()
-    emit_q = deque()
-
-    class _Chunk:
-        __slots__ = ("names", "lines", "filled", "dispatched")
+    class _Chunk(ChunkState):
+        __slots__ = ("names", "lines")
 
         def __init__(self, names):
+            super().__init__(len(names))
             self.names = names
             self.lines = [None] * len(names)
-            self.filled = 0
-            self.dispatched = False
-
-        @property
-        def complete(self):
-            return self.dispatched and self.filled == len(self.lines)
 
     def fmt_rows(st, rows, lens, packed):
         best_np = packed[:, 0]
@@ -261,48 +260,35 @@ def run(cfg: Hpv16Config, out=None) -> int:
             st.lines[ridx] = "\t".join(parts) + "\n"
         st.filled += len(rows)
 
-    def drain_emit():
-        while emit_q and emit_q[0].complete:
-            out.write("".join(emit_q.popleft().lines))
+    def device_step(codes):
+        if engine.pack4_ok(codes.shape[1]):
+            from rkmh_tpu.io.packing import pack_codes4
 
-    def flush(n):
-        group = [pending.popleft() for _ in range(min(n, len(pending)))]
-        if not group:
-            return
-        fetched = to_host([res for *_, res in group])
-        for (st, rows, lens, _), arr in zip(group, fetched):
-            fmt_rows(st, rows, lens, arr)
-        drain_emit()
+            pk, vb = pack_codes4(codes)
+            return engine.hpv16_packed4_batch(
+                pk, vb, codes.shape[1],
+                type_table, uniq_table,
+                ks, len(type_names), n_lin + n_sub,
+                counter_table=counter_table, min_occ=cfg.min_kmer_occ,
+            )
+        return engine.hpv16_batch(
+            codes,
+            type_table, uniq_table,
+            ks, len(type_names), n_lin + n_sub,
+            counter_table=counter_table, min_occ=cfg.min_kmer_occ,
+        )
 
-    # chunked input + length-bucketed + pipelined + group-fetched (see
-    # commands/stream.py); each chunk's lines emit in input order the
-    # moment its batches return — constant memory in the read count
-    for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
-        st = _Chunk(chunk.names)
-        emit_q.append(st)
-        for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
-            if engine.pack4_ok(codes.shape[1]):
-                from rkmh_tpu.io.packing import pack_codes4
-
-                pk, vb = pack_codes4(codes)
-                res = engine.hpv16_packed4_batch(
-                    pk, vb, codes.shape[1],
-                    type_table, uniq_table,
-                    ks, len(type_names), n_lin + n_sub,
-                    counter_table=counter_table, min_occ=cfg.min_kmer_occ,
-                )
-            else:
-                res = engine.hpv16_batch(
-                    codes,
-                    type_table, uniq_table,
-                    ks, len(type_names), n_lin + n_sub,
-                    counter_table=counter_table, min_occ=cfg.min_kmer_occ,
-                )
-            pending.append((st, rows, lens, res))
-            if len(pending) > 6:
-                flush(3)
-        st.dispatched = True
-    while pending:
-        flush(len(pending))
-    drain_emit()
+    # chunked input + length-bucketed + pipelined + group-fetched
+    # (commands.common.ChunkedPipeline): each chunk's lines emit in input
+    # order the moment its batches return — constant memory in read count
+    pipeline = ChunkedPipeline(
+        on_result=lambda st, meta, arr: fmt_rows(st, meta[0], meta[1], arr),
+        emit=lambda st: out.write("".join(st.lines)),
+    )
+    pipeline.run(
+        classify_chunks,
+        make_state=lambda chunk: _Chunk(chunk.names),
+        dispatch=lambda st, rows, codes, lens: ((rows, lens), device_step(codes)),
+        batch_size=cfg.batch_size,
+    )
     return 0

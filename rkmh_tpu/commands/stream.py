@@ -125,7 +125,10 @@ class _NativeFormatCtx:
         )
 
 
-class _ChunkState:
+from rkmh_tpu.commands.common import ChunkState as _BaseChunkState
+
+
+class _ChunkState(_BaseChunkState):
     """Per-input-chunk output buffer: results land out of (bucket) order
     and the chunk is written the moment every row has arrived.
 
@@ -134,18 +137,12 @@ class _ChunkState:
     per-line fallback; render() reassembles input order either way.
     """
 
-    __slots__ = ("chunk", "n", "parts", "filled", "dispatched")
+    __slots__ = ("chunk", "parts")
 
     def __init__(self, chunk):
+        super().__init__(len(chunk))
         self.chunk = chunk
-        self.n = len(chunk)
         self.parts = []
-        self.filled = 0
-        self.dispatched = False  # all batches of this chunk sent to device
-
-    @property
-    def complete(self):
-        return self.dispatched and self.filled == self.n
 
     def render(self) -> str:
         if all(isinstance(key, int) for key, _ in self.parts):
@@ -189,13 +186,18 @@ def run(cfg: StreamConfig, out=None) -> int:
             counter_size=cfg.counter_size,
         )
 
+    from rkmh_tpu.commands.common import ChunkedPipeline, two_pass_chunks
+
+    classify_chunks = None
     read_counter = None
     if cfg.min_kmer_occ >= 0:
-        # first pass: global read-kmer depth (rkmh.cpp:903-910).  The file
-        # is consumed in bounded chunks and re-read for the classify pass —
-        # constant memory, same two-pass shape as the reference.
+        # first pass: global read-kmer depth (rkmh.cpp:903-910).  Plain
+        # files are consumed in bounded chunks and re-read for the
+        # classify pass — constant memory; stdin/FIFO inputs are buffered
+        # (the only way to read them twice; see two_pass_chunks).
+        pass1, pass2 = two_pass_chunks(cfg.read_files, chunk_reads)
         read_counter = HashCounter(cfg.counter_size)
-        for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
+        for chunk in pass1:
             for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
                 if engine.pack4_ok(codes.shape[1]):
                     from rkmh_tpu.io.packing import pack_codes4
@@ -207,22 +209,25 @@ def run(cfg: StreamConfig, out=None) -> int:
                 else:
                     hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
                 read_counter.add(hashes, mask)
+        classify_chunks = pass2()
+    if classify_chunks is None:
+        classify_chunks = iter_packed_chunks(cfg.read_files, chunk_reads)
 
     # 4-byte-per-read result wire format when the panel fits it (see
     # engine pack2 notes); the [3, B] int64 layout is the general
-    # fallback.  Input codes ship 2-bit packed on accelerators (the
-    # tunnel's H2D was ~45% of the classify wall; engine.pack4_ok).
+    # fallback.  Input codes ship 2-bit packed on accelerators where the
+    # chosen program consumes them (the tunnel's H2D was ~45% of the
+    # classify wall; engine.pack4_ok).
     pack2 = engine.pack2_supported(panel.num_refs, cfg.sketch_size)
 
-    def dispatch(codes, lens):
+    def device_step(codes, lens):
         L = codes.shape[1]
         pack4 = engine.pack4_ok(L)
-        if pack4:
-            from rkmh_tpu.io.packing import pack_codes4
-
-            pk, vb = pack_codes4(codes)
         if read_counter is not None:
             if pack4:
+                from rkmh_tpu.io.packing import pack_codes4
+
+                pk, vb = pack_codes4(codes)
                 sk, sk_lens = engine.sketch_packed4_depth_filtered(
                     pk, vb, lens, read_counter.table, L, ks,
                     cfg.sketch_size, cfg.min_kmer_occ,
@@ -240,90 +245,68 @@ def run(cfg: StreamConfig, out=None) -> int:
                 min_matches=cfg.min_matches,
             )
         # plain path: whole step in one jit (one dispatch per batch);
-        # on TPU short reads take the all-u32 Pallas pair pipeline
+        # on TPU short reads take the opt-in all-u32 Pallas pair pipeline
         W = sum(L - k + 1 for k in ks)
-        if pack2 and pack4 and not engine.pair_path_ok(ks, W, cfg.sketch_size):
+        if pack2 and engine.pair_path_ok(ks, W, cfg.sketch_size):
+            fn, args = engine.classify_codes_table_packed2_pair, (codes,)
+        elif pack2 and pack4:
+            from rkmh_tpu.io.packing import pack_codes4
+
+            pk, vb = pack_codes4(codes)
             return engine.classify_packed4_table_packed2(
                 pk, vb, L, *panel.table, ks=ks, sketch_size=cfg.sketch_size,
                 num_refs=panel.num_refs, min_diff=cfg.min_diff,
                 min_matches=cfg.min_matches,
             )
-        if pack2 and engine.pair_path_ok(ks, W, cfg.sketch_size):
-            fn = engine.classify_codes_table_packed2_pair
         elif pack2:
-            fn = engine.classify_codes_table_packed2
+            fn, args = engine.classify_codes_table_packed2, (codes,)
         else:
-            fn = engine.classify_codes_table_packed
+            fn, args = engine.classify_codes_table_packed, (codes,)
         return fn(
-            codes, *panel.table, ks=ks, sketch_size=cfg.sketch_size,
+            *args, *panel.table, ks=ks, sketch_size=cfg.sketch_size,
             num_refs=panel.num_refs, min_diff=cfg.min_diff,
             min_matches=cfg.min_matches,
         )
 
-    # Constant-memory pipelined drain: input is parsed in bounded chunks
-    # (iter_packed_chunks), dispatches are async so batches stay in flight,
-    # and results are fetched late in GROUPS (each device_get costs ~2
-    # tunnel RTTs; group-of-6 fetches measured 374k vs 266k reads/s
-    # one-by-one).  Batches are length-bucketed within a chunk (padding
-    # waste bounded), so lines land in per-chunk buffers and each chunk is
-    # written in input order the moment it completes — peak residency is
-    # the in-flight batches plus <= ~2 chunks of lines, independent of
-    # file size (unlike the reference, which still holds all parsed reads
-    # in RAM; rkmh.cpp:783-788).
-    from collections import deque
-
-    from rkmh_tpu.utils import to_host
-
-    global last_peak_buffered_lines
-    last_peak_buffered_lines = 0
-    pending = deque()   # (chunk_state, rows, device_result)
-    emit_q = deque()    # chunk states in input order
+    # Constant-memory pipelined drain (commands.common.ChunkedPipeline):
+    # bounded parsed chunks, async dispatches kept in flight, grouped
+    # fetches, per-chunk in-order emission — peak residency is the
+    # in-flight window plus <= ~2 chunks of lines, independent of file
+    # size (unlike the reference, which holds all parsed reads in RAM;
+    # rkmh.cpp:783-788).
     fmt_ctx = _NativeFormatCtx(panel.keys, cfg.sketch_size)
 
-    def drain_emit():
-        while emit_q and emit_q[0].complete:
-            st = emit_q.popleft()
-            out.write(st.render())
+    def on_result(st, rows, arr):
+        if pack2:
+            # arr may carry pad rows (batches round up to a power of
+            # two and pack 2 reads per int64); unpack the real ones
+            arr = engine.unpack2_host(arr, len(rows))
+        # contiguous-rows batches (the common single-length-bucket
+        # case) format as one native block — no per-read Python work
+        blk = None
+        if len(rows) and rows[-1] - rows[0] == len(rows) - 1:
+            blk = fmt_ctx.format_block(arr[:, : len(rows)], rows, st.chunk)
+        if blk is not None:
+            st.parts.append((int(rows[0]), blk.decode()))
+        else:
+            batch_names = [st.chunk.names[i] for i in rows]
+            lines = format_lines_host(
+                panel.keys, batch_names, arr, cfg.sketch_size, as_list=True
+            )
+            st.parts.append((list(rows), lines))
+        st.filled += len(rows)
 
-    def flush(n):
-        global last_peak_buffered_lines
-        group = [pending.popleft() for _ in range(min(n, len(pending)))]
-        if not group:
-            return
-        fetched = to_host([res for *_, res in group])
-        for (st, rows, _), arr in zip(group, fetched):
-            if pack2:
-                # arr may carry pad rows (batches round up to a power of
-                # two and pack 2 reads per int64); unpack the real ones
-                arr = engine.unpack2_host(arr, len(rows))
-            # contiguous-rows batches (the common single-length-bucket
-            # case) format as one native block — no per-read Python work
-            blk = None
-            if len(rows) and rows[-1] - rows[0] == len(rows) - 1:
-                blk = fmt_ctx.format_block(arr[:, : len(rows)], rows, st.chunk)
-            if blk is not None:
-                st.parts.append((int(rows[0]), blk.decode()))
-            else:
-                batch_names = [st.chunk.names[i] for i in rows]
-                lines = format_lines_host(
-                    panel.keys, batch_names, arr, cfg.sketch_size, as_list=True
-                )
-                st.parts.append((list(rows), lines))
-            st.filled += len(rows)
-        buffered = sum(s.filled for s in emit_q)
-        if buffered > last_peak_buffered_lines:
-            last_peak_buffered_lines = buffered
-        drain_emit()
-
-    for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
-        st = _ChunkState(chunk)
-        emit_q.append(st)
-        for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
-            pending.append((st, rows, dispatch(codes, lens)))
-            if len(pending) > 2 * FETCH_GROUP:
-                flush(FETCH_GROUP)
-        st.dispatched = True
-    while pending:
-        flush(len(pending))
-    drain_emit()
+    pipeline = ChunkedPipeline(
+        on_result=on_result,
+        emit=lambda st: out.write(st.render()),
+        group=FETCH_GROUP,
+    )
+    pipeline.run(
+        classify_chunks,
+        make_state=_ChunkState,
+        dispatch=lambda st, rows, codes, lens: (rows, device_step(codes, lens)),
+        batch_size=cfg.batch_size,
+    )
+    global last_peak_buffered_lines
+    last_peak_buffered_lines = pipeline.peak_buffered
     return 0

@@ -232,6 +232,66 @@ def test_hash_count_search_chunked_identical(tmp_path):
     assert chunked == whole and whole
 
 
+def test_two_pass_commands_fifo_input_not_dropped(tmp_path):
+    """-M commands read their input twice; non-seekable inputs (FIFOs,
+    stdin) must be buffered for the second pass, not silently drained by
+    the counter pass (the regression dropped every read)."""
+    import threading
+
+    from rkmh_tpu.commands.filter_cmd import FilterConfig, run as filter_run
+    from rkmh_tpu.commands.stream import StreamConfig, run as stream_run
+
+    refs = read_fastx(f"{DATA}/zika.refs.fa")[:2]
+    rp = str(tmp_path / "refs.fa")
+    with open(rp, "wb") as f:
+        for r in refs:
+            f.write(b">" + r.name.encode() + b"\n" + r.seq + b"\n")
+    fp = str(tmp_path / "reads.fq")
+    _write_synth_fastq(fp, 64, minlen=60, maxlen=100, alphabet="ACGT")
+    payload = open(fp, "rb").read()
+
+    def run_with_fifo(runner, make_cfg):
+        fifo = str(tmp_path / f"pipe_{runner.__module__.split('.')[-1]}")
+        if os.path.exists(fifo):
+            os.unlink(fifo)
+        os.mkfifo(fifo)
+        t = threading.Thread(
+            target=lambda: open(fifo, "wb").write(payload), daemon=True
+        )
+        t.start()
+        buf = io.StringIO()
+        runner(make_cfg(fifo), out=buf)
+        t.join(timeout=30)
+        return buf.getvalue()
+
+    # stream -M from a FIFO == stream -M from the file
+    file_out = io.StringIO()
+    stream_run(StreamConfig(ref_files=[rp], read_files=[fp], ks=(12,),
+                            sketch_size=50, min_kmer_occ=1,
+                            counter_size=1 << 16, batch_size=32), out=file_out)
+    fifo_out = run_with_fifo(
+        stream_run,
+        lambda fifo: StreamConfig(ref_files=[rp], read_files=[fifo], ks=(12,),
+                                  sketch_size=50, min_kmer_occ=1,
+                                  counter_size=1 << 16, batch_size=32),
+    )
+    assert fifo_out.count("\n") == 64
+    assert fifo_out == file_out.getvalue()
+
+    # filter -M from a FIFO == filter -M from the file
+    file_out = io.StringIO()
+    filter_run(FilterConfig(ref_files=[rp], read_files=[fp], ks=(12,),
+                            sketch_size=50, min_kmer_occ=0,
+                            counter_size=1 << 16, batch_size=32), out=file_out)
+    fifo_out = run_with_fifo(
+        filter_run,
+        lambda fifo: FilterConfig(ref_files=[rp], read_files=[fifo], ks=(12,),
+                                  sketch_size=50, min_kmer_occ=0,
+                                  counter_size=1 << 16, batch_size=32),
+    )
+    assert fifo_out == file_out.getvalue()
+
+
 @pytest.mark.slow
 def test_stream_rss_bounded_subprocess(tmp_path):
     """Peak RSS of a chunked `stream` run stays a small constant over the
