@@ -61,7 +61,9 @@ if os.environ.get("RKMH_TPU_NO_COMPILE_CACHE", "0") != "1":
     )
     try:
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist even trivial programs: through the remote-compile tunnel
+        # a sub-second compile still costs seconds of RTT per process
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass
 
@@ -84,11 +85,12 @@ def build_ref_panel(
     # Small panels build host-side (one small fetch; numpy build is fast
     # and dodges per-bucket-count device compiles).  Big panels (hpv16-
     # scale) build on device so the multi-hundred-MB table never crosses
-    # the wire.  Threshold ~= where the table upload outweighs a compile.
+    # the wire.  The path decision uses the R*s upper bound — a device
+    # jnp.sum here cost ~17 s per fresh process through the tunnel
+    # (trivial programs don't persist in the compile cache).
     from rkmh_tpu.utils import to_host
 
-    n_elems = int(np.asarray(jnp.sum(sk_lens)))
-    if n_elems < 2_000_000:
+    if sk.size < 2_000_000:
         from rkmh_tpu.ops.lookup import build_panel_table
 
         sk_np, lens_np = to_host((sk, sk_lens))
@@ -96,6 +98,99 @@ def build_ref_panel(
     else:
         table = (build_panel_table_device(sk, sk_lens),)
     return RefPanel(list(ref_packed.names), sk, sk_lens, table)
+
+
+_PANEL_CACHE_VERSION = 1
+
+
+def _panel_cache_path(ref_files, ks, sketch_size, max_samples, counter_size,
+                      distinct_counter) -> str | None:
+    """Content-addressed cache file for a built reference panel, or None
+    when caching is disabled (RKMH_TPU_PANEL_CACHE=0) or the refs are not
+    plain files."""
+    import hashlib
+    import os
+
+    env = os.environ.get("RKMH_TPU_PANEL_CACHE", "")
+    if env == "0":
+        return None
+    cache_dir = env or os.path.join(
+        os.path.expanduser("~"), ".cache", "rkmh_tpu", "panels"
+    )
+    h = hashlib.sha256()
+    h.update(repr((
+        _PANEL_CACHE_VERSION, tuple(ks), sketch_size, max_samples,
+        counter_size if max_samples is not None else None, distinct_counter,
+    )).encode())
+    try:
+        for p in ref_files:
+            if p in ("-", b"-"):
+                return None
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+    except OSError:
+        return None
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        return None
+    return os.path.join(cache_dir, h.hexdigest()[:32] + ".npz")
+
+
+def build_ref_panel_from_files(
+    ref_files,
+    ks: tuple,
+    sketch_size: int,
+    max_samples: int | None = None,
+    counter_size: int = 200_000_000,
+    distinct_counter: bool = False,
+) -> RefPanel:
+    """build_ref_panel with a content-addressed on-disk sketch cache.
+
+    Reference panels are hashed once and reused forever — the capability
+    rkmh's JSON dump/load stubs gesture at (rkmh.cpp:552-561), automatic:
+    the cache key digests the ref file bytes and every sketching
+    parameter, the payload is the sketch matrix + names.  On a hit no
+    reference hashing (and none of its device programs) runs at all.
+    Disable with RKMH_TPU_PANEL_CACHE=0; point it at a directory to move
+    the cache.
+    """
+    from rkmh_tpu.utils import to_host
+
+    path = _panel_cache_path(ref_files, ks, sketch_size, max_samples,
+                             counter_size, distinct_counter)
+    if path is not None and os.path.exists(path):
+        z = np.load(path, allow_pickle=True)
+        sk_np = z["sk"]
+        lens_np = z["lens"].astype(np.int32)
+        names = [str(x) for x in z["names"]]
+        sk_dev = jnp.asarray(sk_np)
+        lens_dev = jnp.asarray(lens_np)
+        if sk_np.size < 2_000_000:
+            from rkmh_tpu.ops.lookup import build_panel_table
+
+            table = build_panel_table(sk_np, lens_np).device_arrays()
+        else:  # big panels: build on device, never ship the table itself
+            from rkmh_tpu.ops.lookup import build_panel_table_device
+
+            table = (build_panel_table_device(sk_dev, lens_dev),)
+        return RefPanel(names, sk_dev, lens_dev, table)
+
+    panel = build_ref_panel(
+        load_packed(ref_files), ks, sketch_size,
+        max_samples=max_samples, counter_size=counter_size,
+        distinct_counter=distinct_counter,
+    )
+    if path is not None:
+        sk_np, lens_np = to_host((panel.sketches, panel.lens))
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez_compressed(
+                fh, sk=np.asarray(sk_np), lens=np.asarray(lens_np),
+                names=np.asarray(panel.keys, dtype=object),
+            )
+        os.replace(tmp, path)
+    return panel
 
 
 def load_records(paths) -> list[SeqRecord]:

@@ -72,8 +72,10 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
         with open(cfg.ref_sketches) as fh:
             panel = panel_from_sketches(load_sketches(fh), cfg.sketch_size)
     else:
-        panel = build_ref_panel(
-            load_packed(cfg.ref_files), ks, cfg.sketch_size,
+        from rkmh_tpu.commands.common import build_ref_panel_from_files
+
+        panel = build_ref_panel_from_files(
+            cfg.ref_files, ks, cfg.sketch_size,
             max_samples=cfg.max_samples, counter_size=cfg.counter_size,
             distinct_counter=True,  # filter -I counts once per sample
         )

@@ -9,6 +9,9 @@ paths a real slice would.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# hermetic tests: no cross-test (or cross-run) panel-sketch cache hits;
+# the cache itself is covered by an explicit tmpdir test
+os.environ.setdefault("RKMH_TPU_PANEL_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -330,3 +330,56 @@ def test_stream_rss_bounded_subprocess(tmp_path):
     # whole-file residency would add >= ~3x the file size (codes + blobs +
     # all output lines); the streamed run must stay well under one filesize
     assert grew_mb < fsize / 1024 / 1024, grew_mb
+
+
+def test_panel_sketch_cache_roundtrip(tmp_path, monkeypatch):
+    """The on-disk panel cache must produce byte-identical stream output
+    on a hit, invalidate when parameters or ref bytes change, and stay
+    off when RKMH_TPU_PANEL_CACHE=0."""
+    from rkmh_tpu.commands.stream import StreamConfig, run
+
+    refs = read_fastx(f"{DATA}/zika.refs.fa")[:4]
+    rp = str(tmp_path / "refs.fa")
+    with open(rp, "wb") as f:
+        for r in refs:
+            f.write(b">" + r.name.encode() + b"\n" + r.seq + b"\n")
+    fp = str(tmp_path / "reads.fq")
+    _write_synth_fastq(fp, 50, minlen=60, maxlen=90, alphabet="ACGT")
+
+    cache = tmp_path / "panel_cache"
+    monkeypatch.setenv("RKMH_TPU_PANEL_CACHE", str(cache))
+
+    def go():
+        buf = io.StringIO()
+        run(StreamConfig(ref_files=[rp], read_files=[fp], ks=(12,),
+                         sketch_size=100, batch_size=16), out=buf)
+        return buf.getvalue()
+
+    first = go()
+    entries = list(cache.glob("*.npz"))
+    assert len(entries) == 1  # panel was cached
+    mtime = entries[0].stat().st_mtime_ns
+    second = go()
+    assert second == first
+    assert entries[0].stat().st_mtime_ns == mtime  # hit, not rebuilt
+
+    # different sketch size -> different key
+    buf = io.StringIO()
+    run(StreamConfig(ref_files=[rp], read_files=[fp], ks=(12,),
+                     sketch_size=120, batch_size=16), out=buf)
+    assert len(list(cache.glob("*.npz"))) == 2
+
+    # changed ref bytes -> different key, and the new ref participates:
+    # build it from the reads themselves so they classify to it
+    read_seqs = [r.seq for r in read_fastx(fp)][:5]
+    with open(rp, "ab") as f:
+        f.write(b">extra\n" + b"".join(read_seqs) + b"\n")
+    third = go()
+    assert len(list(cache.glob("*.npz"))) == 3
+    assert third != first
+    assert "extra\t" in third
+
+    # disabled -> no new entries
+    monkeypatch.setenv("RKMH_TPU_PANEL_CACHE", "0")
+    go()
+    assert len(list(cache.glob("*.npz"))) == 3
