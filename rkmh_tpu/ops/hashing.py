@@ -115,46 +115,30 @@ def _murmur3_h1_from_words(words, length: int, seed: int):
     return h1  # rkmh keeps only the low 64 bits
 
 
-def _canonical_keys(codes, k: int, W: int):
-    """2-bit packed big-endian comparison keys (fwd, rc) per window.
+def _canonical_use_fwd(codes, k: int, W: int):
+    """Per-window bool: forward k-mer <= its reverse complement.
 
-    Returns (fwd_limbs, rc_limbs): lists of uint64 [.., W], most-significant
-    limb first, 32 bases per limb.  Supports k <= 64.
+    Lexicographic order decided outside-in at the first position where
+    fwd base != rc base — a right-to-left fold of cheap uint8 compares
+    (`later-positions verdict unless this position differs`), ~6 byte
+    ops per base instead of building and comparing 2-bit-packed uint64
+    keys (64-bit arithmetic is emulated on TPU).  Ties (palindromes)
+    yield True, matching the <= of the packed-key compare.
     """
-    if k > 64:
-        raise NotImplementedError("k > 64 not supported (canonical compare)")
-    limb_ranges = [range(0, min(k, 32))]
-    if k > 32:
-        limb_ranges.append(range(32, k))
-
-    fwd_limbs = []
-    rc_limbs = []
-    c64 = codes.astype(_U64)
-    three = np.uint64(3)
-    for rng in limb_ranges:
-        positions = list(rng)
-        top = len(positions) - 1
-        f = None
-        r = None
-        for idx, p in enumerate(positions):
-            sh = np.uint64(2 * (top - idx))
-            fl = c64[..., p : p + W] << sh
-            # rc base at window position p is complement(code[i + k-1-p])
-            q = k - 1 - p
-            rl = ((three - c64[..., q : q + W]) & three) << sh
-            f = fl if f is None else f | fl
-            r = rl if r is None else r | rl
-        fwd_limbs.append(f)
-        rc_limbs.append(r)
-    return fwd_limbs, rc_limbs
-
-
-def _lex_le(a_limbs, b_limbs):
-    """a <= b over multi-limb big-endian keys (elementwise)."""
-    le = a_limbs[-1] <= b_limbs[-1]
-    for a, b in zip(reversed(a_limbs[:-1]), reversed(b_limbs[:-1])):
-        le = jnp.where(a == b, le, a < b)
-    return le
+    c = codes.astype(jnp.uint8)
+    three = np.uint8(3)
+    use_fwd = None  # fold from the LAST position backwards
+    for p in range(k - 1, -1, -1):
+        a = c[..., p : p + W] & three
+        # rc base at window position p is complement(code[i + k-1-p])
+        q = k - 1 - p
+        b = (three - (c[..., q : q + W] & three)) & three
+        lt = a < b
+        if use_fwd is None:
+            use_fwd = a <= b
+        else:
+            use_fwd = jnp.where(a == b, use_fwd, lt)
+    return use_fwd
 
 
 def kmer_window_hashes(codes, k: int, seed: int = 42):
@@ -179,8 +163,7 @@ def kmer_window_hashes(codes, k: int, seed: int = 42):
     valid = (cs[..., k - 1 :] - lo) == 0
 
     # canonical orientation per window
-    fwd_key, rc_key = _canonical_keys(codes, k, W)
-    use_fwd = _lex_le(fwd_key, rc_key)
+    use_fwd = _canonical_use_fwd(codes, k, W)
 
     # murmur words from ASCII planes via shifted slices
     fw_plane = _ascii_from_codes(codes)
