@@ -61,6 +61,11 @@ def build_parser():
         p.add_argument("-i", "--in-stream", action="store_true", dest="in_stream")
         p.add_argument("-z", "--output-reads", action="store_true")
         p.add_argument("-m", "--merge-sketch", action="store_true")
+        p.add_argument("-o", "--output", default="", dest="out_file",
+                       help="write classification lines here instead of stdout")
+        p.add_argument("--resume", action="store_true",
+                       help="continue an interrupted -o run: skip reads whose "
+                            "lines already landed, append the rest (idempotent)")
 
     p = sub.add_parser("filter")
     _common_classify_flags(p)
@@ -176,6 +181,8 @@ def _dispatch(args) -> int:
                 batch_size=args.batch_size,
                 ref_sketches=args.ref_sketches,
                 chunk_reads=args.chunk_reads,
+                out_file=args.out_file,
+                resume=args.resume,
             )
         )
     if args.command == "filter":

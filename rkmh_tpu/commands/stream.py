@@ -58,6 +58,8 @@ class StreamConfig:
     threads: int = 1             # accepted for CLI parity; no-op on TPU
     ref_sketches: str = ""       # JSON panel dump (hash -o) to load
     chunk_reads: int = 0         # streaming window; 0 = default (65536)
+    out_file: str = ""           # -o: write here instead of stdout
+    resume: bool = False         # --resume: continue an interrupted -o run
 
 
 # the 8 possible "\t<sketch>[FAIL:DEPTH]\t[FAIL:MATCHES]\t[FAIL:DIFF]\n"
@@ -128,6 +130,37 @@ class _NativeFormatCtx:
 from rkmh_tpu.commands.common import ChunkState as _BaseChunkState
 
 
+class _NamesOnly:
+    """The slice of a parsed chunk the formatter needs: name blob +
+    offsets (native fast path) and the lazy names list (fallback).
+
+    Holding this instead of the full PackedReads lets the chunk's code
+    tensors and seq/qual blobs free as soon as its batches are
+    dispatched — the pipeline window spans ~dozens of batches, and
+    keeping whole chunks alive that long tripled peak RSS.
+    """
+
+    __slots__ = ("_names_blob", "_name_offs", "_src", "_names")
+
+    def __init__(self, chunk):
+        self._names_blob = getattr(chunk, "_names_blob", None)
+        self._name_offs = getattr(chunk, "_name_offs", None)
+        self._src = None if self._names_blob is not None else chunk.names
+        self._names = None
+
+    @property
+    def names(self):
+        if self._src is not None:
+            return self._src
+        if self._names is None:
+            o = self._name_offs
+            b = self._names_blob
+            self._names = [
+                b[o[i] : o[i + 1]].decode() for i in range(len(o) - 1)
+            ]
+        return self._names
+
+
 class _ChunkState(_BaseChunkState):
     """Per-input-chunk output buffer: results land out of (bucket) order
     and the chunk is written the moment every row has arrived.
@@ -141,7 +174,7 @@ class _ChunkState(_BaseChunkState):
 
     def __init__(self, chunk):
         super().__init__(len(chunk))
-        self.chunk = chunk
+        self.chunk = _NamesOnly(chunk)
         self.parts = []
 
     def render(self) -> str:
@@ -162,8 +195,77 @@ class _ChunkState(_BaseChunkState):
         return "".join(lines)
 
 
+def _count_complete_lines(path: str) -> int:
+    """Newline-terminated lines in a partial output file (a torn final
+    line without '\\n' is not counted and will be rewritten)."""
+    import os
+
+    n = 0
+    last_nl_end = 0
+    with open(path, "rb") as fh:
+        while True:
+            block = fh.read(1 << 20)
+            if not block:
+                break
+            c = block.count(b"\n")
+            if c:
+                n += c
+                last_nl_end = fh.tell() - (len(block) - block.rindex(b"\n") - 1)
+    # truncate any torn tail so appends start on a line boundary
+    if os.path.getsize(path) != last_nl_end:
+        with open(path, "r+b") as fh:
+            fh.truncate(last_nl_end)
+    return n
+
+
+def _skip_reads(chunk_iter, skip: int):
+    """Drop the first `skip` reads from a chunk iterator (whole chunks
+    where possible, a row-sliced partial chunk at the boundary)."""
+    from rkmh_tpu.commands.common import PyPacked
+    from rkmh_tpu.io.fastx import SeqRecord
+
+    for chunk in chunk_iter:
+        if skip == 0:
+            yield chunk
+            continue
+        if len(chunk) <= skip:
+            skip -= len(chunk)
+            continue
+        recs = [
+            SeqRecord(chunk.names[i], chunk.seqs[i], chunk.quals[i])
+            for i in range(skip, len(chunk))
+        ]
+        skip = 0
+        yield PyPacked(recs)
+
+
 def run(cfg: StreamConfig, out=None) -> int:
+    import os
+
+    resume_skip = 0
+    close_out = False
+    if out is None and cfg.out_file:
+        if cfg.resume and os.path.exists(cfg.out_file):
+            # failure recovery: per-read output is deterministic, so an
+            # interrupted run restarts by skipping the reads whose lines
+            # already landed and appending (idempotent; rkmh has no
+            # analog — it restarts from scratch)
+            resume_skip = _count_complete_lines(cfg.out_file)
+            log(f"Resuming: {resume_skip} reads already classified in "
+                f"{cfg.out_file}")
+            out = open(cfg.out_file, "a")
+        else:
+            out = open(cfg.out_file, "w")
+        close_out = True
     out = out or sys.stdout
+    try:
+        return _run(cfg, out, resume_skip)
+    finally:
+        if close_out:
+            out.close()
+
+
+def _run(cfg: StreamConfig, out, resume_skip: int = 0) -> int:
     from rkmh_tpu.commands.common import resolve_batch_size
 
     cfg.batch_size = resolve_batch_size(cfg.batch_size)
@@ -214,6 +316,10 @@ def run(cfg: StreamConfig, out=None) -> int:
         classify_chunks = pass2()
     if classify_chunks is None:
         classify_chunks = iter_packed_chunks(cfg.read_files, chunk_reads)
+    if resume_skip:
+        # note: the -M counter pass above still covers ALL reads (global
+        # depths must match the uninterrupted run exactly)
+        classify_chunks = _skip_reads(classify_chunks, resume_skip)
 
     # 4-byte-per-read result wire format when the panel fits it (see
     # engine pack2 notes); the [3, B] int64 layout is the general

@@ -383,3 +383,46 @@ def test_panel_sketch_cache_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setenv("RKMH_TPU_PANEL_CACHE", "0")
     go()
     assert len(list(cache.glob("*.npz"))) == 3
+
+
+def test_stream_resume_after_interruption(tmp_path):
+    """Failure recovery: an interrupted `stream -o` run resumes by
+    skipping already-emitted reads; the stitched output is byte-identical
+    to an uninterrupted run, including with -M (whose counter pass must
+    re-cover ALL reads) and with a torn final line."""
+    from rkmh_tpu.commands.stream import StreamConfig, run
+
+    refs = read_fastx(f"{DATA}/zika.refs.fa")[:3]
+    rp = str(tmp_path / "refs.fa")
+    with open(rp, "wb") as f:
+        for r in refs:
+            f.write(b">" + r.name.encode() + b"\n" + r.seq + b"\n")
+    fp = str(tmp_path / "reads.fq")
+    _write_synth_fastq(fp, 500, minlen=60, maxlen=90, alphabet="ACGT")
+
+    def cfg(out_file="", resume=False, M=-1):
+        return StreamConfig(ref_files=[rp], read_files=[fp], ks=(12,),
+                            sketch_size=80, batch_size=32, chunk_reads=128,
+                            min_kmer_occ=M, counter_size=1 << 16,
+                            out_file=out_file, resume=resume)
+
+    for M in (-1, 1):
+        full = io.StringIO()
+        run(cfg(M=M), out=full)
+        full = full.getvalue()
+
+        # simulate a crash: keep 173 complete lines plus a torn partial
+        lines = full.splitlines(keepends=True)
+        part = str(tmp_path / f"out{M}.txt")
+        with open(part, "w") as f:
+            f.write("".join(lines[:173]) + lines[173][: len(lines[173]) // 2])
+        rc = run(cfg(out_file=part, resume=True, M=M))
+        assert rc == 0
+        assert open(part).read() == full, f"-M={M}"
+
+    # resume on a COMPLETE file appends nothing
+    done = str(tmp_path / "done.txt")
+    with open(done, "w") as f:
+        f.write(full)
+    run(cfg(out_file=done, resume=True, M=1))
+    assert open(done).read() == full
