@@ -66,8 +66,6 @@ def build_ref_panel(
     for filter, rkmh.cpp:340-357), then sketch only hashes occurring
     <= max_samples times.
     """
-    from rkmh_tpu.ops.lookup import build_panel_table_device
-
     codes, lens = ref_packed.codes, ref_packed.lens
     if max_samples is None:
         sk, sk_lens = engine.sketch_batch(codes, tuple(ks), sketch_size)
@@ -88,19 +86,28 @@ def build_ref_panel(
     # the wire.  The path decision uses the R*s upper bound — a device
     # jnp.sum here cost ~17 s per fresh process through the tunnel
     # (trivial programs don't persist in the compile cache).
+    table = _panel_table_arrays(sk, sk_lens)
+    return RefPanel(list(ref_packed.names), sk, sk_lens, table)
+
+
+def _panel_table_arrays(sk, sk_lens, sk_np=None, lens_np=None):
+    """Lookup-table device arrays for a sketch matrix, small panels built
+    host-side and big ones on device (shared by the build and cache-hit
+    paths so the threshold/recipe can never diverge)."""
     from rkmh_tpu.utils import to_host
 
     if sk.size < 2_000_000:
         from rkmh_tpu.ops.lookup import build_panel_table
 
-        sk_np, lens_np = to_host((sk, sk_lens))
-        table = build_panel_table(sk_np, lens_np).device_arrays()
-    else:
-        table = (build_panel_table_device(sk, sk_lens),)
-    return RefPanel(list(ref_packed.names), sk, sk_lens, table)
+        if sk_np is None:
+            sk_np, lens_np = to_host((sk, sk_lens))
+        return build_panel_table(sk_np, lens_np).device_arrays()
+    from rkmh_tpu.ops.lookup import build_panel_table_device
+
+    return (build_panel_table_device(sk, sk_lens),)
 
 
-_PANEL_CACHE_VERSION = 1
+_PANEL_CACHE_VERSION = 2  # v2: pickle-free payload, length-framed key
 
 
 def _panel_cache_path(ref_files, ks, sketch_size, max_samples, counter_size,
@@ -127,7 +134,11 @@ def _panel_cache_path(ref_files, ks, sketch_size, max_samples, counter_size,
             if p in ("-", b"-"):
                 return None
             with open(p, "rb") as fh:
-                h.update(fh.read())
+                data = fh.read()
+            # length-framed: different file splits of identical
+            # concatenated bytes must not collide onto one key
+            h.update(len(data).to_bytes(8, "little"))
+            h.update(data)
     except OSError:
         return None
     try:
@@ -160,21 +171,21 @@ def build_ref_panel_from_files(
     path = _panel_cache_path(ref_files, ks, sketch_size, max_samples,
                              counter_size, distinct_counter)
     if path is not None and os.path.exists(path):
-        z = np.load(path, allow_pickle=True)
-        sk_np = z["sk"]
-        lens_np = z["lens"].astype(np.int32)
-        names = [str(x) for x in z["names"]]
-        sk_dev = jnp.asarray(sk_np)
-        lens_dev = jnp.asarray(lens_np)
-        if sk_np.size < 2_000_000:
-            from rkmh_tpu.ops.lookup import build_panel_table
-
-            table = build_panel_table(sk_np, lens_np).device_arrays()
-        else:  # big panels: build on device, never ship the table itself
-            from rkmh_tpu.ops.lookup import build_panel_table_device
-
-            table = (build_panel_table_device(sk_dev, lens_dev),)
-        return RefPanel(names, sk_dev, lens_dev, table)
+        try:
+            # no allow_pickle: names travel as a fixed-width unicode
+            # array, so a planted/corrupt cache file cannot execute code
+            # and a torn one just falls back to a rebuild
+            z = np.load(path)
+            sk_np = z["sk"]
+            lens_np = z["lens"].astype(np.int32)
+            names = [str(x) for x in z["names"]]
+        except Exception as e:  # corrupt entry: rebuild and overwrite
+            log(f"panel cache entry unreadable ({e!r}); rebuilding")
+        else:
+            sk_dev = jnp.asarray(sk_np)
+            lens_dev = jnp.asarray(lens_np)
+            table = _panel_table_arrays(sk_dev, lens_dev, sk_np, lens_np)
+            return RefPanel(names, sk_dev, lens_dev, table)
 
     panel = build_ref_panel(
         load_packed(ref_files), ks, sketch_size,
@@ -183,13 +194,22 @@ def build_ref_panel_from_files(
     )
     if path is not None:
         sk_np, lens_np = to_host((panel.sketches, panel.lens))
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as fh:
-            np.savez_compressed(
-                fh, sk=np.asarray(sk_np), lens=np.asarray(lens_np),
-                names=np.asarray(panel.keys, dtype=object),
-            )
-        os.replace(tmp, path)
+        # unique tmp + atomic replace: concurrent cold-start runs must
+        # not interleave writes or observe partial files
+        tmp = f"{path}.{os.getpid()}.tmp"
+        try:
+            with open(tmp, "wb") as fh:
+                np.savez_compressed(
+                    fh, sk=np.asarray(sk_np), lens=np.asarray(lens_np),
+                    names=np.asarray([str(k) for k in panel.keys]),
+                )
+            os.replace(tmp, path)
+        except OSError as e:
+            log(f"panel cache write skipped ({e})")
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
     return panel
 
 

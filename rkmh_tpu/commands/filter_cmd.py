@@ -56,7 +56,6 @@ class FilterConfig:
 
 
 def run(cfg: FilterConfig, out=None, stdin=None) -> int:
-    from rkmh_tpu.commands.common import build_ref_panel
 
     out = out or sys.stdout
     from rkmh_tpu.commands.common import resolve_batch_size
@@ -160,7 +159,11 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
             st.keep[rows] = arr[3, : len(rows)].astype(bool)
             st.filled += len(rows)
 
-        pipeline = ChunkedPipeline(on_result=on_result, emit=emit)
+        # smaller fetch group than stream: every pending batch pins its
+        # whole chunk (filter re-emits seqs/quals, so they can't be
+        # dropped at dispatch like stream's names-only states) — a
+        # 48-batch window would hold ~12 nanopore chunks of raw reads
+        pipeline = ChunkedPipeline(on_result=on_result, emit=emit, group=8)
         pipeline.run(
             classify_chunks,
             make_state=_Chunk,

@@ -25,7 +25,6 @@ from rkmh_tpu.commands.common import (
     DEFAULT_BATCH,
     DEFAULT_KMER,
     DEFAULT_SKETCH,
-    build_ref_panel,
     load_packed,
     bucketed_batches,
     iter_packed_chunks,
@@ -34,9 +33,7 @@ from rkmh_tpu.commands.common import (
 )
 from rkmh_tpu.ops.counter import HashCounter
 
-FETCH_GROUP = 24  # results fetched per device_get; 2x this stays in flight
-                  # (each device_get costs ~2 tunnel RTTs regardless of
-                  # size: 24-groups measured 753k vs 663k reads/s at 12)
+from rkmh_tpu.commands.common import FETCH_GROUP  # single tuning home
 
 # peak count of simultaneously buffered (formatted-but-unwritten) output
 # lines in the last run() — observability for the constant-memory claim
@@ -244,6 +241,10 @@ def run(cfg: StreamConfig, out=None) -> int:
 
     resume_skip = 0
     close_out = False
+    if cfg.resume and not cfg.out_file:
+        log("stream --resume requires -o <file> (resume state is the "
+            "partial output itself); refusing to reclassify to stdout")
+        return 1
     if out is None and cfg.out_file:
         if cfg.resume and os.path.exists(cfg.out_file):
             # failure recovery: per-read output is deterministic, so an
