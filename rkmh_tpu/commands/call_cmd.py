@@ -73,13 +73,19 @@ def run(cfg: CallConfig, out=None) -> int:
         log("call requires at least one reference and one read file.")
         return 1
 
-    # read depth map: every k-mer occurrence, zeros included (rkmh.cpp:1616-23)
+    # read depth map: every k-mer occurrence, zeros included
+    # (rkmh.cpp:1616-23).  bucketed_batches pads row counts to powers of
+    # two instead of the full batch size — packed_batches turned 25
+    # nanopore reads into a 16384x7409 batch (~1 GB of padding hashed
+    # AND fetched; measured 9 s of the old 14 s wall).
+    from rkmh_tpu.commands.common import bucketed_batches
+
     all_h, all_m = [], []
-    for s, e, codes, lens in packed_batches(reads, cfg.batch_size):
+    for rows, codes, lens in bucketed_batches(reads, cfg.batch_size):
         hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
         h_np, m_np = to_host((hashes, mask))
-        all_h.append(h_np)
-        all_m.append(m_np)
+        all_h.append(h_np[: len(rows)])
+        all_m.append(m_np[: len(rows)])
     table = depth_map_from_hashes(
         np.concatenate([h.ravel() for h in all_h]),
         np.concatenate([m.ravel() for m in all_m]),

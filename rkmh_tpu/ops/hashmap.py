@@ -46,58 +46,102 @@ class HashMap:
 
 
 def build_hash_map(keys: np.ndarray, values: np.ndarray) -> HashMap:
-    """keys: unique uint64; values: int32.  Host-side cuckoo placement."""
+    """keys: unique uint64; values: int32.  Host-side vectorized cuckoo.
+
+    Rounds of first-wins claims on each key's preferred slot, WITH
+    eviction: a stuck key overwrites an occupant (random side per key
+    per round) and the evicted key rejoins the pending set.  No per-key
+    Python loop for the bulk — the old insertion walk cost ~25 us per
+    key, ~4.6 s for a nanopore depth map.  Eviction is what keeps the
+    table at load 0.5: greedy placement without it strands every key
+    whose two slots are taken and the table balloons to ~n^1.5 slots
+    before zero-failure placement succeeds.  The last few stragglers
+    (keys in nearly-saturated cuckoo components, where the parallel
+    walk's hitting time is quadratic in component size) are finished by
+    the classic sequential eviction walk — O(dozens) of keys, cheap.
+    """
     keys = np.asarray(keys, dtype=np.uint64)
     values = np.asarray(values, dtype=np.int32)
     assert keys.shape == values.shape
     n = len(keys)
     T = max(64, next_pow2(2 * max(n, 1)))
 
+    lo_all = keys.astype(np.uint32)
+    hi_all = (keys >> np.uint64(32)).astype(np.uint32)
+
     while True:
-        hash_hi = np.zeros(T, dtype=np.uint32)
-        hash_lo = np.zeros(T, dtype=np.uint32)
+        mask_t = np.uint32(T - 1)
         used = np.zeros(T, dtype=bool)
-        vals = np.zeros(T, dtype=np.int32)
-        mask_t = T - 1
+        # which key occupies each slot (index into keys); -1 = empty
+        slot_key = np.full(T, -1, dtype=np.int64)
+        s1_all = (((lo_all ^ np.uint32(_MUL1)) * np.uint32(_MUL1)) & mask_t).astype(np.int64)
+        s2_all = (((hi_all ^ np.uint32(_MUL2)) * np.uint32(_MUL2)) & mask_t).astype(np.int64)
 
-        def slots(h):
-            lo = h & 0xFFFFFFFF
-            hi = (h >> 32) & 0xFFFFFFFF
-            return (lo ^ _MUL1) * _MUL1 % (1 << 32) & mask_t, (
-                (hi ^ _MUL2) * _MUL2 % (1 << 32)
-            ) & mask_t
-
-        ok = True
-        rng = np.random.default_rng(777)
-        for h0, v0 in zip(keys.tolist(), values.tolist()):
-            cur = (h0, v0)
-            placed = False
-            for _ in range(500):
-                h, v = cur
-                s1, s2 = slots(h)
-                if not used[s1]:
-                    tgt = s1
-                elif not used[s2]:
-                    tgt = s2
-                else:
-                    tgt = s1 if rng.integers(2) else s2
-                if not used[tgt]:
-                    hash_hi[tgt] = (h >> 32) & 0xFFFFFFFF
-                    hash_lo[tgt] = h & 0xFFFFFFFF
-                    used[tgt] = True
-                    vals[tgt] = v
-                    placed = True
-                    break
-                eh = (int(hash_hi[tgt]) << 32) | int(hash_lo[tgt])
-                ev = (eh, int(vals[tgt]))
-                hash_hi[tgt] = (h >> 32) & 0xFFFFFFFF
-                hash_lo[tgt] = h & 0xFFFFFFFF
-                vals[tgt] = v
-                cur = ev
-            if not placed:
-                ok = False
+        rng = np.random.default_rng(0xC0FFEE)
+        pending = np.arange(n, dtype=np.int64)
+        for rnd in range(64):
+            if pending.size == 0:
                 break
-        if ok:
+            t1 = s1_all[pending]
+            t2 = s2_all[pending]
+            free1 = ~used[t1]
+            free2 = ~used[t2]
+            # random per-key eviction side: a global side gives a
+            # deterministic parallel walk that locks small key cycles
+            # into evicting each other forever (observed: 28 keys
+            # oscillating at load 0.49)
+            side = rng.integers(0, 2, size=pending.size).astype(bool)
+            evict = np.where(side, t2, t1)
+            tgt = np.where(free1, t1, np.where(free2, t2, evict))
+            # serialize within the round: first pending key per slot wins
+            order = np.argsort(tgt, kind="stable")
+            ts = tgt[order]
+            first = np.ones(ts.size, dtype=bool)
+            first[1:] = ts[1:] != ts[:-1]
+            win_pos = order[first]                  # positions in `pending`
+            w_slots = tgt[win_pos]
+            evicted = slot_key[w_slots]
+            evicted = evicted[evicted >= 0]
+            slot_key[w_slots] = pending[win_pos]
+            used[w_slots] = True
+            keep = np.ones(pending.size, dtype=bool)
+            keep[win_pos] = False
+            pending = np.concatenate([pending[keep], evicted])
+        if 0 < pending.size <= 4096:
+            # sequential eviction walk for the stragglers
+            ok = True
+            for ki in pending.tolist():
+                cur = ki
+                placed = False
+                for _step in range(2000):
+                    c1, c2 = s1_all[cur], s2_all[cur]
+                    if not used[c1]:
+                        tgt = c1
+                    elif not used[c2]:
+                        tgt = c2
+                    else:
+                        tgt = c2 if rng.integers(2) else c1
+                    prev = slot_key[tgt] if used[tgt] else -1
+                    slot_key[tgt] = cur
+                    used[tgt] = True
+                    if prev < 0:
+                        placed = True
+                        break
+                    cur = int(prev)
+                if not placed:
+                    ok = False
+                    break
+            if ok:
+                pending = pending[:0]
+        if pending.size == 0:
+            occ = np.nonzero(used)[0]
+            ki = slot_key[occ]
+            hash_hi = np.zeros(T, dtype=np.uint32)
+            hash_lo = np.zeros(T, dtype=np.uint32)
+            vals = np.zeros(T, dtype=np.int32)
+            hash_hi[occ] = hi_all[ki]
+            hash_lo[occ] = lo_all[ki]
+            vals[occ] = values[ki]
             return HashMap(hash_hi, hash_lo, used, vals)
         T *= 2
 
