@@ -140,6 +140,39 @@ def main():
     # numbers ~2x; sustained capability is the better-conditions figure
     dt = min(measure(), measure())
 
+    # pure device step with resident input: what a co-located chip does.
+    # The e2e number above is wire-bound through the remote-TPU tunnel
+    # (~60 B/read of packed input at ~50 MB/s caps ~830k reads/s no
+    # matter how fast the chip is); this isolates the compute ceiling.
+    import jax.numpy as jnp
+
+    if engine.pair_path_ok(ks, W, s) or not engine.pack4_ok(L):
+        dev_in = (jnp.asarray(codes),)
+        dev_step = step
+    else:
+        from rkmh_tpu.io.packing import pack_codes4
+
+        pk, vb = pack_codes4(codes)
+        dev_in = (jnp.asarray(pk), jnp.asarray(vb))
+
+        def dev_step(pk, vb):
+            return engine.classify_packed4_table_packed2(
+                pk, vb, L, *panel.table, ks=ks, sketch_size=s,
+                num_refs=panel.num_refs, min_diff=0, min_matches=-1,
+            )
+
+    dev_step(*dev_in).block_until_ready()
+    dev_iters = 30 if platform != "cpu" else 3
+    dev_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(dev_iters):
+            y = dev_step(*dev_in)
+        y.block_until_ready()
+        dev_best = min(dev_best, time.perf_counter() - t0)
+    dev_reads_per_sec = batch * dev_iters / dev_best
+
     reads_per_sec = batch * iters / dt
     bp_per_sec = total_bp * iters / dt
     baseline = 16667.0  # see module docstring
@@ -148,6 +181,7 @@ def main():
         "value": round(reads_per_sec, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_sec / baseline, 2),
+        "device_step_reads_per_sec": round(dev_reads_per_sec, 1),
     }
     if pallas_parity is not None:
         result["pallas_parity"] = pallas_parity

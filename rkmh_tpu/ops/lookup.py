@@ -17,8 +17,9 @@ row-gather per element**:
   [hi*S | lo*S | occ*S | mask_w*S ...] so one gather of a 4*S*(3+Wm)
   byte row fetches every candidate, and the slot compare + mask select
   runs vectorized on the VPU — no second probe, no scattered loads.
-  SLOTS=8 measured fastest (row gather traffic and compare width scale
-  with SLOTS; 16 was ~1.6x slower end to end).
+  Row gather traffic and compare width scale with SLOTS, and the row
+  gather dominates the device step, so SLOTS is the main throughput
+  knob (see the SLOTS constant below for measured numbers).
 
 Duplicate semantics stay exact (SURVEY §7 "hard parts"): a value with
 multiplicity ca in the read and cb in ref r contributes min(ca, cb)
@@ -42,7 +43,15 @@ import jax.numpy as jnp
 from rkmh_tpu.ops.sketch import SENTINEL
 from rkmh_tpu.utils import next_pow2
 
-SLOTS = 8
+# Slots per bucket.  The probe gathers one 4*SLOTS*(3+Wm)-byte row per
+# element, so SLOTS directly scales the dominant cost of classify (the
+# row gather is ~88% of device step time — scripts/profile_stages.py).
+# Fewer slots -> smaller rows but more buckets (the builder doubles the
+# bucket count until nothing overflows).  Measured on-chip (zika 16k
+# batch): SLOTS=4 13.0 ms/step vs SLOTS=8 18.6 ms (1.43x); 16 was 1.6x
+# slower than 8 in round 1.  RKMH_TPU_SLOTS overrides for experiments;
+# must be set before the panel table is built.
+SLOTS = int(__import__("os").environ.get("RKMH_TPU_SLOTS", "4"))
 _EMPTY_OCC = np.uint32(0xFFFFFFFF)
 _MIX = 0x85EBCA77
 _MUL = 0x9E3779B1
@@ -127,7 +136,9 @@ def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = 
     lo = h.astype(np.uint32)
     hi = (h >> np.uint64(32)).astype(np.uint32)
 
-    nb = num_buckets or max(2, next_pow2((n + SLOTS // 4 - 1) // (SLOTS // 4)))  # ~25% load
+    # start at ~25% load (nb*SLOTS/4 entries); the loop below doubles on
+    # any bucket overflow
+    nb = num_buckets or max(2, next_pow2((4 * n + SLOTS - 1) // SLOTS))
     while True:
         b = _bucket_of(lo, hi, occ, nb)
         order = np.argsort(b, kind="stable")
@@ -392,7 +403,7 @@ def build_set_table_device(hashes, mask, num_refs: int, est_entries: int | None 
     device u32 array compatible with lookup_intersection_counts.
     """
     n = est_entries or int(_count_unique_keys(hashes, mask))
-    nb = max(2, next_pow2((max(n, 1) + SLOTS // 4 - 1) // (SLOTS // 4)))
+    nb = max(2, next_pow2((4 * max(n, 1) + SLOTS - 1) // SLOTS))
     while True:
         table, max_rank = _device_set_table_jit(hashes, mask, nb, num_refs)
         if int(max_rank) < SLOTS:
@@ -411,7 +422,7 @@ def build_panel_table_device(ref_sk, ref_lens, num_refs: int | None = None):
     qmask = jnp.arange(s, dtype=jnp.int32)[None, :] < ref_lens[:, None]
     occs = occ_ranks(ref_sk)
     n = int(_count_unique_keys(ref_sk, qmask, occs))
-    nb = max(2, next_pow2((max(n, 1) + SLOTS // 4 - 1) // (SLOTS // 4)))
+    nb = max(2, next_pow2((4 * max(n, 1) + SLOTS - 1) // SLOTS))
     while True:
         table, max_rank = _device_set_table_jit(ref_sk, qmask, nb, num_refs, occs)
         if int(max_rank) < SLOTS:

@@ -35,9 +35,13 @@ def main():
     panel = build_ref_panel(load_packed(f"{DATA}/zika.refs.fa"), ks, s)
     codes = jnp.asarray(np.tile(reads.codes, (16, 1)))
     B, L = codes.shape
-    table = panel.table
+    table_arrays = panel.table   # 1-tuple of the bucket-table array
+    (table,) = table_arrays
     num_refs = panel.num_refs
-    print(f"# platform={jax.devices()[0].platform} B={B} L={L}")
+    from rkmh_tpu.ops import lookup
+    print(f"# platform={jax.devices()[0].platform} B={B} L={L} "
+          f"SLOTS={lookup.SLOTS} table={tuple(table.shape)} "
+          f"row_bytes={4 * table.shape[1]}")
 
     def _occ(h):
         W = h.shape[-1]
@@ -56,6 +60,19 @@ def main():
         return _occ(h).astype(jnp.int32).sum()
 
     @jax.jit
+    def f_gather(codes):
+        # row gather alone: bucket index + table row fetch + cheap reduce
+        from rkmh_tpu.ops.lookup import _MIX, _MUL
+        h = multi_k_window_hashes(codes, list(ks))
+        lo = h.astype(jnp.uint32)
+        hi = (h >> np.uint64(32)).astype(jnp.uint32)
+        nb = table.shape[0]
+        shift = np.uint32(32 - int(np.log2(nb)))
+        x = (lo ^ (hi * np.uint32(_MIX))) * np.uint32(_MUL)
+        rows = table[(x >> shift).astype(jnp.int32)]
+        return rows.astype(jnp.int32).sum()
+
+    @jax.jit
     def f_probe(codes):
         h = multi_k_window_hashes(codes, list(ks))
         occ = _occ(h)
@@ -65,14 +82,50 @@ def main():
         return counts.astype(jnp.int32).sum()
 
     @jax.jit
+    def f_full_alt(codes):
+        # probe with the bit-unpack reformulated as one [B, W, 32] i8
+        # reduction per mask word instead of R separate reductions
+        from rkmh_tpu.ops.lookup import _MIX, _MUL, SLOTS
+        h = multi_k_window_hashes(codes, list(ks))
+        occ = _occ(h)
+        qmask = h != np.uint64(0)
+        lo = h.astype(jnp.uint32)
+        hi = (h >> np.uint64(32)).astype(jnp.uint32)
+        nb = table.shape[0]
+        Wm = table.shape[1] // SLOTS - 3
+        shift = np.uint32(32 - int(np.log2(nb)))
+        occ_u = occ.astype(jnp.uint32)
+        x = (lo ^ (hi * np.uint32(_MIX)) ^ (occ_u * np.uint32(_MIX))) * np.uint32(_MUL)
+        rows = table[(x >> shift).astype(jnp.int32)]
+        hi_e = rows[..., 0:SLOTS]
+        lo_e = rows[..., SLOTS:2 * SLOTS]
+        occ_e = rows[..., 2 * SLOTS:3 * SLOTS]
+        hit = (lo_e == lo[..., None]) & (occ_e == occ_u[..., None]) & qmask[..., None]
+        zero = np.uint32(0)
+        sel_hi = jnp.max(jnp.where(hit, hi_e, zero), axis=-1)
+        ok = sel_hi == hi
+        outs = []
+        for w in range(Wm):
+            mw = rows[..., (3 + w) * SLOTS:(4 + w) * SLOTS]
+            sel = jnp.max(jnp.where(hit, mw, zero), axis=-1)
+            sel = jnp.where(ok, sel, zero)
+            bits = ((sel[..., None] >> jnp.arange(32, dtype=jnp.uint32))
+                    & np.uint32(1)).astype(jnp.int8)
+            outs.append(bits.sum(axis=1, dtype=jnp.int32))   # [B, 32]
+        counts = jnp.concatenate(outs, axis=-1)[:, :num_refs]
+        return counts.sum()
+
+    @jax.jit
     def f_full(codes):
         return engine.classify_codes_table_packed2(
-            codes, *table, ks=ks, sketch_size=s,
+            codes, *table_arrays, ks=ks, sketch_size=s,
             num_refs=num_refs, min_diff=0, min_matches=-1).sum()
 
     iters = 30
     for name, f in [("hash", f_hash), ("occ", f_occ),
-                    ("probe", f_probe), ("full", f_full)]:
+                    ("gather", f_gather),
+                    ("probe", f_probe), ("full", f_full),
+                    ("alt", f_full_alt)]:
         f(codes).block_until_ready()  # compile
         best = float("inf")
         for _ in range(3):
