@@ -43,15 +43,72 @@ import jax.numpy as jnp
 from rkmh_tpu.ops.sketch import SENTINEL
 from rkmh_tpu.utils import next_pow2
 
-# Slots per bucket.  The probe gathers one 4*SLOTS*(3+Wm)-byte row per
-# element, so SLOTS directly scales the dominant cost of classify (the
-# row gather is ~88% of device step time — scripts/profile_stages.py).
-# Fewer slots -> smaller rows but more buckets (the builder doubles the
-# bucket count until nothing overflows).  Measured on-chip (zika 16k
-# batch): SLOTS=4 13.0 ms/step vs SLOTS=8 18.6 ms (1.43x); 16 was 1.6x
-# slower than 8 in round 1.  RKMH_TPU_SLOTS overrides for experiments;
-# must be set before the panel table is built.
-SLOTS = int(__import__("os").environ.get("RKMH_TPU_SLOTS", "4"))
+# Slots per bucket.  The probe gathers one 4*S*(3+Wm)-byte row per
+# element, so the slot width directly scales the dominant cost of
+# classify (the row gather is ~88% of device step time —
+# scripts/profile_stages.py).  Fewer slots -> smaller rows but more
+# buckets (the builder doubles the bucket count until nothing
+# overflows, and smaller buckets need proportionally lower load to
+# avoid overflow).  Measured on-chip (zika 16k batch, 16k-entry
+# panel): S=2 10.5 ms/step, S=4 13.0 ms, S=8 18.6 ms — so builders
+# pick the smallest S whose predicted table stays under a size budget
+# (pick_slots), and queries derive S from the table shape.  RKMH_TPU_
+# SLOTS forces a width everywhere; SLOTS below is the fallback for
+# forced-shape builds (tensor-parallel shards) and empty tables.
+_FORCED_SLOTS = __import__("os").environ.get("RKMH_TPU_SLOTS")
+SLOTS = int(_FORCED_SLOTS) if _FORCED_SLOTS else 4
+_BUDGET_MB = int(__import__("os").environ.get("RKMH_TPU_TABLE_BUDGET_MB", "64"))
+
+def predicted_buckets(n_entries: int, slots: int) -> int:
+    """Bucket count at which a random drop of n entries overflows nowhere
+    (expected overflowing buckets < 0.5, Poisson occupancy model).
+
+    Doubling from the naive 25%-load start converges here anyway — this
+    predicts the endpoint so builders (a) can size-budget slot widths and
+    (b) start device builds at the right shape instead of paying one
+    XLA recompile per doubling step."""
+    import math
+
+    n = max(n_entries, 1)
+    nb = max(2, next_pow2((4 * n + slots - 1) // slots))
+    while True:
+        lam = n / nb
+        # P(Poisson(lam) > slots)
+        tail = 1.0 - math.exp(-lam) * sum(
+            lam**i / math.factorial(i) for i in range(slots + 1)
+        )
+        if nb * tail < 0.5 or nb >= 1 << 30:
+            return nb
+        nb *= 2
+
+
+def pick_slots(n_entries: int, mask_words: int, forced: int | None = None) -> int:
+    """Smallest slot width whose predicted table fits the size budget."""
+    if forced:
+        return forced
+    if _FORCED_SLOTS:
+        return SLOTS
+    budget = _BUDGET_MB * (1 << 20)
+    for s in (2, 4):
+        nb = predicted_buckets(n_entries, s)
+        if 4 * s * (3 + mask_words) * nb <= budget:
+            return s
+    return 8
+
+
+def table_slots(width: int, num_refs: int) -> int:
+    """Slot width of a table row, derived from its lane count.
+
+    width = S * (3 + Wm) with Wm = ceil(num_refs/32); every query path
+    derives S this way so tables built at any width interoperate."""
+    wm = max(1, (num_refs + 31) // 32)
+    s, rem = divmod(width, 3 + wm)
+    if rem or s < 1:
+        raise ValueError(
+            f"table width {width} is not S*(3+{wm}) for num_refs={num_refs}")
+    return s
+
+
 _EMPTY_OCC = np.uint32(0xFFFFFFFF)
 _MIX = 0x85EBCA77
 _MUL = 0x9E3779B1
@@ -114,12 +171,14 @@ def _bucket_of(lo: np.ndarray, hi: np.ndarray, occ: np.ndarray, nb: int):
 
 
 def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = None,
-                      num_buckets: int | None = None) -> PanelTable:
+                      num_buckets: int | None = None,
+                      slots: int | None = None) -> PanelTable:
     """Build the bucket table from a sorted sketch matrix [R, t] uint64
     (SENTINEL-padded rows, as produced by bottom_s_sketch).
 
-    num_buckets forces the initial bucket count (power of two) — used to
-    give every tensor-parallel shard an identically-shaped table.
+    num_buckets / slots force the table geometry — used to give every
+    tensor-parallel shard an identically-shaped table.  By default the
+    slot width is auto-picked per panel size (pick_slots).
     """
     ref_sk = np.asarray(ref_sk, dtype=np.uint64)
     R = ref_sk.shape[0] if num_refs is None else num_refs
@@ -127,18 +186,20 @@ def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = 
 
     ents = _collect_entries(ref_sk, ref_lens, R, Wm)
     if ents is None:
+        S = pick_slots(0, Wm, slots)
         nb0 = num_buckets or 1
-        empty = np.zeros((nb0, SLOTS * (3 + Wm)), dtype=np.uint32)
-        empty[:, 2 * SLOTS : 3 * SLOTS] = _EMPTY_OCC
+        empty = np.zeros((nb0, S * (3 + Wm)), dtype=np.uint32)
+        empty[:, 2 * S : 3 * S] = _EMPTY_OCC
         return PanelTable(empty, R, Wm)
     h, occ, masks = ents
     n = len(h)
+    S = pick_slots(n, Wm, slots)
     lo = h.astype(np.uint32)
     hi = (h >> np.uint64(32)).astype(np.uint32)
 
-    # start at ~25% load (nb*SLOTS/4 entries); the loop below doubles on
+    # start at ~25% load (nb*S/4 entries); the loop below doubles on
     # any bucket overflow
-    nb = num_buckets or max(2, next_pow2((4 * n + SLOTS - 1) // SLOTS))
+    nb = num_buckets or predicted_buckets(n, S)
     while True:
         b = _bucket_of(lo, hi, occ, nb)
         order = np.argsort(b, kind="stable")
@@ -146,7 +207,7 @@ def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = 
         # slot index within each bucket = rank within equal-b run
         starts = np.searchsorted(bs, bs, side="left")
         slot = np.arange(n) - starts
-        if slot.max(initial=0) < SLOTS:
+        if slot.max(initial=0) < S:
             # the query path compares only (lo, occ) per slot and verifies
             # hi on the selected entry — so no bucket may hold two entries
             # with equal (lo, occ).  Collision odds are ~n^2/(nb*2^32);
@@ -157,15 +218,15 @@ def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = 
                 break
         nb *= 2  # a bucket overflowed (or (lo,occ) collided): rebuild sparser
 
-    width = SLOTS * (3 + Wm)
+    width = S * (3 + Wm)
     table = np.zeros((nb, width), dtype=np.uint32)
-    table[:, 2 * SLOTS : 3 * SLOTS] = _EMPTY_OCC
+    table[:, 2 * S : 3 * S] = _EMPTY_OCC
     bo, so = bs, slot
     table[bo, so] = hi[order]
-    table[bo, SLOTS + so] = lo[order]
-    table[bo, 2 * SLOTS + so] = occ[order]
+    table[bo, S + so] = lo[order]
+    table[bo, 2 * S + so] = occ[order]
     for w in range(Wm):
-        table[bo, (3 + w) * SLOTS + so] = masks[order, w]
+        table[bo, (3 + w) * S + so] = masks[order, w]
     return PanelTable(table, R, Wm)
 
 
@@ -193,7 +254,8 @@ def lookup_intersection_counts_masked_pair(lo, hi, qmask, occ, table_arrays,
     directly)."""
     (table,) = table_arrays
     nb = table.shape[0]
-    Wm = table.shape[1] // SLOTS - 3
+    S = table_slots(table.shape[1], num_refs)
+    Wm = table.shape[1] // S - 3
     shift = np.uint32(32 - int(np.log2(nb)))
 
     occ = occ.astype(jnp.uint32)
@@ -201,9 +263,9 @@ def lookup_intersection_counts_masked_pair(lo, hi, qmask, occ, table_arrays,
     bidx = (x >> shift).astype(jnp.int32)
 
     rows = table[bidx]                                     # [B, s, width]
-    hi_e = rows[..., 0:SLOTS]
-    lo_e = rows[..., SLOTS : 2 * SLOTS]
-    occ_e = rows[..., 2 * SLOTS : 3 * SLOTS]
+    hi_e = rows[..., 0:S]
+    lo_e = rows[..., S : 2 * S]
+    occ_e = rows[..., 2 * S : 3 * S]
     # slot match on (lo, occ) only — the builder guarantees uniqueness of
     # (lo, occ) within a bucket, and hi is verified on the selected entry
     # (fewer VPU compare lanes than a 3-way per-slot compare)
@@ -211,14 +273,14 @@ def lookup_intersection_counts_masked_pair(lo, hi, qmask, occ, table_arrays,
         (lo_e == lo[..., None])
         & (occ_e == occ[..., None])
         & qmask[..., None]
-    )                                                      # [B, s, SLOTS]
+    )                                                      # [B, s, S]
     zero = np.uint32(0)
     sel_hi = jnp.max(jnp.where(hit, hi_e, zero), axis=-1)  # [B, s]
     ok = sel_hi == hi                                      # kills hi mismatches
 
     counts = []
     for w in range(Wm):
-        mw = rows[..., (3 + w) * SLOTS : (4 + w) * SLOTS]
+        mw = rows[..., (3 + w) * S : (4 + w) * S]
         # at most one slot matches: OR-select its mask word
         sel = jnp.max(jnp.where(hit, mw, zero), axis=-1)   # [B, s]
         sel = jnp.where(ok, sel, zero)
@@ -285,9 +347,10 @@ def build_set_table(ref_hash_rows: list, num_refs: int | None = None) -> PanelTa
 # bucket may differ, which queries don't observe).
 
 
-def _device_set_table(hashes, mask, nb: int, num_refs: int, occs=None):
+def _device_set_table(hashes, mask, nb: int, num_refs: int, occs=None,
+                      slots: int = SLOTS):
     """hashes [R, W] u64 + validity mask (+ optional per-element occ
-    ranks) -> (table [nb, SLOTS*(3+Wm)] u32, max_rank for overflow).
+    ranks) -> (table [nb, slots*(3+Wm)] u32, max_rank for overflow).
 
     With occs=None every entry is occ=0 (set semantics — the hpv16
     comparators); with occs given (occ_ranks of per-row sorted sketch
@@ -357,24 +420,24 @@ def _device_set_table(hashes, mask, nb: int, num_refs: int, occs=None):
     # report overflow OR (lo, occ) collision via the same retry signal
     max_rank = jnp.maximum(
         jnp.max(jnp.where(svalid, rank, -1)),
-        jnp.where(jnp.any(collide), SLOTS, -1),
+        jnp.where(jnp.any(collide), slots, -1),
     )
 
-    width = SLOTS * (3 + Wm)
+    width = slots * (3 + Wm)
     table = jnp.zeros((nb + 1, width), jnp.uint32)
-    table = table.at[:, 2 * SLOTS : 3 * SLOTS].set(_EMPTY_OCC)
-    b_safe = jnp.where(svalid & (rank < SLOTS), sb, nb)
-    r_safe = jnp.clip(rank, 0, SLOTS - 1)
+    table = table.at[:, 2 * slots : 3 * slots].set(_EMPTY_OCC)
+    b_safe = jnp.where(svalid & (rank < slots), sb, nb)
+    r_safe = jnp.clip(rank, 0, slots - 1)
     table = table.at[b_safe, r_safe].set(shi)
-    table = table.at[b_safe, SLOTS + r_safe].set(sl)
-    table = table.at[b_safe, 2 * SLOTS + r_safe].set(soc)
+    table = table.at[b_safe, slots + r_safe].set(sl)
+    table = table.at[b_safe, 2 * slots + r_safe].set(soc)
     for w in range(Wm):
-        table = table.at[b_safe, (3 + w) * SLOTS + r_safe].set(smask[:, w])
+        table = table.at[b_safe, (3 + w) * slots + r_safe].set(smask[:, w])
     return table[:nb], max_rank
 
 
 _device_set_table_jit = jax.jit(
-    _device_set_table, static_argnames=("nb", "num_refs")
+    _device_set_table, static_argnames=("nb", "num_refs", "slots")
 )
 
 
@@ -403,10 +466,12 @@ def build_set_table_device(hashes, mask, num_refs: int, est_entries: int | None 
     device u32 array compatible with lookup_intersection_counts.
     """
     n = est_entries or int(_count_unique_keys(hashes, mask))
-    nb = max(2, next_pow2((4 * max(n, 1) + SLOTS - 1) // SLOTS))
+    S = pick_slots(n, max(1, (num_refs + 31) // 32))
+    nb = predicted_buckets(n, S)
     while True:
-        table, max_rank = _device_set_table_jit(hashes, mask, nb, num_refs)
-        if int(max_rank) < SLOTS:
+        table, max_rank = _device_set_table_jit(hashes, mask, nb, num_refs,
+                                                slots=S)
+        if int(max_rank) < S:
             return table
         nb *= 2
 
@@ -422,10 +487,12 @@ def build_panel_table_device(ref_sk, ref_lens, num_refs: int | None = None):
     qmask = jnp.arange(s, dtype=jnp.int32)[None, :] < ref_lens[:, None]
     occs = occ_ranks(ref_sk)
     n = int(_count_unique_keys(ref_sk, qmask, occs))
-    nb = max(2, next_pow2((4 * max(n, 1) + SLOTS - 1) // SLOTS))
+    S = pick_slots(n, max(1, (num_refs + 31) // 32))
+    nb = predicted_buckets(n, S)
     while True:
-        table, max_rank = _device_set_table_jit(ref_sk, qmask, nb, num_refs, occs)
-        if int(max_rank) < SLOTS:
+        table, max_rank = _device_set_table_jit(ref_sk, qmask, nb, num_refs,
+                                                occs, slots=S)
+        if int(max_rank) < S:
             return table
         nb *= 2
 

@@ -87,16 +87,23 @@ def build_sharded_tables(ref_sk, ref_lens, tp: int):
     R = ref_sk.shape[0]
     assert R % tp == 0, f"num refs {R} not divisible by tp {tp}"
     rps = R // tp
+    from rkmh_tpu.ops.lookup import table_slots
+
     parts = [
         build_panel_table(ref_sk[i * rps : (i + 1) * rps],
                           ref_lens[i * rps : (i + 1) * rps])
         for i in range(tp)
     ]
+    # shard_map stacks the per-shard tables, so every shard must share
+    # one geometry: force the max bucket count AND the max slot width
+    # any shard auto-picked
     nb = max(p.num_buckets for p in parts)
+    slots = max(table_slots(p.table.shape[1], rps) for p in parts)
     parts = [
-        p if p.num_buckets == nb else build_panel_table(
+        p if p.num_buckets == nb and table_slots(p.table.shape[1], rps) == slots
+        else build_panel_table(
             ref_sk[i * rps : (i + 1) * rps], ref_lens[i * rps : (i + 1) * rps],
-            num_buckets=nb,
+            num_buckets=nb, slots=slots,
         )
         for i, p in enumerate(parts)
     ]

@@ -38,10 +38,10 @@ def main():
     table_arrays = panel.table   # 1-tuple of the bucket-table array
     (table,) = table_arrays
     num_refs = panel.num_refs
-    from rkmh_tpu.ops import lookup
+    from rkmh_tpu.ops.lookup import table_slots
     print(f"# platform={jax.devices()[0].platform} B={B} L={L} "
-          f"SLOTS={lookup.SLOTS} table={tuple(table.shape)} "
-          f"row_bytes={4 * table.shape[1]}")
+          f"slots={table_slots(table.shape[1], num_refs)} "
+          f"table={tuple(table.shape)} row_bytes={4 * table.shape[1]}")
 
     def _occ(h):
         W = h.shape[-1]
@@ -85,13 +85,14 @@ def main():
     def f_full_alt(codes):
         # probe with the bit-unpack reformulated as one [B, W, 32] i8
         # reduction per mask word instead of R separate reductions
-        from rkmh_tpu.ops.lookup import _MIX, _MUL, SLOTS
+        from rkmh_tpu.ops.lookup import _MIX, _MUL, table_slots
         h = multi_k_window_hashes(codes, list(ks))
         occ = _occ(h)
         qmask = h != np.uint64(0)
         lo = h.astype(jnp.uint32)
         hi = (h >> np.uint64(32)).astype(jnp.uint32)
         nb = table.shape[0]
+        SLOTS = table_slots(table.shape[1], num_refs)
         Wm = table.shape[1] // SLOTS - 3
         shift = np.uint32(32 - int(np.log2(nb)))
         occ_u = occ.astype(jnp.uint32)

@@ -209,3 +209,42 @@ def test_packed4_sketch_and_hpv16_variants_identical():
     b = to_host(engine.hpv16_packed4_batch(pk, vb, 96, tt, ut, ks, 3, 2,
                                            counter_table=hc.table, min_occ=1))
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_slot_width_auto_pick_and_cross_width_parity():
+    """Tables built at any slot width must answer queries identically,
+    and the auto-picker must respect forcing and the size budget."""
+    import numpy as np
+    from rkmh_tpu.classify import engine
+    from rkmh_tpu.ops.lookup import (
+        build_panel_table, pick_slots, table_slots,
+        lookup_intersection_counts,
+    )
+    from rkmh_tpu.ops.sketch import bottom_s_sketch
+    from rkmh_tpu.ops.hashing import multi_k_window_hashes
+    from rkmh_tpu.utils import to_host
+
+    assert pick_slots(100, 2, forced=8) == 8
+    assert pick_slots(100, 2) == 2            # tiny panel -> smallest rows
+    assert pick_slots(50_000_000, 6) == 8     # huge panel -> 8 regardless
+    # derivation round-trips for every width
+    for s in (2, 4, 8):
+        assert table_slots(s * (3 + 2), 60) == s
+
+    rng = np.random.default_rng(3)
+    ref_codes = rng.integers(0, 4, size=(5, 300)).astype(np.uint8)
+    read_codes = rng.integers(0, 4, size=(16, 120)).astype(np.uint8)
+    ks, s_sk = (11,), 64
+    rh = multi_k_window_hashes(ref_codes, list(ks))
+    ref_sk, ref_lens = to_host(bottom_s_sketch(rh, s_sk))
+    sk, sk_lens = engine.sketch_batch(read_codes, ks, s_sk)
+
+    outs = []
+    for s in (2, 4, 8):
+        pt = build_panel_table(ref_sk, ref_lens, slots=s)
+        assert table_slots(pt.table.shape[1], pt.num_refs) == s
+        counts = to_host(lookup_intersection_counts(
+            sk, sk_lens, pt.device_arrays(), pt.num_refs))
+        outs.append(np.asarray(counts))
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[1], outs[2])
