@@ -26,7 +26,9 @@ import numpy as np
 
 from rkmh_tpu import call_engine
 from rkmh_tpu.classify import engine
-from rkmh_tpu.commands.common import load_packed, load_records, packed_batches, log
+from rkmh_tpu.commands.common import (
+    bucketed_batches, load_packed, load_records, log,
+)
 from rkmh_tpu.io.packing import bucket_length, encode_seqs
 from rkmh_tpu.ops.hashmap import depth_map_from_hashes
 from rkmh_tpu.utils import to_host
@@ -75,11 +77,9 @@ def run(cfg: CallConfig, out=None) -> int:
 
     # read depth map: every k-mer occurrence, zeros included
     # (rkmh.cpp:1616-23).  bucketed_batches pads row counts to powers of
-    # two instead of the full batch size — packed_batches turned 25
+    # two instead of the full batch size — full-batch padding turned 25
     # nanopore reads into a 16384x7409 batch (~1 GB of padding hashed
     # AND fetched; measured 9 s of the old 14 s wall).
-    from rkmh_tpu.commands.common import bucketed_batches
-
     all_h, all_m = [], []
     for rows, codes, lens in bucketed_batches(reads, cfg.batch_size):
         hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)

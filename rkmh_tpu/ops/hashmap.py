@@ -107,18 +107,27 @@ def build_hash_map(keys: np.ndarray, values: np.ndarray) -> HashMap:
             keep = np.ones(pending.size, dtype=bool)
             keep[win_pos] = False
             pending = np.concatenate([pending[keep], evicted])
-        if 0 < pending.size <= 4096:
-            # sequential eviction walk for the stragglers
+        if 0 < pending.size <= 65536:
+            # sequential eviction walk for the stragglers.  An evicted
+            # key never reinserts into the slot it was just kicked out
+            # of (classic cuckoo alternation) — a random side choice can
+            # bounce keys back and forth and time out on feasible
+            # instances, forcing a spurious table doubling.
             ok = True
             for ki in pending.tolist():
                 cur = ki
+                came_from = -1
                 placed = False
-                for _step in range(2000):
+                for _step in range(10000):
                     c1, c2 = s1_all[cur], s2_all[cur]
                     if not used[c1]:
                         tgt = c1
                     elif not used[c2]:
                         tgt = c2
+                    elif came_from == c1:
+                        tgt = c2
+                    elif came_from == c2:
+                        tgt = c1
                     else:
                         tgt = c2 if rng.integers(2) else c1
                     prev = slot_key[tgt] if used[tgt] else -1
@@ -127,6 +136,7 @@ def build_hash_map(keys: np.ndarray, values: np.ndarray) -> HashMap:
                     if prev < 0:
                         placed = True
                         break
+                    came_from = tgt
                     cur = int(prev)
                 if not placed:
                     ok = False

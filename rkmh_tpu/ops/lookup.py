@@ -56,7 +56,22 @@ from rkmh_tpu.utils import next_pow2
 # SLOTS forces a width everywhere; SLOTS below is the fallback for
 # forced-shape builds (tensor-parallel shards) and empty tables.
 _FORCED_SLOTS = __import__("os").environ.get("RKMH_TPU_SLOTS")
-SLOTS = int(_FORCED_SLOTS) if _FORCED_SLOTS else 4
+if _FORCED_SLOTS is not None:
+    try:
+        _forced_val = int(_FORCED_SLOTS)
+    except ValueError:
+        raise ValueError(
+            f"RKMH_TPU_SLOTS={_FORCED_SLOTS!r}: must be a positive integer "
+            "slot count (e.g. 2, 4, 8); unset it to auto-pick per panel"
+        ) from None
+    if _forced_val < 1:
+        raise ValueError(
+            f"RKMH_TPU_SLOTS={_FORCED_SLOTS!r}: must be >= 1; unset it to "
+            "auto-pick per panel"
+        )
+    SLOTS = _forced_val
+else:
+    SLOTS = 4
 _BUDGET_MB = int(__import__("os").environ.get("RKMH_TPU_TABLE_BUDGET_MB", "64"))
 
 def predicted_buckets(n_entries: int, slots: int) -> int:
@@ -197,8 +212,9 @@ def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = 
     lo = h.astype(np.uint32)
     hi = (h >> np.uint64(32)).astype(np.uint32)
 
-    # start at ~25% load (nb*S/4 entries); the loop below doubles on
-    # any bucket overflow
+    # predicted_buckets returns the converged bucket count (small slot
+    # widths run intentionally sparse); the loop below still doubles in
+    # the rare realizations that overflow anyway
     nb = num_buckets or predicted_buckets(n, S)
     while True:
         b = _bucket_of(lo, hi, occ, nb)

@@ -96,17 +96,24 @@ def build_sharded_tables(ref_sk, ref_lens, tp: int):
     ]
     # shard_map stacks the per-shard tables, so every shard must share
     # one geometry: force the max bucket count AND the max slot width
-    # any shard auto-picked
-    nb = max(p.num_buckets for p in parts)
-    slots = max(table_slots(p.table.shape[1], rps) for p in parts)
-    parts = [
-        p if p.num_buckets == nb and table_slots(p.table.shape[1], rps) == slots
-        else build_panel_table(
-            ref_sk[i * rps : (i + 1) * rps], ref_lens[i * rps : (i + 1) * rps],
-            num_buckets=nb, slots=slots,
-        )
-        for i, p in enumerate(parts)
-    ]
+    # any shard auto-picked.  A rebuild pinned to num_buckets can still
+    # double past the pin on a bucket overflow at the new bucketing, so
+    # loop until the geometries actually agree (nb only grows).
+    for _ in range(8):
+        nb = max(p.num_buckets for p in parts)
+        slots = max(table_slots(p.table.shape[1], rps) for p in parts)
+        if all(p.num_buckets == nb
+               and table_slots(p.table.shape[1], rps) == slots
+               for p in parts):
+            break
+        parts = [
+            p if p.num_buckets == nb and table_slots(p.table.shape[1], rps) == slots
+            else build_panel_table(
+                ref_sk[i * rps : (i + 1) * rps], ref_lens[i * rps : (i + 1) * rps],
+                num_buckets=nb, slots=slots,
+            )
+            for i, p in enumerate(parts)
+        ]
     return np.stack([p.table for p in parts]), rps
 
 

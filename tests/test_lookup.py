@@ -215,11 +215,17 @@ def test_slot_width_auto_pick_and_cross_width_parity():
     """Tables built at any slot width must answer queries identically,
     and the auto-picker must respect forcing and the size budget."""
     import numpy as np
+    import pytest
+    from rkmh_tpu.ops import lookup
     from rkmh_tpu.classify import engine
     from rkmh_tpu.ops.lookup import (
         build_panel_table, pick_slots, table_slots,
         lookup_intersection_counts,
     )
+
+    if lookup._FORCED_SLOTS:
+        pytest.skip("RKMH_TPU_SLOTS forces a width; auto-pick asserts "
+                    "don't apply")
     from rkmh_tpu.ops.sketch import bottom_s_sketch
     from rkmh_tpu.ops.hashing import multi_k_window_hashes
     from rkmh_tpu.utils import to_host
