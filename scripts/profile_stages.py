@@ -122,11 +122,49 @@ def main():
             codes, *table_arrays, ks=ks, sketch_size=s,
             num_refs=num_refs, min_diff=0, min_matches=-1).sum()
 
+    # alignment experiment: same probe but rows zero-padded to 16 lanes
+    # (64 B) — tests whether row alignment beats the extra bytes
+    width = table.shape[1]
+    pad_lanes = (-width) % 16
+    table_pad = jnp.pad(table, ((0, 0), (0, pad_lanes)))
+
+    def _probe_on(tbl, codes):
+        from rkmh_tpu.ops.lookup import _MIX, _MUL, table_slots
+        h = multi_k_window_hashes(codes, list(ks))
+        occ = _occ(h)
+        qmask = h != np.uint64(0)
+        lo = h.astype(jnp.uint32)
+        hi = (h >> np.uint64(32)).astype(jnp.uint32)
+        nb = tbl.shape[0]
+        S = table_slots(width, num_refs)
+        Wm = width // S - 3
+        shift = np.uint32(32 - int(np.log2(nb)))
+        occ_u = occ.astype(jnp.uint32)
+        x = (lo ^ (hi * np.uint32(_MIX)) ^ (occ_u * np.uint32(_MIX))) * np.uint32(_MUL)
+        rows = tbl[(x >> shift).astype(jnp.int32)][..., :width]
+        hi_e = rows[..., 0:S]
+        lo_e = rows[..., S:2 * S]
+        occ_e = rows[..., 2 * S:3 * S]
+        hit = (lo_e == lo[..., None]) & (occ_e == occ_u[..., None]) & qmask[..., None]
+        zero = np.uint32(0)
+        sel_hi = jnp.max(jnp.where(hit, hi_e, zero), axis=-1)
+        ok = sel_hi == hi
+        tot = jnp.zeros((), jnp.uint32)
+        for w in range(Wm):
+            mw = rows[..., (3 + w) * S:(4 + w) * S]
+            sel = jnp.max(jnp.where(hit, mw, zero), axis=-1)
+            tot = tot + jnp.where(ok, sel, zero).sum()
+        return tot
+
+    @jax.jit
+    def f_pad16(codes):
+        return _probe_on(table_pad, codes)
+
     iters = 30
     for name, f in [("hash", f_hash), ("occ", f_occ),
                     ("gather", f_gather),
                     ("probe", f_probe), ("full", f_full),
-                    ("alt", f_full_alt)]:
+                    ("alt", f_full_alt), ("pad16", f_pad16)]:
         f(codes).block_until_ready()  # compile
         best = float("inf")
         for _ in range(3):
