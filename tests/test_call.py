@@ -203,3 +203,29 @@ def test_call_on_zika_slice():
         for key, v in sorted(want_calls.items())
     ]
     assert body == want_body
+
+
+def test_hashmap_build_scales_without_doubling():
+    """The vectorized cuckoo build must place a large key set at load
+    ~0.5 without the straggler walk timing out and forcing a table
+    doubling (regression: a random-side walk bounced keys between their
+    two slots and doubled 1M-key maps to 2x the memory)."""
+    import numpy as np
+    from rkmh_tpu.ops.hashmap import build_hash_map
+
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(0, np.iinfo(np.uint64).max,
+                                  size=200_000, dtype=np.uint64))
+    vals = rng.integers(1, 100, size=len(keys)).astype(np.int32)
+    from rkmh_tpu.utils import next_pow2
+
+    hm = build_hash_map(keys, vals)
+    assert len(hm.used) == next_pow2(2 * len(keys)), (
+        f"table doubled spuriously: T={len(hm.used)} for n={len(keys)}")
+    # every key retrievable with its value
+    recon = (hm.hash_hi.astype(np.uint64) << np.uint64(32)) | hm.hash_lo.astype(np.uint64)
+    d = {int(k): int(v) for k, v, u in zip(recon, hm.values, hm.used) if u}
+    assert len(d) == len(keys)
+    idx = rng.integers(0, len(keys), size=512)
+    for k, v in zip(keys[idx].tolist(), vals[idx].tolist()):
+        assert d[k] == v
