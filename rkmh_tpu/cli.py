@@ -158,11 +158,11 @@ def _dispatch(args) -> int:
     if args.command in ("classify", "stream"):
         if args.command == "classify":
             print("classify is an alias of stream in rkmh; running stream.", file=sys.stderr)
-        for flag, name in (("in_stream", "-i"), ("output_reads", "-z"), ("merge_sketch", "-m")):
+        for flag, name in (("output_reads", "-z"), ("merge_sketch", "-m")):
             if getattr(args, flag, False):
                 print(
                     f"warning: stream {name} is parsed but dead in rkmh too "
-                    f"(rkmh.cpp:608-714); use `filter -i` for streaming.",
+                    f"(rkmh.cpp:608-714); ignored.",
                     file=sys.stderr,
                 )
         from rkmh_tpu.commands.stream import StreamConfig, run
@@ -183,6 +183,7 @@ def _dispatch(args) -> int:
                 chunk_reads=args.chunk_reads,
                 out_file=args.out_file,
                 resume=args.resume,
+                in_stream=args.in_stream,
             )
         )
     if args.command == "filter":

@@ -247,7 +247,7 @@ def load_packed(paths, granularity: int = 128):
     parts = []
     for p in paths:
         pk = None
-        if p not in ("-", b"-"):
+        if isinstance(p, (str, bytes)) and p not in ("-", b"-"):
             try:
                 pk = read_fastx_packed(p, granularity)
             except OSError:
@@ -316,7 +316,7 @@ def iter_packed_chunks(paths, chunk_reads: int, granularity: int = 128):
         paths = [paths]
     for p in paths:
         stream = None
-        if p not in ("-", b"-"):
+        if isinstance(p, (str, bytes)) and p not in ("-", b"-"):
             try:
                 stream = FastxStream(p)
             except OSError:
@@ -356,7 +356,8 @@ def two_pass_chunks(paths, chunk_reads: int, granularity: int = 128):
     if isinstance(paths, (str, bytes)):
         paths = [paths]
     rewindable = all(
-        p not in ("-", b"-") and not _is_fifo(p) for p in paths
+        isinstance(p, (str, bytes)) and p not in ("-", b"-") and not _is_fifo(p)
+        for p in paths
     )
     if rewindable:
         return (

@@ -57,6 +57,7 @@ class StreamConfig:
     chunk_reads: int = 0         # streaming window; 0 = default (65536)
     out_file: str = ""           # -o: write here instead of stdout
     resume: bool = False         # --resume: continue an interrupted -o run
+    in_stream: bool = False      # -i: classify STDIN, flushed per batch
 
 
 # the 8 possible "\t<sketch>[FAIL:DEPTH]\t[FAIL:MATCHES]\t[FAIL:DIFF]\n"
@@ -236,7 +237,96 @@ def _skip_reads(chunk_iter, skip: int):
         yield PyPacked(recs)
 
 
-def run(cfg: StreamConfig, out=None) -> int:
+def _make_plain_step(panel, ks, cfg: StreamConfig, pack2: bool):
+    """The no-counter classify step (hash -> sketch -> probe -> argmax ->
+    pack) as one closure: whole step in one jit (one dispatch per batch);
+    on TPU short reads take the opt-in all-u32 Pallas pair pipeline."""
+
+    def step(codes, lens):
+        L = codes.shape[1]
+        W = sum(L - k + 1 for k in ks)
+        if pack2 and engine.pair_path_ok(ks, W, cfg.sketch_size):
+            fn, args = engine.classify_codes_table_packed2_pair, (codes,)
+        elif pack2 and engine.pack4_ok(L):
+            from rkmh_tpu.io.packing import pack_codes4
+
+            pk, vb = pack_codes4(codes)
+            return engine.classify_packed4_table_packed2(
+                pk, vb, L, *panel.table, ks=ks, sketch_size=cfg.sketch_size,
+                num_refs=panel.num_refs, min_diff=cfg.min_diff,
+                min_matches=cfg.min_matches,
+            )
+        elif pack2:
+            fn, args = engine.classify_codes_table_packed2, (codes,)
+        else:
+            fn, args = engine.classify_codes_table_packed, (codes,)
+        return fn(
+            *args, *panel.table, ks=ks, sketch_size=cfg.sketch_size,
+            num_refs=panel.num_refs, min_diff=cfg.min_diff,
+            min_matches=cfg.min_matches,
+        )
+
+    return step
+
+
+def _run_stdin(cfg: StreamConfig, out, panel, ks, pack2: bool, step, stdin) -> int:
+    """stream -i: low-latency STDIN classification.
+
+    The reference parses -i for stream but the path is dead (rkmh.cpp:
+    608/710 — filter -i at 1329-1414 is its only live streaming mode);
+    here it works: a reader thread fills a bounded queue (the
+    KSEQ_Reader-producer / omp-task-consumer split), batches stay
+    pipelined on device, and each batch's lines are written and flushed
+    the moment its results land — same byte format as file mode.
+    """
+    import queue as _queue
+    import threading
+    from collections import deque
+
+    from rkmh_tpu.io.fastx import iter_batches
+    from rkmh_tpu.io.packing import encode_seqs
+    from rkmh_tpu.utils import to_host
+
+    src = stdin if stdin is not None else "-"
+    q: _queue.Queue = _queue.Queue(maxsize=4)
+
+    def _reader():
+        try:
+            for chunk in iter_batches(src, cfg.batch_size):
+                q.put(chunk)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=_reader, daemon=True).start()
+
+    def emit(chunk, res):
+        arr = to_host(res)
+        if pack2:
+            arr = engine.unpack2_host(arr, len(chunk))
+        out.write(format_lines_host(
+            panel.keys, [r.name for r in chunk],
+            arr[:, : len(chunk)], cfg.sketch_size,
+        ))
+        if hasattr(out, "flush"):
+            out.flush()
+
+    pending: deque = deque()
+    while True:
+        chunk = q.get()
+        if chunk is None:
+            break
+        codes, lens = encode_seqs([r.seq for r in chunk])
+        pending.append((chunk, step(codes, lens)))
+        if len(pending) > 2:
+            c, res = pending.popleft()
+            emit(c, res)
+    while pending:
+        c, res = pending.popleft()
+        emit(c, res)
+    return 0
+
+
+def run(cfg: StreamConfig, out=None, stdin=None) -> int:
     import os
 
     resume_skip = 0
@@ -244,6 +334,10 @@ def run(cfg: StreamConfig, out=None) -> int:
     if cfg.resume and not cfg.out_file:
         log("stream --resume requires -o <file> (resume state is the "
             "partial output itself); refusing to reclassify to stdout")
+        return 1
+    if cfg.resume and cfg.in_stream:
+        log("stream --resume cannot combine with -i: a stream is not "
+            "re-readable, so skipped reads cannot be matched up")
         return 1
     if out is None and cfg.out_file:
         if cfg.resume and os.path.exists(cfg.out_file):
@@ -260,13 +354,13 @@ def run(cfg: StreamConfig, out=None) -> int:
         close_out = True
     out = out or sys.stdout
     try:
-        return _run(cfg, out, resume_skip)
+        return _run(cfg, out, resume_skip, stdin)
     finally:
         if close_out:
             out.close()
 
 
-def _run(cfg: StreamConfig, out, resume_skip: int = 0) -> int:
+def _run(cfg: StreamConfig, out, resume_skip: int = 0, stdin=None) -> int:
     from rkmh_tpu.commands.common import resolve_batch_size
 
     cfg.batch_size = resolve_batch_size(cfg.batch_size)
@@ -274,6 +368,18 @@ def _run(cfg: StreamConfig, out, resume_skip: int = 0) -> int:
     ks = tuple(cfg.ks) if cfg.ks else (DEFAULT_KMER,)
     if not cfg.ks:
         log("No kmer size(s) provided. Will use a default kmer size of 16.")
+
+    in_stream = cfg.in_stream
+    if in_stream and cfg.min_kmer_occ >= 0:
+        # -M needs a global depth pass over ALL reads before any can be
+        # classified — incompatible with per-batch emission.  Fall back
+        # to the buffered two-pass path over the same stream source
+        # (exactly what the reference always does: it buffers the whole
+        # input, rkmh.cpp:783-788).
+        log("stream -i with -M: global depth counting buffers the stream "
+            "(two passes); output is emitted after EOF.")
+        cfg.read_files = [stdin if stdin is not None else "-"]
+        in_stream = False
 
     if cfg.ref_sketches:
         from rkmh_tpu.io.sketch_json import load_sketches, panel_from_sketches
@@ -328,12 +434,15 @@ def _run(cfg: StreamConfig, out, resume_skip: int = 0) -> int:
     # chosen program consumes them (the tunnel's H2D was ~45% of the
     # classify wall; engine.pack4_ok).
     pack2 = engine.pack2_supported(panel.num_refs, cfg.sketch_size)
+    plain_step = _make_plain_step(panel, ks, cfg, pack2)
+
+    if in_stream:
+        return _run_stdin(cfg, out, panel, ks, pack2, plain_step, stdin)
 
     def device_step(codes, lens):
         L = codes.shape[1]
-        pack4 = engine.pack4_ok(L)
         if read_counter is not None:
-            if pack4:
+            if engine.pack4_ok(L):
                 from rkmh_tpu.io.packing import pack_codes4
 
                 pk, vb = pack_codes4(codes)
@@ -353,29 +462,7 @@ def _run(cfg: StreamConfig, out, resume_skip: int = 0) -> int:
                 num_refs=panel.num_refs, min_diff=cfg.min_diff,
                 min_matches=cfg.min_matches,
             )
-        # plain path: whole step in one jit (one dispatch per batch);
-        # on TPU short reads take the opt-in all-u32 Pallas pair pipeline
-        W = sum(L - k + 1 for k in ks)
-        if pack2 and engine.pair_path_ok(ks, W, cfg.sketch_size):
-            fn, args = engine.classify_codes_table_packed2_pair, (codes,)
-        elif pack2 and pack4:
-            from rkmh_tpu.io.packing import pack_codes4
-
-            pk, vb = pack_codes4(codes)
-            return engine.classify_packed4_table_packed2(
-                pk, vb, L, *panel.table, ks=ks, sketch_size=cfg.sketch_size,
-                num_refs=panel.num_refs, min_diff=cfg.min_diff,
-                min_matches=cfg.min_matches,
-            )
-        elif pack2:
-            fn, args = engine.classify_codes_table_packed2, (codes,)
-        else:
-            fn, args = engine.classify_codes_table_packed, (codes,)
-        return fn(
-            *args, *panel.table, ks=ks, sketch_size=cfg.sketch_size,
-            num_refs=panel.num_refs, min_diff=cfg.min_diff,
-            min_matches=cfg.min_matches,
-        )
+        return plain_step(codes, lens)
 
     # Constant-memory pipelined drain (commands.common.ChunkedPipeline):
     # bounded parsed chunks, async dispatches kept in flight, grouped

@@ -147,3 +147,19 @@ def test_cli_missing_file_clean_error(capsys):
     assert rc == 1
     err = capsys.readouterr().err
     assert "nonexistent" in err and "Traceback" not in err
+
+
+def test_cli_stream_in_stream(tiny, monkeypatch):
+    """stream -i classifies stdin (live here; dead in the reference)."""
+    import sys
+    import types
+
+    td, refs, reads, _ = tiny
+    fq = open(reads, "rb").read()
+    monkeypatch.setattr(
+        sys, "stdin", types.SimpleNamespace(buffer=io.BytesIO(fq))
+    )
+    rc, out, err = run_cli(["stream", "-r", refs, "-i", "-k", "8", "-s", "16"])
+    assert rc == 0 and "dead in rkmh" not in err
+    rc2, out2, _ = run_cli(["stream", "-r", refs, "-f", reads, "-k", "8", "-s", "16"])
+    assert out == out2 and out.count("\n") == 1

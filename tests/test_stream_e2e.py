@@ -166,3 +166,40 @@ def test_stream_max_samples_matches_oracle(zika_subset):
     run(StreamConfig(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=s,
                      max_samples=I, counter_size=C, batch_size=8), out=buf)
     assert buf.getvalue() == expected
+
+
+def test_stream_in_stream_matches_file_mode(zika_subset):
+    """stream -i: STDIN classification, flushed per batch, byte-identical
+    to file mode (the reference parses -i for stream but the path is
+    dead, rkmh.cpp:608/710 — implemented for real here)."""
+    refs, reads, rp, fp = zika_subset
+    ks, s = (12,), 1000
+    expected = oracle_stream_lines(refs, reads, ks, s)
+    buf = io.StringIO()
+    run(StreamConfig(ref_files=[rp], ks=ks, sketch_size=s, in_stream=True,
+                     batch_size=8), out=buf, stdin=io.BytesIO(open(fp, "rb").read()))
+    assert buf.getvalue() == expected
+
+
+def test_stream_in_stream_with_M_buffers(zika_subset):
+    """stream -i -M falls back to the buffered two-pass path (a stream
+    cannot be re-read) and still byte-matches file mode."""
+    refs, reads, rp, fp = zika_subset
+    ks, s, M, C = (12,), 200, 2, 4096
+    file_buf = io.StringIO()
+    run(StreamConfig(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=s,
+                     min_kmer_occ=M, counter_size=C, batch_size=8), out=file_buf)
+    buf = io.StringIO()
+    run(StreamConfig(ref_files=[rp], ks=ks, sketch_size=s, in_stream=True,
+                     min_kmer_occ=M, counter_size=C, batch_size=8),
+        out=buf, stdin=io.BytesIO(open(fp, "rb").read()))
+    assert buf.getvalue() == file_buf.getvalue()
+
+
+def test_stream_in_stream_resume_refused(zika_subset):
+    refs, reads, rp, fp = zika_subset
+    buf = io.StringIO()
+    rc = run(StreamConfig(ref_files=[rp], ks=(12,), in_stream=True,
+                          resume=True, out_file="/tmp/nonexistent-out.rk"),
+             out=buf, stdin=io.BytesIO(b""))
+    assert rc == 1
