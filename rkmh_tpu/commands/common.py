@@ -242,8 +242,8 @@ def load_packed(paths, granularity: int = 128):
     """
     from rkmh_tpu.io.native import read_fastx_packed
 
-    if isinstance(paths, (str, bytes)):
-        paths = [paths]
+    if isinstance(paths, (str, bytes)) or not isinstance(paths, (list, tuple)):
+        paths = [paths]  # single path OR single file-like source
     parts = []
     for p in paths:
         pk = None
@@ -253,7 +253,12 @@ def load_packed(paths, granularity: int = 128):
             except OSError:
                 pk = None
         if pk is None:
-            pk = PyPacked(read_fastx(p), granularity)
+            # file-like sources must be wrapped: bare read_fastx(obj) would
+            # iterate the object's lines as if they were paths
+            pk = PyPacked(
+                read_fastx(p if isinstance(p, (str, bytes)) else [p]),
+                granularity,
+            )
         parts.append(pk)
     if len(parts) == 1:
         return parts[0]
@@ -312,8 +317,8 @@ def iter_packed_chunks(paths, chunk_reads: int, granularity: int = 128):
     from rkmh_tpu.io.fastx import iter_batches
     from rkmh_tpu.io.native import FastxStream
 
-    if isinstance(paths, (str, bytes)):
-        paths = [paths]
+    if isinstance(paths, (str, bytes)) or not isinstance(paths, (list, tuple)):
+        paths = [paths]  # single path OR single file-like source
     for p in paths:
         stream = None
         if isinstance(p, (str, bytes)) and p not in ("-", b"-"):
@@ -353,8 +358,8 @@ def two_pass_chunks(paths, chunk_reads: int, granularity: int = 128):
     memory for the second pass (the reference buffers ALL input always,
     rkmh.cpp:783-788 — this is strictly no worse).
     """
-    if isinstance(paths, (str, bytes)):
-        paths = [paths]
+    if isinstance(paths, (str, bytes)) or not isinstance(paths, (list, tuple)):
+        paths = [paths]  # single path OR single file-like source
     rewindable = all(
         isinstance(p, (str, bytes)) and p not in ("-", b"-") and not _is_fifo(p)
         for p in paths

@@ -269,33 +269,53 @@ def _make_plain_step(panel, ks, cfg: StreamConfig, pack2: bool):
     return step
 
 
+# -i liveness knobs: how long the consumer waits for new input before it
+# (a) emits an already-dispatched batch's results, (b) dispatches a
+# partial batch.  (b) is longer so a fast-but-bursty producer still fills
+# whole batches (each distinct batch shape is one XLA compile).
+_STDIN_DRAIN_IDLE_S = 0.05
+_STDIN_FLUSH_IDLE_S = 0.25
+
+
 def _run_stdin(cfg: StreamConfig, out, panel, ks, pack2: bool, step, stdin) -> int:
     """stream -i: low-latency STDIN classification.
 
     The reference parses -i for stream but the path is dead (rkmh.cpp:
     608/710 — filter -i at 1329-1414 is its only live streaming mode);
-    here it works: a reader thread fills a bounded queue (the
-    KSEQ_Reader-producer / omp-task-consumer split), batches stay
-    pipelined on device, and each batch's lines are written and flushed
-    the moment its results land — same byte format as file mode.
+    here it works: a reader thread feeds records into a bounded queue
+    (the KSEQ_Reader-producer / omp-task-consumer split), the consumer
+    assembles batches, keeps them pipelined on device, and writes+flushes
+    each batch's lines the moment its results land — same byte format as
+    file mode.  Liveness on a never-EOF source (``tail -f``): when input
+    stalls, in-flight results are drained and a partial batch is
+    dispatched rather than held until EOF.  Parse errors in the reader
+    thread propagate to the caller (no silent truncation).  Batch shapes
+    are padded to powers of two on both axes so an arbitrary-length
+    stream compiles O(log) programs, not one per length.
     """
     import queue as _queue
     import threading
     from collections import deque
 
-    from rkmh_tpu.io.fastx import iter_batches
+    from rkmh_tpu import observability
+    from rkmh_tpu.io.fastx import iter_fastx
     from rkmh_tpu.io.packing import encode_seqs
-    from rkmh_tpu.utils import to_host
+    from rkmh_tpu.utils import next_pow2, to_host
+
+    global last_peak_buffered_lines
+    last_peak_buffered_lines = 0
 
     src = stdin if stdin is not None else "-"
-    q: _queue.Queue = _queue.Queue(maxsize=4)
+    _EOF = object()
+    q: _queue.Queue = _queue.Queue(maxsize=4 * cfg.batch_size)
 
     def _reader():
         try:
-            for chunk in iter_batches(src, cfg.batch_size):
-                q.put(chunk)
-        finally:
-            q.put(None)
+            for rec in iter_fastx(src):
+                q.put(rec)
+            q.put(_EOF)
+        except BaseException as e:  # propagate parse/IO errors, don't EOF
+            q.put(e)
 
     threading.Thread(target=_reader, daemon=True).start()
 
@@ -309,20 +329,64 @@ def _run_stdin(cfg: StreamConfig, out, panel, ks, pack2: bool, step, stdin) -> i
         ))
         if hasattr(out, "flush"):
             out.flush()
+        observability.count("reads", len(chunk))
+        observability.count("bp", sum(len(r.seq) for r in chunk))
+
+    def dispatch(batch):
+        # power-of-two padding on both axes bounds the set of compiled
+        # shapes; pad rows are empty reads whose results are sliced off
+        maxlen = max(len(r.seq) for r in batch)
+        pad_len = max(128, next_pow2(maxlen))
+        n_pad = min(next_pow2(len(batch)), cfg.batch_size)
+        seqs = [r.seq for r in batch] + [b""] * (n_pad - len(batch))
+        codes, lens = encode_seqs(seqs, pad_to=pad_len)
+        pending.append((batch, step(codes, lens)))
+        global last_peak_buffered_lines
+        last_peak_buffered_lines = max(
+            last_peak_buffered_lines, sum(len(c) for c, _ in pending)
+        )
+
+    _IDLE = object()
+
+    def _get(timeout):
+        try:
+            return q.get(timeout=timeout)
+        except _queue.Empty:
+            return _IDLE
 
     pending: deque = deque()
+    batch: list = []
+    err = None
     while True:
-        chunk = q.get()
-        if chunk is None:
+        rec = _get(_STDIN_DRAIN_IDLE_S) if (pending or batch) else q.get()
+        if rec is _IDLE:
+            # input idle: first surface finished work, then (after the
+            # longer threshold) dispatch the partial batch
+            if pending:
+                emit(*pending.popleft())
+                continue
+            rec = _get(_STDIN_FLUSH_IDLE_S)  # batch is non-empty here
+            if rec is _IDLE:
+                dispatch(batch)
+                batch = []
+                continue
+        if rec is _EOF:
             break
-        codes, lens = encode_seqs([r.seq for r in chunk])
-        pending.append((chunk, step(codes, lens)))
-        if len(pending) > 2:
-            c, res = pending.popleft()
-            emit(c, res)
+        if isinstance(rec, BaseException):
+            err = rec
+            break
+        batch.append(rec)
+        if len(batch) >= cfg.batch_size:
+            dispatch(batch)
+            batch = []
+            if len(pending) > 2:
+                emit(*pending.popleft())
+    if batch and err is None:
+        dispatch(batch)
     while pending:
-        c, res = pending.popleft()
-        emit(c, res)
+        emit(*pending.popleft())
+    if err is not None:
+        raise err
     return 0
 
 
@@ -370,6 +434,13 @@ def _run(cfg: StreamConfig, out, resume_skip: int = 0, stdin=None) -> int:
         log("No kmer size(s) provided. Will use a default kmer size of 16.")
 
     in_stream = cfg.in_stream
+    if in_stream and cfg.read_files:
+        # reference parity: -i is dead in rkmh, so `stream -f reads.fq -i`
+        # always classified the files — keep that meaning rather than
+        # silently blocking on stdin
+        log("stream -i ignored: -f inputs were given (rkmh classified the "
+            "files here too — its -i is dead); classifying the files")
+        in_stream = False
     if in_stream and cfg.min_kmer_occ >= 0:
         # -M needs a global depth pass over ALL reads before any can be
         # classified — incompatible with per-batch emission.  Fall back

@@ -85,3 +85,15 @@ def test_pypacked_fallback_equivalent(tmp_path):
     assert np.array_equal(native.lens, py.lens)
     L = min(native.codes.shape[1], py.codes.shape[1])
     assert np.array_equal(native.codes[:, :L], py.codes[:, :L])
+
+
+def test_load_packed_file_like():
+    """File-like sources (not just paths/'-') parse correctly — the
+    fallback must wrap the object, not iterate its lines as paths."""
+    import io
+
+    from rkmh_tpu.commands.common import load_packed
+
+    pk = load_packed(io.BytesIO(b">r1\nACGT\n>r2\nGGTTAA\n"))
+    assert pk.names == ["r1", "r2"]
+    assert pk.seqs == [b"ACGT", b"GGTTAA"]

@@ -203,3 +203,104 @@ def test_stream_in_stream_resume_refused(zika_subset):
                           resume=True, out_file="/tmp/nonexistent-out.rk"),
              out=buf, stdin=io.BytesIO(b""))
     assert rc == 1
+
+
+def test_stream_in_stream_propagates_parse_errors(zika_subset):
+    """A malformed record mid-stream must raise, not silently truncate
+    (the reader thread forwards its exception to the consumer)."""
+    refs, reads, rp, fp = zika_subset
+    bad = (b"@r1\nACGTACGTACGTACGT\n+\nIIIIIIIIIIIIIIII\n"
+           b"not a fastq line\n")
+    with pytest.raises(ValueError):
+        run(StreamConfig(ref_files=[rp], ks=(12,), in_stream=True,
+                         batch_size=8),
+            out=io.StringIO(), stdin=io.BytesIO(bad))
+
+
+def test_stream_i_with_f_prefers_files(zika_subset):
+    """`stream -f reads.fq -i` classifies the files (reference parity:
+    rkmh's -i is dead, so -f always won there) instead of blocking on
+    stdin."""
+    refs, reads, rp, fp = zika_subset
+    ks, s = (12,), 1000
+    expected = oracle_stream_lines(refs, reads, ks, s)
+    buf = io.StringIO()
+    run(StreamConfig(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=s,
+                     in_stream=True, batch_size=8),
+        out=buf, stdin=io.BytesIO(b""))
+    assert buf.getvalue() == expected
+
+
+def test_stream_in_stream_metrics_and_peak(zika_subset):
+    """--metrics counters and the peak-buffered-lines observability are
+    live for -i runs too."""
+    from rkmh_tpu import observability
+    from rkmh_tpu.commands import stream as stream_mod
+
+    refs, reads, rp, fp = zika_subset
+    observability.COUNTERS.clear()
+    buf = io.StringIO()
+    run(StreamConfig(ref_files=[rp], ks=(12,), sketch_size=1000,
+                     in_stream=True, batch_size=8),
+        out=buf, stdin=io.BytesIO(open(fp, "rb").read()))
+    assert observability.COUNTERS["reads"] == len(reads)
+    assert observability.COUNTERS["bp"] == sum(len(r.seq) for r in reads)
+    assert 0 < stream_mod.last_peak_buffered_lines <= 3 * 8
+
+
+def test_stream_in_stream_flushes_on_idle(zika_subset):
+    """Live-source liveness: when input stalls (tail -f style), already
+    read records are classified and written without waiting for EOF."""
+    import threading
+
+    refs, reads, rp, fp = zika_subset
+    split = 3
+
+    def fq(rs):
+        return b"".join(
+            b"@" + r.name.encode() + b"\n" + r.seq + b"\n+\n"
+            + (r.qual or b"I" * len(r.seq)) + b"\n"
+            for r in rs
+        )
+
+    part1, part2 = fq(reads[:split]), fq(reads[split:])
+    released = threading.Event()
+
+    class StallingSource:
+        """Yields part1, then blocks until output appears, then part2."""
+
+        def __init__(self):
+            self.buf = io.BytesIO(part1)
+            self.stalled = False
+
+        def readline(self):
+            line = self.buf.readline()
+            if line:
+                return line
+            if not self.stalled:
+                self.stalled = True
+                assert released.wait(60), "no output while input stalled"
+                self.buf = io.BytesIO(part2)
+                return self.buf.readline()
+            return b""
+
+    class SignalOut(io.StringIO):
+        def write(self, s):
+            if s:
+                released.set()
+            return super().write(s)
+
+    out = SignalOut()
+    t = threading.Thread(
+        target=run,
+        args=(StreamConfig(ref_files=[rp], ks=(12,), sketch_size=1000,
+                           in_stream=True, batch_size=8),),
+        kwargs=dict(out=out, stdin=StallingSource()),
+        daemon=True,
+    )
+    t.start()
+    t.join(120)
+    assert not t.is_alive(), "stream -i deadlocked on a stalled source"
+    assert released.is_set()
+    expected = oracle_stream_lines(refs, reads, (12,), 1000)
+    assert out.getvalue() == expected
