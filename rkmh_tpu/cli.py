@@ -72,6 +72,13 @@ def build_parser():
     p.set_defaults(counter_size=10_000_000)  # rkmh.cpp:1187-1188
     p.add_argument("-S", "--ref-sketch", type=int, default=None)
     p.add_argument("-i", "--in-stream", action="store_true", dest="in_stream")
+    p.add_argument("-o", "--output", default="", dest="out_file",
+                   help="write passing records here instead of stdout "
+                        "(maintains a .progress sidecar for --resume)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted -o run from its .progress "
+                        "sidecar: truncate the torn tail, skip the reads "
+                        "already covered, append the rest (idempotent)")
 
     p = sub.add_parser("hash")
     p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
@@ -134,6 +141,11 @@ def build_parser():
                    help="reads per device dispatch; 0 = auto")
     p.add_argument("--chunk-reads", type=int, default=0,
                    help="reads parsed per streaming window; 0 = auto (65536)")
+    p.add_argument("-o", "--output", default="", dest="out_file",
+                   help="write classification lines here instead of stdout")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted -o run: skip reads whose "
+                        "lines already landed, append the rest (idempotent)")
 
     return ap
 
@@ -204,6 +216,8 @@ def _dispatch(args) -> int:
                 batch_size=args.batch_size,
                 ref_sketches=args.ref_sketches,
                 chunk_reads=args.chunk_reads,
+                out_file=args.out_file,
+                resume=args.resume,
             )
         )
     if args.command == "hash":
@@ -275,6 +289,8 @@ def _dispatch(args) -> int:
                 counter_size=args.counter_size,
                 batch_size=args.batch_size,
                 chunk_reads=args.chunk_reads,
+                out_file=args.out_file,
+                resume=args.resume,
             )
         )
     return 1

@@ -408,16 +408,27 @@ class ChunkedPipeline:
     def __init__(self, on_result, emit, group: int = FETCH_GROUP):
         from collections import deque
 
+        from rkmh_tpu.commands.recovery import fail_after_chunks
+
         self.on_result = on_result
         self.emit = emit
         self.group = group
         self.pending = deque()   # (state, meta, device_result)
         self.emit_q = deque()    # chunk states in input order
         self.peak_buffered = 0
+        self.emitted = 0
+        self._fail_after = fail_after_chunks()
 
     def _drain(self):
         while self.emit_q and self.emit_q[0].complete:
             self.emit(self.emit_q.popleft())
+            self.emitted += 1
+            if self._fail_after and self.emitted >= self._fail_after:
+                from rkmh_tpu.commands.recovery import InjectedFailure
+
+                raise InjectedFailure(
+                    f"RKMH_TPU_FAIL_AFTER_CHUNKS={self._fail_after} tripped"
+                )
 
     def _flush(self, n: int):
         from rkmh_tpu.utils import to_host

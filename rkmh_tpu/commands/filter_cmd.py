@@ -53,11 +53,60 @@ class FilterConfig:
     batch_size: int = DEFAULT_BATCH
     ref_sketches: str = ""          # JSON panel dump (hash -o) to load
     chunk_reads: int = 0            # streaming window; 0 = default
+    out_file: str = ""              # -o: write here instead of stdout
+    resume: bool = False            # --resume: continue an interrupted -o run
 
 
 def run(cfg: FilterConfig, out=None, stdin=None) -> int:
+    import os
 
+    from rkmh_tpu.commands.recovery import Progress
+
+    # failure recovery: filter emits records only for PASSING reads, so
+    # the output alone cannot say how far the input got — a sidecar
+    # progress file tracks (reads consumed, output bytes) per chunk (see
+    # commands.recovery; rkmh has no analog, it restarts from scratch)
+    resume_skip = 0
+    progress = None
+    close_out = False
+    if cfg.resume and not cfg.out_file:
+        log("filter --resume requires -o <file>; refusing to re-filter "
+            "to stdout")
+        return 1
+    if cfg.resume and cfg.in_stream:
+        log("filter --resume cannot combine with -i: a stream is not "
+            "re-readable, so skipped reads cannot be matched up")
+        return 1
+    if out is None and cfg.out_file:
+        progress = Progress(cfg.out_file)
+        if cfg.resume and os.path.exists(cfg.out_file):
+            state = progress.load()
+            if state is None:
+                log(f"filter --resume: no readable progress sidecar at "
+                    f"{progress.path}; cannot infer how many reads the "
+                    f"partial output covers — rerun without --resume")
+                return 1
+            resume_skip, out_bytes = state
+            with open(cfg.out_file, "r+b") as fh:
+                fh.truncate(out_bytes)  # drop the interrupted chunk's tail
+            log(f"Resuming: {resume_skip} reads already filtered into "
+                f"{cfg.out_file}")
+            out = open(cfg.out_file, "a")
+        else:
+            out = open(cfg.out_file, "w")
+        close_out = True
     out = out or sys.stdout
+    try:
+        return _run(cfg, out, stdin, resume_skip, progress)
+    finally:
+        if close_out:
+            out.close()
+
+
+def _run(cfg: FilterConfig, out, stdin, resume_skip: int, progress) -> int:
+    import os
+
+    from rkmh_tpu.commands.recovery import skip_reads
     from rkmh_tpu.commands.common import resolve_batch_size
 
     cfg.batch_size = resolve_batch_size(cfg.batch_size)
@@ -139,6 +188,11 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
     if cfg.read_files:
         if classify_chunks is None:
             classify_chunks = iter_packed_chunks(cfg.read_files, chunk_reads)
+        if resume_skip:
+            # the -M counter pass above still covered ALL reads (global
+            # depths must match the uninterrupted run exactly); only the
+            # classify/emit pass skips
+            classify_chunks = skip_reads(classify_chunks, resume_skip)
 
         class _Chunk(ChunkState):
             __slots__ = ("chunk", "keep")
@@ -148,12 +202,21 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
                 self.chunk = chunk
                 self.keep = np.zeros(len(chunk), dtype=bool)
 
+        reads_done = resume_skip
+
         def emit(st):
             names, seqs, quals = st.chunk.names, st.chunk.seqs, st.chunk.quals
             for i in np.nonzero(st.keep)[0]:
                 seq = seqs[i]
                 qual = quals[i] if quals[i] is not None else b"I" * len(seq)
                 out.write(f">{names[i]}\n{seq.decode()}\n+\n{qual.decode()}\n")
+            if progress is not None:
+                nonlocal reads_done
+                reads_done += st.n
+                # flush before the sidecar update: everything the sidecar
+                # points at must already be in the kernel
+                out.flush()
+                progress.save(reads_done, os.fstat(out.fileno()).st_size)
 
         def on_result(st, rows, arr):
             st.keep[rows] = arr[3, : len(rows)].astype(bool)

@@ -57,6 +57,8 @@ class Hpv16Config:
     batch_size: int = 512
     tst_file: bool = True          # write lineage_specific_hashes.<k>.tst
     chunk_reads: int = 0           # streaming window; 0 = default
+    out_file: str = ""             # -o: write here instead of stdout
+    resume: bool = False           # --resume: continue an interrupted -o run
 
 
 def _fmt_double(x: float) -> str:
@@ -117,7 +119,37 @@ def _family_unique(hashes, mask, groups):
 
 
 def run(cfg: Hpv16Config, out=None) -> int:
+    import os
+
+    # failure recovery: hpv16 emits exactly one line per read, so the
+    # partial output is its own checkpoint (line-counted resume, same as
+    # stream; see commands.recovery)
+    from rkmh_tpu.commands.recovery import count_complete_lines
+
+    resume_skip = 0
+    close_out = False
+    if cfg.resume and not cfg.out_file:
+        log("hpv16 --resume requires -o <file> (resume state is the "
+            "partial output itself); refusing to reclassify to stdout")
+        return 1
+    if out is None and cfg.out_file:
+        if cfg.resume and os.path.exists(cfg.out_file):
+            resume_skip = count_complete_lines(cfg.out_file)
+            log(f"Resuming: {resume_skip} reads already classified in "
+                f"{cfg.out_file}")
+            out = open(cfg.out_file, "a")
+        else:
+            out = open(cfg.out_file, "w")
+        close_out = True
     out = out or sys.stdout
+    try:
+        return _run(cfg, out, resume_skip)
+    finally:
+        if close_out:
+            out.close()
+
+
+def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
     from rkmh_tpu.commands.common import resolve_batch_size
 
     cfg.batch_size = resolve_batch_size(cfg.batch_size)
@@ -222,6 +254,12 @@ def run(cfg: Hpv16Config, out=None) -> int:
         classify_chunks = pass2()
     if classify_chunks is None:
         classify_chunks = iter_packed_chunks(cfg.read_files, chunk_reads)
+    if resume_skip:
+        # the -M counter pass above still covered ALL reads (global
+        # depths must match the uninterrupted run exactly)
+        from rkmh_tpu.commands.recovery import skip_reads
+
+        classify_chunks = skip_reads(classify_chunks, resume_skip)
 
     class _Chunk(ChunkState):
         __slots__ = ("names", "lines")

@@ -193,48 +193,12 @@ class _ChunkState(_BaseChunkState):
         return "".join(lines)
 
 
-def _count_complete_lines(path: str) -> int:
-    """Newline-terminated lines in a partial output file (a torn final
-    line without '\\n' is not counted and will be rewritten)."""
-    import os
-
-    n = 0
-    last_nl_end = 0
-    with open(path, "rb") as fh:
-        while True:
-            block = fh.read(1 << 20)
-            if not block:
-                break
-            c = block.count(b"\n")
-            if c:
-                n += c
-                last_nl_end = fh.tell() - (len(block) - block.rindex(b"\n") - 1)
-    # truncate any torn tail so appends start on a line boundary
-    if os.path.getsize(path) != last_nl_end:
-        with open(path, "r+b") as fh:
-            fh.truncate(last_nl_end)
-    return n
-
-
-def _skip_reads(chunk_iter, skip: int):
-    """Drop the first `skip` reads from a chunk iterator (whole chunks
-    where possible, a row-sliced partial chunk at the boundary)."""
-    from rkmh_tpu.commands.common import PyPacked
-    from rkmh_tpu.io.fastx import SeqRecord
-
-    for chunk in chunk_iter:
-        if skip == 0:
-            yield chunk
-            continue
-        if len(chunk) <= skip:
-            skip -= len(chunk)
-            continue
-        recs = [
-            SeqRecord(chunk.names[i], chunk.seqs[i], chunk.quals[i])
-            for i in range(skip, len(chunk))
-        ]
-        skip = 0
-        yield PyPacked(recs)
+# shared failure-recovery machinery (commands.recovery): line-counted
+# resume fits stream because it emits exactly one line per read
+from rkmh_tpu.commands.recovery import (
+    count_complete_lines as _count_complete_lines,
+    skip_reads as _skip_reads,
+)
 
 
 def _make_plain_step(panel, ks, cfg: StreamConfig, pack2: bool):

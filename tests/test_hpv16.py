@@ -190,6 +190,38 @@ def test_hpv16_min_kmer_occ(refpath, tmp_path, monkeypatch):
         assert all(int(c) == 0 for c in f[5].split(";") if c)
 
 
+def test_hpv16_resume_after_injected_failure(refpath, tmp_path, monkeypatch):
+    """hpv16 emits one line per read, so --resume is line-counted (like
+    stream): crash mid-run via fault injection, resume, byte-identical."""
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
+    from rkmh_tpu.commands.recovery import InjectedFailure
+
+    td, types, subs, reads = refpath
+    monkeypatch.chdir(tmp_path)
+
+    def cfg(out_file="", resume=False):
+        return Hpv16Config(read_files=[str(td / "reads.fq")], refpath=str(td),
+                           ks=(16,), chunk_reads=3,
+                           out_file=out_file, resume=resume)
+
+    golden = tmp_path / "golden.out"
+    assert run(cfg(out_file=str(golden))) == 0
+    full = golden.read_text()
+
+    part = tmp_path / "part.out"
+    monkeypatch.setenv("RKMH_TPU_FAIL_AFTER_CHUNKS", "2")
+    with pytest.raises(InjectedFailure):
+        run(cfg(out_file=str(part)))
+    monkeypatch.delenv("RKMH_TPU_FAIL_AFTER_CHUNKS")
+    assert 0 < len(part.read_text()) < len(full)  # it really died mid-run
+
+    assert run(cfg(out_file=str(part), resume=True)) == 0
+    assert part.read_text() == full
+
+    # --resume needs -o
+    assert run(cfg(resume=True)) == 1
+
+
 @pytest.mark.slow
 def test_hpv16_real_data_smoke(tmp_path, monkeypatch):
     """Real PAVE panel + minION reads: format + type plausibility."""

@@ -426,3 +426,100 @@ def test_stream_resume_after_interruption(tmp_path):
         f.write(full)
     run(cfg(out_file=done, resume=True, M=1))
     assert open(done).read() == full
+
+
+def test_stream_resume_after_injected_failure(tmp_path, monkeypatch):
+    """End-to-end crash/recovery drill: RKMH_TPU_FAIL_AFTER_CHUNKS kills
+    the pipeline mid-run (a real mid-emission crash, not a simulated
+    truncation); --resume stitches the output byte-identically."""
+    from rkmh_tpu.commands.stream import StreamConfig, run
+    from rkmh_tpu.commands.recovery import InjectedFailure
+
+    refs = read_fastx(f"{DATA}/zika.refs.fa")[:3]
+    rp = str(tmp_path / "refs.fa")
+    with open(rp, "wb") as f:
+        for r in refs:
+            f.write(b">" + r.name.encode() + b"\n" + r.seq + b"\n")
+    fp = str(tmp_path / "reads.fq")
+    _write_synth_fastq(fp, 400, minlen=60, maxlen=90, alphabet="ACGT")
+
+    def cfg(out_file, resume=False):
+        return StreamConfig(ref_files=[rp], read_files=[fp], ks=(12,),
+                            sketch_size=80, batch_size=32, chunk_reads=100,
+                            out_file=out_file, resume=resume)
+
+    golden = str(tmp_path / "golden.txt")
+    assert run(cfg(golden)) == 0
+    full = open(golden).read()
+
+    part = str(tmp_path / "part.txt")
+    monkeypatch.setenv("RKMH_TPU_FAIL_AFTER_CHUNKS", "2")
+    with pytest.raises(InjectedFailure):
+        run(cfg(part))
+    monkeypatch.delenv("RKMH_TPU_FAIL_AFTER_CHUNKS")
+    crashed = open(part).read()
+    assert 0 < len(crashed) < len(full)  # it really died mid-run
+
+    assert run(cfg(part, resume=True)) == 0
+    assert open(part).read() == full
+
+
+def test_filter_resume_after_injected_failure(tmp_path, monkeypatch):
+    """filter's output holds only PASSING reads, so recovery rides the
+    .progress sidecar (reads consumed + output bytes per chunk): crash
+    mid-run, resume, byte-identical — including with -M."""
+    import numpy as np
+
+    from rkmh_tpu.commands.filter_cmd import FilterConfig, run
+    from rkmh_tpu.commands.recovery import InjectedFailure
+
+    refs = read_fastx(f"{DATA}/zika.refs.fa")[:2]
+    rp = str(tmp_path / "refs.fa")
+    with open(rp, "wb") as f:
+        for r in refs:
+            f.write(b">" + r.name.encode() + b"\n" + r.seq + b"\n")
+    # alternate real slices (pass) and random reads (fail) so the output
+    # record count differs from the input read count
+    rng = random.Random(5)
+    fp = str(tmp_path / "reads.fq")
+    with open(fp, "w") as f:
+        for i in range(400):
+            if i % 2 == 0:
+                s = rng.randrange(0, len(refs[0].seq) - 150)
+                seq = refs[0].seq[s : s + 150].decode()
+            else:
+                seq = "".join(rng.choice("ACGT") for _ in range(150))
+            f.write(f"@q{i}\n{seq}\n+\n{'I' * 150}\n")
+
+    def cfg(out_file="", resume=False, M=-1):
+        return FilterConfig(ref_files=[rp], read_files=[fp], ks=(12,),
+                            sketch_size=80, batch_size=32, chunk_reads=100,
+                            min_kmer_occ=M, counter_size=1 << 16,
+                            out_file=out_file, resume=resume)
+
+    for M in (-1, 1):
+        golden = str(tmp_path / f"golden{M}.fq")
+        assert run(cfg(out_file=golden, M=M)) == 0
+        full = open(golden, "rb").read()
+        assert len(full) > 0  # the passing half actually passed
+
+        part = str(tmp_path / f"part{M}.fq")
+        monkeypatch.setenv("RKMH_TPU_FAIL_AFTER_CHUNKS", "2")
+        with pytest.raises(InjectedFailure):
+            run(cfg(out_file=part, M=M))
+        monkeypatch.delenv("RKMH_TPU_FAIL_AFTER_CHUNKS")
+        assert os.path.exists(part + ".progress")
+        crashed = open(part, "rb").read()
+        assert 0 < len(crashed) < len(full)
+
+        assert run(cfg(out_file=part, resume=True, M=M)) == 0
+        assert open(part, "rb").read() == full, f"-M={M}"
+
+    # --resume with an output but no sidecar is refused (cannot infer the
+    # input position from a filtered output)
+    orphan = str(tmp_path / "orphan.fq")
+    with open(orphan, "w") as f:
+        f.write(">x\nACGT\n+\nIIII\n")
+    assert run(cfg(out_file=orphan, resume=True)) == 1
+    # --resume needs -o
+    assert run(cfg(resume=True)) == 1
