@@ -482,16 +482,17 @@ def packed_batches(packed, batch_size: int):
         yield s, e, codes, lens
 
 
-def bucketed_batches(packed, batch_size: int, granularity: int = 128,
-                     max_buckets: int = 4):
+def bucketed_batches(packed, batch_size: int, max_buckets: int = 4):
     """Yield (rows [B] global indices, codes [B, Lb], lens [B]) grouped by
-    padded-length bucket (io.packing.length_buckets).
+    padded-length bucket (io.packing.length_buckets, grid_length grid).
 
     For length-spread inputs (nanopore: 1.6-7.4 kb in minION25.fq) this
-    bounds padding waste to the bucket granularity instead of padding
-    every read to the global max — up to ~2x less hashing work — at the
-    cost of <= max_buckets * 2 compiled programs and out-of-order batch
-    emission (callers reorder via the returned row indices).
+    bounds padding waste to the bucket grid instead of padding every read
+    to the global max — up to ~2x less hashing work — at the cost of
+    <= max_buckets * 2 compiled programs and out-of-order batch emission
+    (callers reorder via the returned row indices).  Short uniform reads
+    land on the fine 32-grid (z1.fq: L=160, not 256), which shrinks the
+    dominant per-window table gather AND the packed H2D bytes.
     """
     from rkmh_tpu.io.packing import length_buckets
     from rkmh_tpu.observability import count
@@ -499,7 +500,7 @@ def bucketed_batches(packed, batch_size: int, granularity: int = 128,
     N = len(packed)
     if N == 0:
         return
-    uniq, bidx = length_buckets(packed.lens, granularity, max_buckets)
+    uniq, bidx = length_buckets(packed.lens, max_buckets)
     for b, Lb in enumerate(uniq):
         sel = np.nonzero(bidx == b)[0]
         Lb = int(Lb)

@@ -441,6 +441,12 @@ def _run(cfg: StreamConfig, out, resume_skip: int = 0, stdin=None) -> int:
         # files are consumed in bounded chunks and re-read for the
         # classify pass — constant memory; stdin/FIFO inputs are buffered
         # (the only way to read them twice; see two_pass_chunks).
+        # The classify pass re-hashes every read (as the reference does,
+        # rkmh.cpp:911-917).  Caching pass-1 hashes instead was examined
+        # and rejected: hashing is ~10% of the device step (the probe
+        # gather dominates; scripts/profile_stages.py) while an [N, W]
+        # u64 hash cache is ~10 kB/read — it would break the constant-
+        # memory guarantee to save a cost that barely registers.
         pass1, pass2 = two_pass_chunks(cfg.read_files, chunk_reads)
         read_counter = HashCounter(cfg.counter_size)
         for chunk in pass1:

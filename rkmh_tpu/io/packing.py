@@ -77,13 +77,36 @@ def decode_codes(codes: np.ndarray, length: int) -> bytes:
     return out.astype(np.uint8).tobytes()
 
 
-def length_buckets(lengths, granularity: int = 128, max_buckets: int = 8):
-    """Assign each read to a padded-length bucket; returns sorted unique
-    bucket lengths and per-read bucket index.  Bounds padding waste for
-    mixed-length inputs (e.g. nanopore reads 1.6-7.4kb, data/minION25.fq)
-    while keeping the number of compiled programs small."""
+_GRID_FINE_CAP = 512
+_GRID_FINE_STEP = 32
+
+
+def grid_length(n: int) -> int:
+    """Data-independent padded-length grid for batching: multiples of 32
+    up to 512, multiples of 128 beyond.
+
+    The classify probe gathers one panel-table row per window slot, and
+    that gather dominates the device step — short reads padded to a flat
+    128 grid wasted up to ~40% of it (z1.fq 150 bp: L=256 -> 245 window
+    slots vs L=160 -> 149).  Finer steps below 512 bp claw that back;
+    every value is a multiple of 32 (pack4 wants L % 8 == 0) and the
+    value universe is fixed, so the compile cache converges."""
+    n = max(int(n), _GRID_FINE_STEP)
+    step = _GRID_FINE_STEP if n <= _GRID_FINE_CAP else 128
+    return round_up(n, step)
+
+
+def length_buckets(lengths, max_buckets: int = 8):
+    """Assign each read to a grid_length padded-length bucket; returns
+    sorted unique bucket lengths and per-read bucket index.  Bounds
+    padding waste for mixed-length inputs (e.g. nanopore reads 1.6-7.4kb,
+    data/minION25.fq) while keeping the number of compiled programs
+    small."""
     lengths = np.asarray(lengths)
-    raw = np.maximum(granularity, ((lengths + granularity - 1) // granularity) * granularity)
+    l = np.maximum(lengths, _GRID_FINE_STEP)
+    fine = ((l + _GRID_FINE_STEP - 1) // _GRID_FINE_STEP) * _GRID_FINE_STEP
+    coarse = ((l + 127) // 128) * 128
+    raw = np.where(l <= _GRID_FINE_CAP, fine, coarse)
     uniq = np.unique(raw)
     if len(uniq) > max_buckets:
         # merge to at most max_buckets by quantile cut points

@@ -72,6 +72,27 @@ def main():
         rows = table[(x >> shift).astype(jnp.int32)]
         return rows.astype(jnp.int32).sum()
 
+    # lane-dtype experiment: same row bytes gathered as half as many
+    # i64 lanes — distinguishes per-byte from per-element gather cost
+    # (the pad16 experiment showed cost tracks bytes, not alignment;
+    # this one tests whether lane COUNT carries a separate fixed cost)
+    assert table.shape[1] % 2 == 0
+    table64 = jax.lax.bitcast_convert_type(
+        table.reshape(table.shape[0], -1, 2), jnp.uint64
+    )
+
+    @jax.jit
+    def f_gather64(codes):
+        from rkmh_tpu.ops.lookup import _MIX, _MUL
+        h = multi_k_window_hashes(codes, list(ks))
+        lo = h.astype(jnp.uint32)
+        hi = (h >> np.uint64(32)).astype(jnp.uint32)
+        nb = table64.shape[0]
+        shift = np.uint32(32 - int(np.log2(nb)))
+        x = (lo ^ (hi * np.uint32(_MIX))) * np.uint32(_MUL)
+        rows = table64[(x >> shift).astype(jnp.int32)]
+        return jax.lax.bitcast_convert_type(rows, jnp.int64).sum()
+
     @jax.jit
     def f_probe(codes):
         h = multi_k_window_hashes(codes, list(ks))
@@ -162,7 +183,7 @@ def main():
 
     iters = 30
     for name, f in [("hash", f_hash), ("occ", f_occ),
-                    ("gather", f_gather),
+                    ("gather", f_gather), ("gather64", f_gather64),
                     ("probe", f_probe), ("full", f_full),
                     ("alt", f_full_alt), ("pad16", f_pad16)]:
         f(codes).block_until_ready()  # compile
