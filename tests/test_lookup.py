@@ -234,7 +234,7 @@ def test_slot_width_auto_pick_and_cross_width_parity():
     assert pick_slots(100, 2) == 2            # tiny panel -> smallest rows
     assert pick_slots(50_000_000, 6) == 8     # huge panel -> 8 regardless
     # derivation round-trips for every width
-    for s in (2, 4, 8):
+    for s in (2, 3, 4, 8):
         assert table_slots(s * (3 + 2), 60) == s
 
     rng = np.random.default_rng(3)
@@ -246,11 +246,11 @@ def test_slot_width_auto_pick_and_cross_width_parity():
     sk, sk_lens = engine.sketch_batch(read_codes, ks, s_sk)
 
     outs = []
-    for s in (2, 4, 8):
+    for s in (2, 3, 4, 8):
         pt = build_panel_table(ref_sk, ref_lens, slots=s)
         assert table_slots(pt.table.shape[1], pt.num_refs) == s
         counts = to_host(lookup_intersection_counts(
             sk, sk_lens, pt.device_arrays(), pt.num_refs))
         outs.append(np.asarray(counts))
-    assert np.array_equal(outs[0], outs[1])
-    assert np.array_equal(outs[1], outs[2])
+    for a, b in zip(outs, outs[1:]):
+        assert np.array_equal(a, b)
