@@ -87,6 +87,12 @@ def run(cfg: FilterConfig, out=None, stdin=None) -> int:
                     f"partial output covers — rerun without --resume")
                 return 1
             resume_skip, out_bytes = state
+            if os.path.getsize(cfg.out_file) < out_bytes:
+                log(f"filter --resume: {cfg.out_file} is shorter than the "
+                    f"{out_bytes} bytes its progress sidecar covers — the "
+                    f"output was modified since the run; rerun without "
+                    f"--resume")
+                return 1
             with open(cfg.out_file, "r+b") as fh:
                 fh.truncate(out_bytes)  # drop the interrupted chunk's tail
             log(f"Resuming: {resume_skip} reads already filtered into "

@@ -523,3 +523,9 @@ def test_filter_resume_after_injected_failure(tmp_path, monkeypatch):
     assert run(cfg(out_file=orphan, resume=True)) == 1
     # --resume needs -o
     assert run(cfg(resume=True)) == 1
+    # an output shorter than its sidecar claims was modified since the
+    # run — refuse rather than zero-pad it back to the recorded size
+    shrunk = str(tmp_path / "part-1.fq")   # from the M=-1 crash drill
+    with open(shrunk, "r+b") as f:
+        f.truncate(10)
+    assert run(cfg(out_file=shrunk, resume=True)) == 1
