@@ -33,6 +33,21 @@ def _common_classify_flags(p):
                    help="load pre-hashed reference sketches from a JSON dump "
                         "(rkmh hash -o schema) instead of hashing -r files; "
                         "implements what rkmh's load_hashes stubs (rkmh.cpp:552-561)")
+    # rkmh parses these (rkmh.cpp:639-642, 659-669) but the paths behind
+    # them are dead (744-769 commented out); accepted so rkmh argv works.
+    # -R is made LIVE as an alias of --ref-sketches (the capability -R was
+    # meant to select); -F/-p/-q warn and are ignored, -d was unhandled
+    # even by the reference's switch.
+    p.add_argument("-R", "--pre-references", default="", dest="pre_references",
+                   help="alias of --ref-sketches (rkmh's -R is parsed but dead)")
+    p.add_argument("-F", "--pre-reads", action="append", default=[],
+                   dest="pre_reads", help=argparse.SUPPRESS)
+    p.add_argument("-p", "--read-kmer-map-file", default="",
+                   dest="read_kmer_map_file", help=argparse.SUPPRESS)
+    p.add_argument("-q", "--ref-kmer-map-file", default="",
+                   dest="ref_kmer_map_file", help=argparse.SUPPRESS)
+    p.add_argument("-d", action="store_true", dest="dead_d",
+                   help=argparse.SUPPRESS)
 
 
 def build_parser():
@@ -91,6 +106,10 @@ def build_parser():
     p.add_argument("-c", "--count", action="store_true", dest="output_counts")
     p.add_argument("-M", "--min-kmer-occurence", type=int, default=0, dest="min_kmer_occ")
     p.add_argument("-I", "--max-samples", type=int, default=None, dest="max_samples")
+    p.add_argument("-m", "--merge-sample", action="store_true", dest="merge_sample",
+                   help=argparse.SUPPRESS)  # parsed but dead in rkmh (2040-2111)
+    p.add_argument("-T", action="store_true", dest="traditional_minhash",
+                   help=argparse.SUPPRESS)  # parsed but dead in rkmh
     p.add_argument("-o", "--out-prefix", default="")
     p.add_argument("--json", action="store_true", help="emit Mash/sourmash-style JSON sketches")
     p.add_argument("--batch-size", type=int, default=0,
@@ -166,6 +185,24 @@ def main(argv=None) -> int:
         return 0  # e.g. `rkmh-tpu ... | head`
 
 
+def _resolve_dead_classify_flags(args):
+    """rkmh-parity flags shared by stream/filter: -R becomes live
+    (pre-hashed references), -F/-p/-q warn like the other dead flags."""
+    if args.pre_references:
+        if args.ref_sketches:
+            print("warning: both -R and --ref-sketches given; using "
+                  "--ref-sketches.", file=sys.stderr)
+        else:
+            args.ref_sketches = args.pre_references
+    for val, name in ((args.pre_reads, "-F"),
+                      (args.read_kmer_map_file, "-p"),
+                      (args.ref_kmer_map_file, "-q")):
+        if val:
+            print(f"warning: {name} is parsed but dead in rkmh too "
+                  f"(rkmh.cpp:744-769 commented out); ignored.",
+                  file=sys.stderr)
+
+
 def _dispatch(args) -> int:
     if args.command in ("classify", "stream"):
         if args.command == "classify":
@@ -177,6 +214,7 @@ def _dispatch(args) -> int:
                     f"(rkmh.cpp:608-714); ignored.",
                     file=sys.stderr,
                 )
+        _resolve_dead_classify_flags(args)
         from rkmh_tpu.commands.stream import StreamConfig, run
 
         return run(
@@ -199,6 +237,7 @@ def _dispatch(args) -> int:
             )
         )
     if args.command == "filter":
+        _resolve_dead_classify_flags(args)
         from rkmh_tpu.commands.filter_cmd import FilterConfig, run
 
         return run(
@@ -227,6 +266,10 @@ def _dispatch(args) -> int:
                 "rkmh.cpp:2109-2111); use stream/filter for depth filters.",
                 file=sys.stderr,
             )
+        for flag, name in (("merge_sample", "-m"), ("traditional_minhash", "-T")):
+            if getattr(args, flag, False):
+                print(f"warning: hash {name} is parsed but dead in rkmh too "
+                      f"(rkmh.cpp:2040-2111); ignored.", file=sys.stderr)
         from rkmh_tpu.commands.hash_cmd import HashConfig, run
 
         return run(

@@ -128,6 +128,37 @@ def test_cli_ref_sketches_roundtrip(tiny, tmp_path, monkeypatch):
         ["stream", "--ref-sketches", "panel.rkmh.json", "-f", reads, "-k", "8", "-s", "16"]
     )
     assert rc1 == rc2 == 0 and out1 == out2
+    # rkmh's -R/--pre-references (parsed-but-dead upstream) is a live
+    # alias for the same capability
+    rc3, out3, _ = run_cli(
+        ["stream", "-R", "panel.rkmh.json", "-f", reads, "-k", "8", "-s", "16"]
+    )
+    assert rc3 == 0 and out3 == out1
+    # both given: --ref-sketches wins, with a warning
+    rc4, out4, err4 = run_cli(
+        ["stream", "-R", "nonexistent.json", "--ref-sketches",
+         "panel.rkmh.json", "-f", reads, "-k", "8", "-s", "16"]
+    )
+    assert rc4 == 0 and out4 == out1 and "using --ref-sketches" in err4
+
+
+def test_cli_reference_dead_flags_accepted(tiny):
+    """Every flag rkmh's getopt tables accept must parse here too —
+    -F/-p/-q/-d (stream/filter) and -m/-T (hash) are dead in the
+    reference (rkmh.cpp:744-769 commented out, 2040-2111 unused) but an
+    rkmh invocation using them must not crash."""
+    td, refs, reads, _ = tiny
+    rc, out, err = run_cli(
+        ["stream", "-r", refs, "-f", reads, "-k", "8", "-s", "16",
+         "-F", "pre.fa", "-p", "rmap", "-q", "qmap", "-d"])
+    assert rc == 0 and out.count("\n") == 1
+    assert err.count("dead in rkmh") == 3
+    rc, out, err = run_cli(
+        ["filter", "-r", refs, "-f", reads, "-k", "8", "-s", "16",
+         "-F", "pre.fa"])
+    assert rc == 0 and "dead in rkmh" in err
+    rc, out, err = run_cli(["hash", "-f", reads, "-k", "8", "-m", "-T"])
+    assert rc == 0 and err.count("dead in rkmh") == 2
 
 
 def test_cli_hash_json_stdout(tiny):
