@@ -320,6 +320,10 @@ def _dispatch(args) -> int:
             )
         )
     if args.command == "hpv16":
+        if args.min_matches != -1 or args.min_diff:
+            print("warning: hpv16 -N/-D are parsed but dead in rkmh too "
+                  "(declared rkmh.cpp:2371-2372, never read); ignored.",
+                  file=sys.stderr)
         from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
 
         return run(

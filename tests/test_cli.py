@@ -142,7 +142,7 @@ def test_cli_ref_sketches_roundtrip(tiny, tmp_path, monkeypatch):
     assert rc4 == 0 and out4 == out1 and "using --ref-sketches" in err4
 
 
-def test_cli_reference_dead_flags_accepted(tiny):
+def test_cli_reference_dead_flags_accepted(tiny, tmp_path, monkeypatch):
     """Every flag rkmh's getopt tables accept must parse here too —
     -F/-p/-q/-d (stream/filter) and -m/-T (hash) are dead in the
     reference (rkmh.cpp:744-769 commented out, 2040-2111 unused) but an
@@ -159,6 +159,14 @@ def test_cli_reference_dead_flags_accepted(tiny):
     assert rc == 0 and "dead in rkmh" in err
     rc, out, err = run_cli(["hash", "-f", reads, "-k", "8", "-m", "-T"])
     assert rc == 0 and err.count("dead in rkmh") == 2
+    monkeypatch.chdir(tmp_path)  # hpv16 writes its .tst side-effect to cwd
+    rp = td / "hpv_refpath"
+    rp.mkdir(exist_ok=True)
+    (rp / "all_pave_ref.fa").write_text(">HPV16|X|t1\nACGTACGTACGTACGTACGTACGT\n")
+    (rp / "new_refs.fa").write_text(">A1\nACGTACGTACGTACGTACGTACGT\n>B1\nTTTTACGTACGTGGGGACGTCCCC\n")
+    rc, out, err = run_cli(["hpv16", "-f", reads, "-R", str(rp), "-k", "8",
+                            "-s", "16", "-N", "3", "-D", "1"])
+    assert rc == 0 and "hpv16 -N/-D" in err
 
 
 def test_cli_hash_json_stdout(tiny):
