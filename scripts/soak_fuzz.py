@@ -1,0 +1,40 @@
+"""Extended randomized-parity soak: run the CI fuzz cases over many
+seeds (CI pins 3 seeds each; rare tie-break/sentinel corners deserve a
+wider sweep before a release).
+
+    JAX_PLATFORMS=cpu python scripts/soak_fuzz.py [n_seeds] [start]
+
+Exits nonzero on the first mismatch, printing the failing (test, seed).
+"""
+
+import sys
+import tempfile
+from pathlib import Path
+
+
+def main():
+    sys.path.insert(0, "tests")
+    import test_fuzz_parity as fuzz
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    cases = [
+        ("stream", fuzz.test_stream_fuzz_matches_oracle),
+        ("filter", fuzz.test_filter_fuzz_matches_oracle),
+    ]
+    for seed in range(start, start + n):
+        for name, fn in cases:
+            with tempfile.TemporaryDirectory() as td:
+                try:
+                    fn(Path(td), seed)
+                except AssertionError:
+                    print(f"MISMATCH: {name} seed={seed}", flush=True)
+                    raise
+        if (seed - start + 1) % 10 == 0:
+            print(f"{seed - start + 1}/{n} seeds clean", flush=True)
+    print(f"OK: {n} seeds x {len(cases)} pipelines match the oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
