@@ -78,6 +78,26 @@ def test_stream_matches_oracle_zika(zika_subset):
     assert buf.getvalue() == expected
 
 
+def test_stream_long_reads_mixed_grid_matches_oracle(tmp_path):
+    """z1_long (1500 bp) + z1 (150 bp) in one run: reads straddle the
+    fine-32 / coarse-128 padded-length grids (io.packing.grid_length),
+    so batches come from different buckets and must still reassemble in
+    input order, byte-identical to the oracle."""
+    refs = read_fastx(f"{DATA}/zika.refs.fa")[:5]
+    reads = read_fastx(f"{DATA}/z1_long.fq")[:8] + read_fastx(f"{DATA}/z1.fq")[:8]
+    # interleave so bucket emission order differs from input order
+    reads = [r for pair in zip(reads[:8], reads[8:]) for r in pair]
+    rp, fp = str(tmp_path / "refs.fa"), str(tmp_path / "reads.fq")
+    write_fasta(rp, refs)
+    write_fastq(fp, reads)
+    ks, s = (12,), 1000
+    expected = oracle_stream_lines(refs, reads, ks, s)
+    buf = io.StringIO()
+    run(StreamConfig(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=s,
+                     batch_size=4), out=buf)
+    assert buf.getvalue() == expected
+
+
 def test_stream_with_filters_matches_oracle(zika_subset):
     refs, reads, rp, fp = zika_subset
     ks, s = (12,), 200
