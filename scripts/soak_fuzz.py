@@ -21,6 +21,7 @@ def main():
     cases = [
         ("stream", fuzz.test_stream_fuzz_matches_oracle),
         ("filter", fuzz.test_filter_fuzz_matches_oracle),
+        ("call", fuzz.test_call_fuzz_matches_oracle),
     ]
     for seed in range(start, start + n):
         for name, fn in cases:

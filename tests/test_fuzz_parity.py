@@ -121,3 +121,61 @@ def test_filter_fuzz_matches_oracle(tmp_path, seed):
     assert rc == 0
     got = [l[1:] for l in buf.getvalue().splitlines() if l.startswith(">")]
     assert got == keep
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_call_fuzz_matches_oracle(tmp_path, seed):
+    """call: random reference + reads carrying random planted SNPs (plus
+    Ns and off-reference noise) — full VCF body vs the scalar call
+    oracle (window truncation, 0.1/0.5/0.9 thresholds, off-by-one
+    position, string-sorted records)."""
+    from rkmh_tpu.commands.call_cmd import CallConfig, run as run_call
+
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(8, 14))
+    L = int(rng.integers(150, 400))
+    ref = _rand_seq(rng, L, with_n=False)
+    # plant 1-3 SNPs, carried by most reads
+    mutant = bytearray(ref)
+    for _ in range(int(rng.integers(1, 4))):
+        p = int(rng.integers(k, L - k))
+        mutant[p] = ord(rng.choice([c for c in "ACGT" if ord(c) != mutant[p]]))
+    mutant = bytes(mutant)
+
+    reads = []
+    for i in range(60):
+        src = mutant if i % 8 else ref
+        rl = int(rng.integers(40, 90))
+        s0 = int(rng.integers(0, max(1, len(src) - rl)))
+        sq = src[s0 : s0 + rl]
+        if i % 11 == 0:  # sprinkle Ns (0-sentinel windows)
+            b = bytearray(sq)
+            b[int(rng.integers(0, len(b)))] = ord("N")
+            sq = bytes(b)
+        reads.append((f"rd{i}", sq))
+    reads.append(("noise", _rand_seq(rng, 70, with_n=False)))
+
+    rp = tmp_path / "ref.fa"
+    rp.write_text(f">refA\n{ref.decode()}\n")
+    fp = tmp_path / "reads.fq"
+    fp.write_text("".join(f"@{n}\n{sq.decode()}\n+\n{'I' * len(sq)}\n"
+                          for n, sq in reads))
+
+    depth_map = oracle.read_depth_map([sq for _, sq in reads], k)
+    want_calls, _ = oracle.call_variants("refA", ref, depth_map, k, 100)
+    want_body = [
+        f"{key}\t99\tPASS\tKC={v[0]};MD={v[1]};RD={v[2]};OD={v[3]}"
+        for key, v in sorted(want_calls.items())
+    ]
+
+    buf = io.StringIO()
+    rc = run_call(
+        CallConfig(ref_files=[str(rp)], read_files=[str(fp)], ks=(k,)),
+        out=buf,
+    )
+    assert rc == 0
+    body = [l for l in buf.getvalue().splitlines() if not l.startswith("##")]
+    assert body == want_body
+    # non-vacuous for the pinned seeds: the planted SNPs must call
+    if seed in (5, 6):
+        assert want_body
