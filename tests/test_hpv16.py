@@ -125,8 +125,10 @@ def _oracle_hpv16_lines(types, subs, reads, k):
                 mx, best = c, j
         lin_ints = [len(hset & lin_uniq[ln]) for ln in lin_names]
         sub_ints = [len(hset & sub_uniq[sn]) for sn in sub_names]
-        lin_sims = [c / hn for c in lin_ints]
-        sub_sims = [c / hn for c in sub_ints]
+        # zero-window reads get sim 0 (the reference would divide 0/0;
+        # PARITY.md "deliberate improvements")
+        lin_sims = [c / hn if hn else 0.0 for c in lin_ints]
+        sub_sims = [c / hn if hn else 0.0 for c in sub_ints]
         lo = sorted(range(len(lin_names)), key=lambda x: -lin_sims[x])
         so = sorted(range(len(sub_names)), key=lambda x: -sub_sims[x])
         lines.append(
@@ -170,6 +172,65 @@ def test_hpv16_matches_oracle(refpath, tmp_path, monkeypatch):
         assert f[1] == "TYPE0REF"
         assert f[4].startswith("A1:")
     assert got[10].split("\t")[1] == "TYPE3REF"
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_hpv16_fuzz_matches_oracle(tmp_path, monkeypatch, seed):
+    """Randomized panel shapes + messy reads (Ns, sub-k, pure noise)
+    against the scalar hpv16 oracle — tie-heavy sims exercise the
+    sort_by_similarity ordering contract."""
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
+
+    rng = np.random.default_rng(seed)
+    monkeypatch.chdir(tmp_path)
+    n_types = int(rng.integers(3, 8))
+    types = [_rand_seq(rng, int(rng.integers(300, 1200))) for _ in range(n_types)]
+    with open(tmp_path / "all_pave_ref.fa", "w") as fh:
+        for i, s in enumerate(types):
+            fh.write(f">TYPE{i}REF\n{s.decode()}\n")
+    base = types[0]
+    sub_names = ["A1", "A2", "B1", "C1"][: int(rng.integers(2, 5))]
+    subs = {}
+    for name in sub_names:
+        positions = rng.choice(len(base) - 1,
+                               size=int(rng.integers(4, 20)), replace=False)
+        subs[name] = _mut(base, positions, rng)
+    with open(tmp_path / "new_refs.fa", "w") as fh:
+        for name, s in subs.items():
+            fh.write(f">{name}\n{s.decode()}\n")
+
+    reads = []
+    for i in range(18):
+        kind = i % 4
+        if kind == 0:   # sublineage slice
+            src = subs[sub_names[i % len(subs)]]
+        elif kind == 1:  # type slice
+            src = types[i % len(types)]
+        elif kind == 2:  # pure noise
+            src = _rand_seq(rng, 120)
+        else:           # slice with an N planted
+            src = types[0]
+        rl = int(rng.integers(8, 200))  # includes sub-k reads
+        s0 = int(rng.integers(0, max(1, len(src) - rl)))
+        sq = src[s0 : s0 + rl]
+        if kind == 3 and len(sq) > 2:
+            b = bytearray(sq)
+            b[int(rng.integers(0, len(b)))] = ord("N")
+            sq = bytes(b)
+        reads.append((f"r{i}", sq))
+    with open(tmp_path / "reads.fq", "w") as fh:
+        for name, sq in reads:
+            fh.write(f"@{name}\n{sq.decode()}\n+\n{'I' * len(sq)}\n")
+
+    buf = io.StringIO()
+    rc = run(
+        Hpv16Config(read_files=[str(tmp_path / "reads.fq")],
+                    refpath=str(tmp_path), ks=(16,), batch_size=8),
+        out=buf,
+    )
+    assert rc == 0
+    assert buf.getvalue().splitlines() == _oracle_hpv16_lines(
+        types, subs, reads, 16)
 
 
 def test_hpv16_min_kmer_occ(refpath, tmp_path, monkeypatch):
