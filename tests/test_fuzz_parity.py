@@ -123,6 +123,83 @@ def test_filter_fuzz_matches_oracle(tmp_path, seed):
     assert got == keep
 
 
+@pytest.mark.parametrize("seed", [7, 8])
+def test_stream_counter_fuzz_matches_oracle(tmp_path, seed):
+    """-M/-I lossy-counter paths under fuzz: tiny counter tables force
+    collisions, repeat-rich refs force duplicate hashes; random M-only /
+    I-only / both combinations vs the oracle's exact `hash % C`
+    replication (stream flavor: -I counts every occurrence,
+    rkmh.cpp:828-837; -M masks read hashes, 903-917)."""
+    rng = np.random.default_rng(seed)
+    ks = (9,)
+    s = int(rng.integers(8, 60))
+    C = int(rng.integers(256, 4096))
+    M = int(rng.integers(1, 4)) if rng.random() < 0.8 else -1
+    I = int(rng.integers(1, 6)) if (M == -1 or rng.random() < 0.5) else None
+
+    refs = []
+    for i in range(int(rng.integers(2, 7))):
+        n = int(rng.integers(80, 350))
+        refs.append((f"ref{i}", _repeat_rich(rng, n) if i % 2 else _rand_seq(rng, n)))
+    reads = [(f"rd{i}",
+              _repeat_rich(rng, int(rng.integers(20, 150))) if i % 3 == 0
+              else _rand_seq(rng, int(rng.integers(20, 150))))
+             for i in range(20)]
+
+    rp = tmp_path / "refs.fa"
+    rp.write_text("".join(f">{n}\n{sq.decode()}\n" for n, sq in refs))
+    fp = tmp_path / "reads.fq"
+    fp.write_text("".join(f"@{n}\n{sq.decode()}\n+\n{'I' * len(sq)}\n"
+                          for n, sq in reads))
+
+    # oracle: lossy counters with exact modulo/collision semantics
+    if I is not None:
+        rtab = [0] * C
+        for _, sq in refs:
+            for h in oracle.calc_hashes(sq, list(ks)):
+                rtab[h % C] += 1
+        ref_sk = [
+            oracle.minhashes(
+                [h if 0 <= rtab[h % C] <= I else 0
+                 for h in oracle.calc_hashes(sq, list(ks))], s)
+            for _, sq in refs
+        ]
+    else:
+        ref_sk = [oracle.minhashes(oracle.calc_hashes(sq, list(ks)), s)
+                  for _, sq in refs]
+    if M >= 0:
+        mtab = [0] * C
+        for _, sq in reads:
+            for h in oracle.calc_hashes(sq, list(ks)):
+                mtab[h % C] += 1
+
+    lines = []
+    for name, sq in reads:
+        hashes = oracle.calc_hashes(sq, list(ks))
+        if M >= 0:
+            hashes = [h if mtab[h % C] >= M else 0 for h in hashes]
+        mins = oracle.minhashes(hashes, s)
+        shared = [oracle.intersection_size(mins, r) for r in ref_sk]
+        mx, mi = -1, 0
+        for j, c in enumerate(shared):
+            if c > mx:
+                mx, mi = c, j
+        # default filters (min_diff=0, min_matches=-1): every tag empty
+        # (depth = len <= -1 never; diff margin >= 1 always passes)
+        lines.append(f"{refs[mi][0]}\t{name}\t{mx}\t{s}\t\t\n")
+    expected = "".join(lines)
+
+    buf = io.StringIO()
+    rc = run(
+        StreamConfig(ref_files=[str(rp)], read_files=[str(fp)], ks=ks,
+                     sketch_size=s, min_kmer_occ=M,
+                     max_samples=I, counter_size=C, batch_size=8),
+        out=buf,
+    )
+    assert rc == 0
+    assert buf.getvalue() == expected
+
+
 @pytest.mark.parametrize("seed", [5, 6])
 def test_call_fuzz_matches_oracle(tmp_path, seed):
     """call: random reference + reads carrying random planted SNPs (plus
