@@ -33,6 +33,11 @@ def main():
                     raise
         if (seed - start + 1) % 10 == 0:
             print(f"{seed - start + 1}/{n} seeds clean", flush=True)
+            # every seed compiles fresh shapes; drop the executables or a
+            # long soak OOMs the in-process XLA:CPU jit cache
+            import jax
+
+            jax.clear_caches()
     print(f"OK: {n} seeds x {len(cases)} pipelines match the oracle")
     return 0
 
