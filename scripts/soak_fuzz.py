@@ -15,13 +15,30 @@ from pathlib import Path
 def main():
     sys.path.insert(0, "tests")
     import test_fuzz_parity as fuzz
+    import test_hpv16
+
+    class _Chdir:
+        """Minimal monkeypatch stand-in for direct test invocation."""
+
+        def chdir(self, path):
+            import os
+
+            os.chdir(path)
+
+    def _hpv16(td, seed):
+        test_hpv16.test_hpv16_fuzz_matches_oracle(td, _Chdir(), seed)
+
+    def _counters(td, seed):
+        fuzz.test_stream_counter_fuzz_matches_oracle(td, seed)
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     start = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     cases = [
         ("stream", fuzz.test_stream_fuzz_matches_oracle),
         ("filter", fuzz.test_filter_fuzz_matches_oracle),
+        ("counters", _counters),
         ("call", fuzz.test_call_fuzz_matches_oracle),
+        ("hpv16", _hpv16),
     ]
     for seed in range(start, start + n):
         for name, fn in cases:
