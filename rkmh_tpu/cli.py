@@ -81,6 +81,13 @@ def build_parser():
         p.add_argument("--resume", action="store_true",
                        help="continue an interrupted -o run: skip reads whose "
                             "lines already landed, append the rest (idempotent)")
+        p.add_argument("--devices", type=int, default=0,
+                       help="classify as one SPMD program over N local "
+                            "devices (reads data-parallel); 0 = single device")
+        p.add_argument("--tp", type=int, default=1,
+                       help="shard the reference panel over this many of the "
+                            "--devices (devices = dp x tp); counts merge with "
+                            "an all_gather, output stays byte-identical")
 
     p = sub.add_parser("filter")
     _common_classify_flags(p)
@@ -234,6 +241,8 @@ def _dispatch(args) -> int:
                 out_file=args.out_file,
                 resume=args.resume,
                 in_stream=args.in_stream,
+                devices=args.devices,
+                tp=args.tp,
             )
         )
     if args.command == "filter":

@@ -58,6 +58,8 @@ class StreamConfig:
     out_file: str = ""           # -o: write here instead of stdout
     resume: bool = False         # --resume: continue an interrupted -o run
     in_stream: bool = False      # -i: classify STDIN, flushed per batch
+    devices: int = 0             # --devices: SPMD over N local devices
+    tp: int = 1                  # --tp: panel shards (devices = dp * tp)
 
 
 # the 8 possible "\t<sketch>[FAIL:DEPTH]\t[FAIL:MATCHES]\t[FAIL:DIFF]\n"
@@ -231,6 +233,74 @@ def _make_plain_step(panel, ks, cfg: StreamConfig, pack2: bool):
         )
 
     return step
+
+
+def _make_sharded_step(panel, ks, cfg: StreamConfig):
+    """--devices N [--tp T]: the classify step as one SPMD program over a
+    (dp, tp) mesh of local devices (parallel/mesh.py) — reads dp-sharded,
+    the panel table tp-sharded, merged with a tiled all_gather before the
+    exact argmax scan.  Bit-identical to the single-device step
+    (tests/test_parallel.py); results use the [3, B] int64 wire.
+
+    The reference's scaling story is one OpenMP thread pool
+    (rkmh.cpp:813-898); this is its mesh equivalent at the CLI surface.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rkmh_tpu.parallel.mesh import (
+        build_sharded_tables, make_mesh, sharded_classify_table_fn,
+    )
+    from rkmh_tpu.utils import to_host
+
+    n, tp = cfg.devices, cfg.tp
+    dp = n // tp
+    mesh = make_mesh(jax.devices()[:n], dp=dp, tp=tp)
+    sk_np, lens_np = to_host((panel.sketches, panel.lens))
+    tables, rps = build_sharded_tables(
+        np.asarray(sk_np), np.asarray(lens_np), tp)
+    tables = jnp.asarray(tables)
+    fn = sharded_classify_table_fn(
+        mesh, ks, cfg.sketch_size, rps, cfg.min_diff, cfg.min_matches)
+
+    @jax.jit
+    def packed(codes, tables):
+        best, shared, diff_ok, depth_fail, match_fail = fn(codes, tables)
+        flags = (
+            diff_ok.astype(jnp.int64)
+            | (depth_fail.astype(jnp.int64) << 1)
+            | (match_fail.astype(jnp.int64) << 2)
+        )
+        return jnp.stack([best.astype(jnp.int64), shared.astype(jnp.int64),
+                          flags])
+
+    def step(codes, lens):
+        pad = (-codes.shape[0]) % dp
+        if pad:  # pad rows are all-invalid reads; callers slice them off
+            codes = np.concatenate(
+                [codes, np.full((pad, codes.shape[1]), 4, dtype=codes.dtype)]
+            )
+        return packed(codes, tables)
+
+    return step
+
+
+def _validate_devices(cfg: StreamConfig) -> str | None:
+    """Reason --devices cannot apply (None = it can)."""
+    import jax
+
+    if cfg.devices <= 1:
+        return "unset"
+    if cfg.tp < 1 or cfg.devices % cfg.tp:
+        return (f"--devices {cfg.devices} is not divisible by --tp {cfg.tp}")
+    n = len(jax.devices())
+    if cfg.devices > n:
+        return f"--devices {cfg.devices} > {n} visible device(s)"
+    if cfg.min_kmer_occ >= 0:
+        return "-M depth filtering is not sharded yet"
+    if cfg.in_stream:
+        return "-i latency batching runs single-device"
+    return None
 
 
 # -i liveness knobs: how long the consumer waits for new input before it
@@ -474,8 +544,19 @@ def _run(cfg: StreamConfig, out, resume_skip: int = 0, stdin=None) -> int:
     # fallback.  Input codes ship 2-bit packed on accelerators where the
     # chosen program consumes them (the tunnel's H2D was ~45% of the
     # classify wall; engine.pack4_ok).
-    pack2 = engine.pack2_supported(panel.num_refs, cfg.sketch_size)
-    plain_step = _make_plain_step(panel, ks, cfg, pack2)
+    sharded_reason = _validate_devices(cfg)
+    if cfg.devices > 1 and sharded_reason not in (None, "unset"):
+        log(f"stream --devices ignored ({sharded_reason}); "
+            "running single-device")
+    use_sharded = cfg.devices > 1 and sharded_reason is None
+    if use_sharded and panel.num_refs % cfg.tp:
+        log(f"stream --tp {cfg.tp} does not divide {panel.num_refs} "
+            "references; running single-device")
+        use_sharded = False
+    pack2 = (engine.pack2_supported(panel.num_refs, cfg.sketch_size)
+             and not use_sharded)
+    plain_step = (_make_sharded_step(panel, ks, cfg) if use_sharded
+                  else _make_plain_step(panel, ks, cfg, pack2))
 
     if in_stream:
         return _run_stdin(cfg, out, panel, ks, pack2, plain_step, stdin)

@@ -324,3 +324,58 @@ def test_stream_in_stream_flushes_on_idle(zika_subset):
     assert released.is_set()
     expected = oracle_stream_lines(refs, reads, (12,), 1000)
     assert out.getvalue() == expected
+
+
+# ---- --devices: SPMD classify at the CLI surface (parallel/mesh.py) ----
+# zika_subset has 5 refs: tp must be 1 or 5; a 4-ref panel covers tp=2.
+
+
+def _stream_out(cfg_kwargs):
+    buf = io.StringIO()
+    rc = run(StreamConfig(**cfg_kwargs), out=buf)
+    assert rc == 0
+    return buf.getvalue()
+
+
+def test_stream_devices_dp_parity(zika_subset):
+    refs, reads, rp, fp = zika_subset
+    base = dict(ref_files=[rp], read_files=[fp], ks=(12,), sketch_size=1000,
+                batch_size=8)
+    expected = oracle_stream_lines(refs, reads, (12,), 1000)
+    single = _stream_out(base)
+    assert single == expected
+    sharded = _stream_out({**base, "devices": 4})
+    assert sharded == expected
+
+
+def test_stream_devices_dp_tp_parity(zika_subset, tmp_path):
+    refs, reads, rp, fp = zika_subset
+    refs4 = refs[:4]
+    rp4 = str(tmp_path / "refs4.fa")
+    write_fasta(rp4, refs4)
+    base = dict(ref_files=[rp4], read_files=[fp], ks=(12,), sketch_size=1000,
+                batch_size=8)
+    expected = oracle_stream_lines(refs4, reads, (12,), 1000)
+    sharded = _stream_out({**base, "devices": 4, "tp": 2})
+    assert sharded == expected
+    full_tp = _stream_out({**base, "devices": 8, "tp": 4})
+    assert full_tp == expected
+
+
+def test_stream_devices_fallbacks(zika_subset, capsys):
+    refs, reads, rp, fp = zika_subset
+    base = dict(ref_files=[rp], read_files=[fp], ks=(12,), sketch_size=1000,
+                batch_size=8)
+    expected = oracle_stream_lines(refs, reads, (12,), 1000)
+    # tp=2 does not divide the 5-ref panel: warn + single-device output
+    out = _stream_out({**base, "devices": 4, "tp": 2})
+    assert out == expected
+    assert "does not divide" in capsys.readouterr().err
+    # -M needs the global counter pass: warn + single-device output
+    out = _stream_out({**base, "devices": 4, "min_kmer_occ": 0})
+    assert out == oracle_stream_lines(refs, reads, (12,), 1000)
+    assert "not sharded yet" in capsys.readouterr().err
+    # more devices than visible: warn + single-device output
+    out = _stream_out({**base, "devices": 64})
+    assert out == expected
+    assert "visible device" in capsys.readouterr().err
