@@ -172,6 +172,9 @@ def build_parser():
     p.add_argument("--resume", action="store_true",
                    help="continue an interrupted -o run: skip reads whose "
                         "lines already landed, append the rest (idempotent)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="classify reads data-parallel over N local devices "
+                        "(set tables replicated); 0 = single device")
 
     return ap
 
@@ -347,6 +350,7 @@ def _dispatch(args) -> int:
                 chunk_reads=args.chunk_reads,
                 out_file=args.out_file,
                 resume=args.resume,
+                devices=args.devices,
             )
         )
     return 1

@@ -59,6 +59,7 @@ class Hpv16Config:
     chunk_reads: int = 0           # streaming window; 0 = default
     out_file: str = ""             # -o: write here instead of stdout
     resume: bool = False           # --resume: continue an interrupted -o run
+    devices: int = 0               # --devices: dp-shard reads over N devices
 
 
 def _fmt_double(x: float) -> str:
@@ -298,7 +299,41 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
             st.lines[ridx] = "\t".join(parts) + "\n"
         st.filled += len(rows)
 
+    # --devices N: dp-shard the read batch over N local devices with the
+    # set tables replicated (they are small relative to HBM; the type
+    # panel dominates and broadcasts once).  Bit-identical to the
+    # single-device step (__graft_entry__.dryrun_multichip asserts it);
+    # the -M counter mask is not sharded, so it falls back.
+    sharded_step = None
+    if cfg.devices > 1:
+        reason = None
+        n_vis = len(jax.devices())
+        if cfg.devices > n_vis:
+            reason = f"--devices {cfg.devices} > {n_vis} visible device(s)"
+        elif cfg.min_kmer_occ > 0:
+            reason = "-M depth masking is not sharded yet"
+        if reason is not None:
+            log(f"hpv16 --devices ignored ({reason}); running single-device")
+        else:
+            from rkmh_tpu.parallel.mesh import make_mesh, sharded_hpv16_fn
+
+            mesh = make_mesh(jax.devices()[: cfg.devices],
+                             dp=cfg.devices, tp=1)
+            hstep = sharded_hpv16_fn(mesh, ks, len(type_names), n_lin + n_sub)
+
+            def sharded_step(codes):
+                pad = (-codes.shape[0]) % cfg.devices
+                if pad:  # pad rows are all-invalid reads; fmt_rows only
+                    # walks the real `rows`, so they fall off unread
+                    codes = np.concatenate([
+                        codes,
+                        np.full((pad, codes.shape[1]), 4, dtype=codes.dtype),
+                    ])
+                return hstep(codes, type_table, uniq_table)
+
     def device_step(codes):
+        if sharded_step is not None:
+            return sharded_step(codes)
         if engine.pack4_ok(codes.shape[1]):
             from rkmh_tpu.io.packing import pack_codes4
 

@@ -312,3 +312,26 @@ def test_hpv16_real_data_smoke(tmp_path, monkeypatch):
         assert f[3].count(";") == 4 and f[4].count(";") == 10  # 4 lins, 10 sublins
         # minION reads are HPV16 — the type step should say so
         assert "HPV16" in f[1]
+
+
+def test_hpv16_devices_parity(refpath, tmp_path, monkeypatch):
+    """--devices N (dp-sharded reads, replicated set tables) is
+    byte-identical to the single-device run; invalid device counts warn
+    and fall back."""
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
+
+    td, types, subs, reads = refpath
+    monkeypatch.chdir(tmp_path)
+    base = dict(read_files=[str(td / "reads.fq")], refpath=str(td),
+                ks=(16,), batch_size=8)
+
+    single = io.StringIO()
+    assert run(Hpv16Config(**base), out=single) == 0
+    sharded = io.StringIO()
+    assert run(Hpv16Config(**base, devices=4), out=sharded) == 0
+    assert sharded.getvalue() == single.getvalue()
+
+    # more devices than visible: warn + single-device output
+    fallback = io.StringIO()
+    assert run(Hpv16Config(**base, devices=64), out=fallback) == 0
+    assert fallback.getvalue() == single.getvalue()
