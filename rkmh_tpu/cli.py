@@ -101,6 +101,13 @@ def build_parser():
                    help="continue an interrupted -o run from its .progress "
                         "sidecar: truncate the torn tail, skip the reads "
                         "already covered, append the rest (idempotent)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="classify as one SPMD program over N local "
+                        "devices (reads data-parallel); 0 = single device")
+    p.add_argument("--tp", type=int, default=1,
+                   help="shard the reference panel over this many of the "
+                        "--devices (devices = dp x tp); counts merge with "
+                        "an all_gather, output stays byte-identical")
 
     p = sub.add_parser("hash")
     p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
@@ -269,6 +276,8 @@ def _dispatch(args) -> int:
                 chunk_reads=args.chunk_reads,
                 out_file=args.out_file,
                 resume=args.resume,
+                devices=args.devices,
+                tp=args.tp,
             )
         )
     if args.command == "hash":

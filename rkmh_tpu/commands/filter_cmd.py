@@ -55,6 +55,8 @@ class FilterConfig:
     chunk_reads: int = 0            # streaming window; 0 = default
     out_file: str = ""              # -o: write here instead of stdout
     resume: bool = False            # --resume: continue an interrupted -o run
+    devices: int = 0                # --devices: SPMD over N local devices
+    tp: int = 1                     # --tp: panel shards (devices = dp * tp)
 
 
 def run(cfg: FilterConfig, out=None, stdin=None) -> int:
@@ -182,6 +184,53 @@ def _run(cfg: FilterConfig, out, stdin, resume_skip: int, progress) -> int:
             sk, sk_lens, *panel.table, panel.lens,
             num_refs=panel.num_refs, min_diff=cfg.min_diff, min_matches=cfg.min_matches,
         )
+
+    # ---- --devices N [--tp T]: SPMD classify over a (dp, tp) mesh ---------
+    # same fallback semantics as stream --devices; the -M counter pass is
+    # not sharded.  Byte-identical output (mesh.sharded_filter_table_fn
+    # shares engine.argmax_filter and emits the same [5, B] wire).
+    if cfg.devices > 1:
+        import jax
+
+        reason = None
+        n_vis = len(jax.devices())
+        if cfg.tp < 1 or cfg.devices % cfg.tp:
+            reason = f"--devices {cfg.devices} is not divisible by --tp {cfg.tp}"
+        elif cfg.devices > n_vis:
+            reason = f"--devices {cfg.devices} > {n_vis} visible device(s)"
+        elif read_counter is not None:
+            reason = "-M depth filtering is not sharded yet"
+        elif panel.num_refs % cfg.tp:
+            reason = f"--tp {cfg.tp} does not divide {panel.num_refs} references"
+        if reason is not None:
+            log(f"filter --devices ignored ({reason}); running single-device")
+        else:
+            import jax.numpy as jnp
+
+            from rkmh_tpu.parallel.mesh import (
+                build_sharded_tables, make_mesh, sharded_filter_table_fn,
+            )
+            from rkmh_tpu.utils import to_host as _to_host
+
+            dp = cfg.devices // cfg.tp
+            mesh = make_mesh(jax.devices()[: cfg.devices], dp=dp, tp=cfg.tp)
+            sk_np, lens_np = _to_host((panel.sketches, panel.lens))
+            tables, rps = build_sharded_tables(
+                np.asarray(sk_np), np.asarray(lens_np), cfg.tp)
+            tables = jnp.asarray(tables)
+            ref_lens_dev = jnp.asarray(np.asarray(lens_np))
+            sfn = sharded_filter_table_fn(
+                mesh, ks, cfg.sketch_size, rps, cfg.min_diff, cfg.min_matches)
+
+            def classify(codes, lens, packed: bool = True):
+                pad = (-codes.shape[0]) % dp
+                if pad:  # pad rows are all-invalid reads (keep=0);
+                    # consumers index only the real rows
+                    codes = np.concatenate([
+                        codes,
+                        np.full((pad, codes.shape[1]), 4, dtype=codes.dtype),
+                    ])
+                return sfn(codes, tables, ref_lens_dev)
 
     # ---- file mode: emit passing reads ------------------------------------
     # length-bucketed + pipelined + group-fetched like stream; the keep

@@ -146,6 +146,53 @@ def sharded_classify_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
     return jax.jit(fn)
 
 
+def sharded_filter_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
+                            refs_per_shard: int,
+                            min_diff: int = 0, min_matches: int = -1):
+    """SPMD `filter` classify step: dp-sharded reads x tp-sharded panel
+    bucket tables, filter-flavor argmax (equiv.hpp:324-353 semantics via
+    engine.argmax_filter), bit-identical to the single-device step.
+
+    Inputs: codes [B, L] (B % dp == 0), tables [tp, NB, width] uint32,
+    ref_lens [R] int32 (replicated — the union term indexes the GLOBAL
+    best, so it must see every reference's sketch length).  Returns the
+    [5, B] int64 wire of engine.filter_sketches_table_packed.
+    """
+    import jax.numpy as jnp
+
+    from rkmh_tpu.classify.engine import argmax_filter
+    from rkmh_tpu.ops.lookup import lookup_intersection_counts
+
+    def local_step(codes, table, ref_lens):
+        hashes = multi_k_window_hashes(codes, list(ks))
+        sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
+        counts = lookup_intersection_counts(
+            sk, sk_lens, (table[0],), refs_per_shard
+        )  # [B/dp, R/tp]
+        counts = jax.lax.all_gather(counts, "tp", axis=1, tiled=True)  # [B/dp, R]
+        best, shared, tu, keep, depth_fail, match_fail, diff_ok = argmax_filter(
+            counts, min_diff, min_matches, sk_lens, ref_lens
+        )
+        flags = (
+            depth_fail.astype(jnp.int64)
+            | (match_fail.astype(jnp.int64) << 1)
+            | (diff_ok.astype(jnp.int64) << 2)
+        )
+        return jnp.stack([
+            best.astype(jnp.int64), shared.astype(jnp.int64),
+            tu.astype(jnp.int64), keep.astype(jnp.int64), flags,
+        ])
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("tp", None, None), P(None)),
+        out_specs=P(None, "dp"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_hpv16_fn(mesh: Mesh, ks: tuple, num_types: int, num_uniq: int):
     """SPMD hpv16 read step: dp-sharded reads x replicated set tables
     (type panel + lineage/sublineage unique-kmer panel).  Matches

@@ -143,3 +143,55 @@ def test_filter_stream_mode(minion_data):
     exp = (f"Sample: {reads[0].name}\tResult: {best}\t{max_shared}\t{tu}\t"
            f"{''}\t{''}\t{'' if (max_shared - prev) > 0 else 'FAIL:DIFF'}")
     assert lines[0] == exp
+
+
+def test_filter_devices_parity(minion_data, capsys):
+    """--devices N [--tp T] output is byte-identical to single-device;
+    -M and a non-dividing --tp warn and fall back."""
+    refs, reads, rp, fp = minion_data
+    ks, s = (16,), 400
+    expected = oracle_filter(refs, reads, ks, s, min_matches=5)
+    base = dict(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=s,
+                min_matches=5, batch_size=8)
+
+    buf = io.StringIO()
+    run(FilterConfig(**base, devices=4, tp=2), out=buf)
+    assert buf.getvalue() == expected
+
+    buf = io.StringIO()
+    run(FilterConfig(**base, devices=8), out=buf)
+    assert buf.getvalue() == expected
+    capsys.readouterr()
+
+    # -M: counter pass is not sharded — warn + identical fallback output
+    dep = oracle_filter(refs, reads, ks, (300, s)[0], min_matches=2,
+                        min_kmer_occ=2)
+    buf = io.StringIO()
+    run(FilterConfig(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=300,
+                     min_matches=2, min_kmer_occ=2, counter_size=100003,
+                     batch_size=8, devices=4), out=buf)
+    assert buf.getvalue() == dep
+    assert "not sharded yet" in capsys.readouterr().err
+
+    # tp does not divide the 2-ref panel: warn + fallback
+    buf = io.StringIO()
+    run(FilterConfig(**base, devices=6, tp=3), out=buf)
+    assert buf.getvalue() == expected
+    assert "does not divide" in capsys.readouterr().err
+
+
+def test_filter_devices_stream_mode(minion_data):
+    """--devices also covers the -i STDIN path (same classify closure)."""
+    refs, reads, rp, fp = minion_data
+    ks, s = (16,), 400
+    with open(fp, "rb") as fh:
+        payload = fh.read()
+    single, sharded = io.StringIO(), io.StringIO()
+    run(FilterConfig(ref_files=[rp], ks=ks, sketch_size=s, in_stream=True,
+                     min_matches=5, batch_size=8),
+        out=single, stdin=io.BytesIO(payload))
+    run(FilterConfig(ref_files=[rp], ks=ks, sketch_size=s, in_stream=True,
+                     min_matches=5, batch_size=8, devices=4, tp=2),
+        out=sharded, stdin=io.BytesIO(payload))
+    assert sharded.getvalue() == single.getvalue()
+    assert "Sample:" in single.getvalue()
