@@ -235,57 +235,108 @@ def _make_plain_step(panel, ks, cfg: StreamConfig, pack2: bool):
     return step
 
 
-def _make_sharded_step(panel, ks, cfg: StreamConfig):
+class _ShardedClassify:
     """--devices N [--tp T]: the classify step as one SPMD program over a
     (dp, tp) mesh of local devices (parallel/mesh.py) — reads dp-sharded,
-    the panel table tp-sharded, merged with a tiled all_gather before the
-    exact argmax scan.  Bit-identical to the single-device step
-    (tests/test_parallel.py); results use the [3, B] int64 wire.
+    the panel table tp-sharded (tiled all_gather merge before the exact
+    argmax scan), and with -M the depth counter dp-sharded
+    (parallel/ep.py).  Bit-identical to the single-device step
+    (tests/test_parallel.py, tests/test_stream_e2e.py); results use the
+    [3, B] int64 wire.
 
     The reference's scaling story is one OpenMP thread pool
     (rkmh.cpp:813-898); this is its mesh equivalent at the CLI surface.
     """
-    import jax
-    import jax.numpy as jnp
 
-    from rkmh_tpu.parallel.mesh import (
-        build_sharded_tables, make_mesh, sharded_classify_table_fn,
-    )
-    from rkmh_tpu.utils import to_host
+    def __init__(self, panel, ks, cfg: StreamConfig):
+        import jax
+        import jax.numpy as jnp
 
-    n, tp = cfg.devices, cfg.tp
-    dp = n // tp
-    mesh = make_mesh(jax.devices()[:n], dp=dp, tp=tp)
-    sk_np, lens_np = to_host((panel.sketches, panel.lens))
-    tables, rps = build_sharded_tables(
-        np.asarray(sk_np), np.asarray(lens_np), tp)
-    tables = jnp.asarray(tables)
-    fn = sharded_classify_table_fn(
-        mesh, ks, cfg.sketch_size, rps, cfg.min_diff, cfg.min_matches)
+        from rkmh_tpu.parallel.mesh import build_sharded_tables, make_mesh
+        from rkmh_tpu.utils import to_host
 
-    @jax.jit
-    def packed(codes, tables):
-        best, shared, diff_ok, depth_fail, match_fail = fn(codes, tables)
-        flags = (
-            diff_ok.astype(jnp.int64)
-            | (depth_fail.astype(jnp.int64) << 1)
-            | (match_fail.astype(jnp.int64) << 2)
+        self.ks, self.cfg = ks, cfg
+        self.tp = cfg.tp
+        self.dp = cfg.devices // cfg.tp
+        self.mesh = make_mesh(jax.devices()[: cfg.devices],
+                              dp=self.dp, tp=self.tp)
+        sk_np, lens_np = to_host((panel.sketches, panel.lens))
+        tables, self.rps = build_sharded_tables(
+            np.asarray(sk_np), np.asarray(lens_np), self.tp)
+        self.tables = jnp.asarray(tables)
+        self.counter = None  # set by build_counter for the -M path
+
+    def _pad_rows(self, codes, lens=None):
+        """Pad the batch to a dp multiple with all-invalid reads (code 4,
+        length 0); consumers index only the real rows."""
+        pad = (-codes.shape[0]) % self.dp
+        if pad:
+            codes = np.concatenate([
+                codes, np.full((pad, codes.shape[1]), 4, dtype=codes.dtype),
+            ])
+            if lens is not None:
+                lens = np.concatenate([
+                    np.asarray(lens), np.zeros(pad, dtype=np.int32)])
+        return codes, lens
+
+    def build_counter(self, pass1_chunks):
+        """-M first pass (rkmh.cpp:903-910) as a dp-sharded counter:
+        hashing + window masking run inside the shard_map and the lossy
+        table accumulates psum_scatter'd shards — content is bit-equal
+        to the single-device HashCounter (addition commutes)."""
+        from rkmh_tpu.parallel.ep import (
+            sharded_counter_add_codes_fn, sharded_counter_init,
         )
-        return jnp.stack([best.astype(jnp.int64), shared.astype(jnp.int64),
-                          flags])
 
-    def step(codes, lens):
-        pad = (-codes.shape[0]) % dp
-        if pad:  # pad rows are all-invalid reads; callers slice them off
-            codes = np.concatenate(
-                [codes, np.full((pad, codes.shape[1]), 4, dtype=codes.dtype)]
+        cfg, ks = self.cfg, self.ks
+        table = sharded_counter_init(self.mesh, cfg.counter_size)
+        add = sharded_counter_add_codes_fn(self.mesh, cfg.counter_size, ks)
+        for chunk in pass1_chunks:
+            for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
+                codes, lens = self._pad_rows(codes, lens)
+                table = add(table, codes, lens)
+        self.counter = table
+
+    def make_step(self):
+        import jax
+        import jax.numpy as jnp
+
+        from rkmh_tpu.parallel.mesh import (
+            sharded_classify_depth_table_fn, sharded_classify_table_fn,
+        )
+
+        cfg, ks = self.cfg, self.ks
+        if self.counter is not None:
+            fn = sharded_classify_depth_table_fn(
+                self.mesh, ks, cfg.sketch_size, self.rps, cfg.counter_size,
+                cfg.min_kmer_occ, cfg.min_diff, cfg.min_matches)
+            extra = (self.counter,)
+        else:
+            fn = sharded_classify_table_fn(
+                self.mesh, ks, cfg.sketch_size, self.rps,
+                cfg.min_diff, cfg.min_matches)
+            extra = ()
+
+        @jax.jit
+        def packed(codes, tables, *extra):
+            best, shared, diff_ok, depth_fail, match_fail = fn(
+                codes, tables, *extra)
+            flags = (
+                diff_ok.astype(jnp.int64)
+                | (depth_fail.astype(jnp.int64) << 1)
+                | (match_fail.astype(jnp.int64) << 2)
             )
-        return packed(codes, tables)
+            return jnp.stack([best.astype(jnp.int64),
+                              shared.astype(jnp.int64), flags])
 
-    return step
+        def step(codes, lens):
+            codes, _ = self._pad_rows(codes)
+            return packed(codes, self.tables, *extra)
+
+        return step
 
 
-def _validate_devices(cfg: StreamConfig) -> str | None:
+def _validate_devices(cfg: StreamConfig, in_stream: bool) -> str | None:
     """Reason --devices cannot apply (None = it can)."""
     import jax
 
@@ -296,9 +347,10 @@ def _validate_devices(cfg: StreamConfig) -> str | None:
     n = len(jax.devices())
     if cfg.devices > n:
         return f"--devices {cfg.devices} > {n} visible device(s)"
-    if cfg.min_kmer_occ >= 0:
-        return "-M depth filtering is not sharded yet"
-    if cfg.in_stream:
+    if cfg.min_kmer_occ >= 0 and cfg.counter_size % (cfg.devices // cfg.tp):
+        return (f"-M counter size {cfg.counter_size} is not divisible by "
+                f"the {cfg.devices // cfg.tp} dp shards")
+    if in_stream:
         return "-i latency batching runs single-device"
     return None
 
@@ -504,6 +556,17 @@ def _run(cfg: StreamConfig, out, resume_skip: int = 0, stdin=None) -> int:
 
     from rkmh_tpu.commands.common import ChunkedPipeline, two_pass_chunks
 
+    sharded_reason = _validate_devices(cfg, in_stream)
+    if cfg.devices > 1 and sharded_reason not in (None, "unset"):
+        log(f"stream --devices ignored ({sharded_reason}); "
+            "running single-device")
+    use_sharded = cfg.devices > 1 and sharded_reason is None
+    if use_sharded and panel.num_refs % cfg.tp:
+        log(f"stream --tp {cfg.tp} does not divide {panel.num_refs} "
+            "references; running single-device")
+        use_sharded = False
+    sharded = _ShardedClassify(panel, ks, cfg) if use_sharded else None
+
     classify_chunks = None
     read_counter = None
     if cfg.min_kmer_occ >= 0:
@@ -518,19 +581,25 @@ def _run(cfg: StreamConfig, out, resume_skip: int = 0, stdin=None) -> int:
         # u64 hash cache is ~10 kB/read — it would break the constant-
         # memory guarantee to save a cost that barely registers.
         pass1, pass2 = two_pass_chunks(cfg.read_files, chunk_reads)
-        read_counter = HashCounter(cfg.counter_size)
-        for chunk in pass1:
-            for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
-                if engine.pack4_ok(codes.shape[1]):
-                    from rkmh_tpu.io.packing import pack_codes4
+        if sharded is not None:
+            # --devices: the counter itself shards over the dp axis
+            # (parallel/ep.py) and the depth lookup fuses into the
+            # sharded classify step
+            sharded.build_counter(pass1)
+        else:
+            read_counter = HashCounter(cfg.counter_size)
+            for chunk in pass1:
+                for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
+                    if engine.pack4_ok(codes.shape[1]):
+                        from rkmh_tpu.io.packing import pack_codes4
 
-                    pk, vb = pack_codes4(codes)
-                    hashes, mask = engine.hash_packed4_with_mask(
-                        pk, vb, lens, codes.shape[1], ks
-                    )
-                else:
-                    hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
-                read_counter.add(hashes, mask)
+                        pk, vb = pack_codes4(codes)
+                        hashes, mask = engine.hash_packed4_with_mask(
+                            pk, vb, lens, codes.shape[1], ks
+                        )
+                    else:
+                        hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+                    read_counter.add(hashes, mask)
         classify_chunks = pass2()
     if classify_chunks is None:
         classify_chunks = iter_packed_chunks(cfg.read_files, chunk_reads)
@@ -544,18 +613,9 @@ def _run(cfg: StreamConfig, out, resume_skip: int = 0, stdin=None) -> int:
     # fallback.  Input codes ship 2-bit packed on accelerators where the
     # chosen program consumes them (the tunnel's H2D was ~45% of the
     # classify wall; engine.pack4_ok).
-    sharded_reason = _validate_devices(cfg)
-    if cfg.devices > 1 and sharded_reason not in (None, "unset"):
-        log(f"stream --devices ignored ({sharded_reason}); "
-            "running single-device")
-    use_sharded = cfg.devices > 1 and sharded_reason is None
-    if use_sharded and panel.num_refs % cfg.tp:
-        log(f"stream --tp {cfg.tp} does not divide {panel.num_refs} "
-            "references; running single-device")
-        use_sharded = False
     pack2 = (engine.pack2_supported(panel.num_refs, cfg.sketch_size)
              and not use_sharded)
-    plain_step = (_make_sharded_step(panel, ks, cfg) if use_sharded
+    plain_step = (sharded.make_step() if sharded is not None
                   else _make_plain_step(panel, ks, cfg, pack2))
 
     if in_stream:

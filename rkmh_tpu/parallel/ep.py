@@ -66,6 +66,25 @@ def sharded_counter_add_fn(mesh: Mesh, size: int):
     return jax.jit(fn)
 
 
+def counter_get_local(shard, hashes, size: int, shard_size: int):
+    """Per-device body of the sharded lookup, reusable inside any
+    shard_map that has a ``dp`` axis (e.g. the fused -M classify step,
+    mesh.sharded_classify_depth_table_fn): all_gather the queried hashes
+    over dp, answer the slots this device owns, psum-merge the partial
+    counts, keep this device's own query rows."""
+    B_local = hashes.shape[0]
+    allq = jax.lax.all_gather(hashes, "dp", axis=0, tiled=True)  # [B, ...]
+    slots = _slots(allq, size)
+    d = jax.lax.axis_index("dp")
+    local_idx = slots - d * shard_size
+    mine = (local_idx >= 0) & (local_idx < shard_size)
+    vals = jnp.where(
+        mine, shard[jnp.clip(local_idx, 0, shard_size - 1)], jnp.int32(0)
+    )
+    counts_all = jax.lax.psum(vals, "dp")
+    return jax.lax.dynamic_slice_in_dim(counts_all, d * B_local, B_local, 0)
+
+
 def sharded_counter_get_fn(mesh: Mesh, size: int):
     """Jitted lookup: table (dp-sharded) x hashes (dp-sharded reads) ->
     counts per hash (dp-sharded like the hashes).
@@ -79,23 +98,44 @@ def sharded_counter_get_fn(mesh: Mesh, size: int):
     shard_size = size // ndev
 
     def local(shard, hashes):
-        B_local = hashes.shape[0]
-        allq = jax.lax.all_gather(hashes, "dp", axis=0, tiled=True)  # [B, ...]
-        slots = _slots(allq, size)
-        d = jax.lax.axis_index("dp")
-        local_idx = slots - d * shard_size
-        mine = (local_idx >= 0) & (local_idx < shard_size)
-        vals = jnp.where(
-            mine, shard[jnp.clip(local_idx, 0, shard_size - 1)], jnp.int32(0)
-        )
-        counts_all = jax.lax.psum(vals, "dp")
-        return jax.lax.dynamic_slice_in_dim(counts_all, d * B_local, B_local, 0)
+        return counter_get_local(shard, hashes, size, shard_size)
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P("dp"), P("dp")),
         out_specs=P("dp"),
+    )
+    return jax.jit(fn)
+
+
+def sharded_counter_add_codes_fn(mesh: Mesh, size: int, ks: tuple):
+    """Accumulate straight from packed codes: (table shard, codes [B, L],
+    lens [B]) -> updated shard, hashing + window masking INSIDE the
+    shard_map so the -M counting pass runs data-parallel end to end
+    (no single-device hashing stage).  Works on a (dp, tp) mesh too:
+    the shard/codes replicate over tp and every tp column computes the
+    identical update."""
+    ndev = mesh.shape["dp"]
+    _check(size, ndev)
+
+    from rkmh_tpu.ops.hashing import multi_k_window_hashes, window_mask
+
+    def local(shard, codes, lens):
+        hashes = multi_k_window_hashes(codes, list(ks))
+        mask = window_mask(lens, codes.shape[-1], list(ks))
+        full = jnp.zeros((size,), jnp.int32)
+        idx = _slots(hashes.reshape(-1), size)
+        full = full.at[idx].add(mask.reshape(-1).astype(jnp.int32))
+        delta = jax.lax.psum_scatter(full, "dp", scatter_dimension=0, tiled=True)
+        return shard + delta  # [size / ndev]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp", None), P("dp")),
+        out_specs=P("dp"),
+        check_vma=False,
     )
     return jax.jit(fn)
 

@@ -146,6 +146,50 @@ def sharded_classify_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
     return jax.jit(fn)
 
 
+def sharded_classify_depth_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
+                                    refs_per_shard: int, counter_size: int,
+                                    min_occ: int,
+                                    min_diff: int = 0, min_matches: int = -1):
+    """stream -M SPMD classify: dp-sharded reads x tp-sharded panel
+    tables x dp-sharded depth counter (parallel/ep.py scheme; the
+    counter replicates over tp, so every tp column answers depth
+    queries identically).  Per read: hash -> sharded counter lookup ->
+    mask_by_frequency -> bottom-s -> probe -> tp all_gather -> exact
+    rkmh argmax.  Matches engine.sketch_batch_depth_filtered +
+    classify (rkmh.cpp:903-948 two-pass -M) bit for bit.
+
+    Inputs: codes [B, L] (B % dp == 0), tables [tp, NB, width] uint32,
+    counter shard (logical [counter_size] int32 sharded over dp).
+    """
+    from rkmh_tpu.ops.lookup import lookup_intersection_counts
+    from rkmh_tpu.ops.sketch import mask_by_frequency
+    from rkmh_tpu.parallel.ep import counter_get_local
+
+    ndev = mesh.shape["dp"]
+    assert counter_size % ndev == 0
+    shard_size = counter_size // ndev
+
+    def local_step(codes, table, cshard):
+        hashes = multi_k_window_hashes(codes, list(ks))          # [B/dp, W]
+        depths = counter_get_local(cshard, hashes, counter_size, shard_size)
+        hashes = mask_by_frequency(hashes, depths, min_occ)
+        sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
+        counts = lookup_intersection_counts(
+            sk, sk_lens, (table[0],), refs_per_shard
+        )
+        counts = jax.lax.all_gather(counts, "tp", axis=1, tiled=True)
+        return argmax_stream(counts, min_diff, min_matches, sk_lens)
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("tp", None, None), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_filter_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
                             refs_per_shard: int,
                             min_diff: int = 0, min_matches: int = -1):

@@ -371,11 +371,31 @@ def test_stream_devices_fallbacks(zika_subset, capsys):
     out = _stream_out({**base, "devices": 4, "tp": 2})
     assert out == expected
     assert "does not divide" in capsys.readouterr().err
-    # -M needs the global counter pass: warn + single-device output
-    out = _stream_out({**base, "devices": 4, "min_kmer_occ": 0})
+    # -M whose counter size does not split over dp: warn + single-device
+    out = _stream_out({**base, "devices": 4, "min_kmer_occ": 0,
+                       "counter_size": 100003})
     assert out == oracle_stream_lines(refs, reads, (12,), 1000)
-    assert "not sharded yet" in capsys.readouterr().err
+    assert "not divisible" in capsys.readouterr().err
     # more devices than visible: warn + single-device output
     out = _stream_out({**base, "devices": 64})
     assert out == expected
     assert "visible device" in capsys.readouterr().err
+
+
+def test_stream_devices_min_kmer_occ_parity(zika_subset, tmp_path):
+    """--devices with -M: the depth counter shards over dp
+    (parallel/ep.py) and the lookup fuses into the sharded classify
+    step — byte-identical to the single-device two-pass -M run, with a
+    small collision-prone counter to stress the lossy-modulo parity."""
+    refs, reads, rp, fp = zika_subset
+    base = dict(ref_files=[rp], read_files=[fp], ks=(12,), sketch_size=1000,
+                batch_size=8, min_kmer_occ=2, counter_size=100_000)
+    single = _stream_out(base)
+    for devices in (4, 8):
+        assert _stream_out({**base, "devices": devices}) == single, devices
+    # and with tp-sharded tables on a 4-ref panel
+    rp4 = str(tmp_path / "refs4.fa")
+    write_fasta(rp4, refs[:4])
+    base4 = {**base, "ref_files": [rp4]}
+    assert (_stream_out({**base4, "devices": 8, "tp": 2})
+            == _stream_out(base4))
