@@ -541,3 +541,63 @@ def batch_iter(records: list[SeqRecord], batch_size: int, pad_to: int | None = N
             seqs = seqs + [b""] * (batch_size - len(chunk))  # pad rows
         codes, lens = encode_seqs(seqs, pad_to=pad_to)
         yield chunk, codes, lens
+
+
+class ShardedCtx:
+    """Shared --devices machinery for the classify-family commands: a
+    (dp, tp) device mesh, tp-sharded panel bucket tables, an optional
+    dp-sharded -M depth counter (parallel/ep.py), and batch-row padding.
+    Command drivers wrap it with their own packed SPMD step
+    (parallel.mesh.sharded_*_table_fn flavors) — stream/classify use the
+    [3, B] wire, filter the [5, B] wire.
+    """
+
+    def __init__(self, panel, ks, devices: int, tp: int,
+                 counter_size: int, batch_size: int):
+        import jax
+
+        from rkmh_tpu.parallel.mesh import build_sharded_tables, make_mesh
+        from rkmh_tpu.utils import to_host
+
+        self.ks = ks
+        self.devices, self.tp = devices, tp
+        self.dp = devices // tp
+        self.counter_size = counter_size
+        self.batch_size = batch_size
+        self.mesh = make_mesh(jax.devices()[:devices], dp=self.dp, tp=tp)
+        sk_np, lens_np = to_host((panel.sketches, panel.lens))
+        self.ref_lens_np = np.asarray(lens_np)
+        tables, self.rps = build_sharded_tables(
+            np.asarray(sk_np), self.ref_lens_np, tp)
+        self.tables = jnp.asarray(tables)
+        self.counter = None  # set by build_counter for the -M path
+
+    def pad_rows(self, codes, lens=None):
+        """Pad the batch to a dp multiple with all-invalid reads (code 4,
+        length 0); consumers index only the real rows."""
+        pad = (-codes.shape[0]) % self.dp
+        if pad:
+            codes = np.concatenate([
+                codes, np.full((pad, codes.shape[1]), 4, dtype=codes.dtype),
+            ])
+            if lens is not None:
+                lens = np.concatenate([
+                    np.asarray(lens), np.zeros(pad, dtype=np.int32)])
+        return codes, lens
+
+    def build_counter(self, pass1_chunks):
+        """-M first pass (rkmh.cpp:903-910) as a dp-sharded counter:
+        hashing + window masking run inside the shard_map and the lossy
+        table accumulates psum_scatter'd shards — content is bit-equal
+        to the single-device HashCounter (addition commutes)."""
+        from rkmh_tpu.parallel.ep import (
+            sharded_counter_add_codes_fn, sharded_counter_init,
+        )
+
+        table = sharded_counter_init(self.mesh, self.counter_size)
+        add = sharded_counter_add_codes_fn(self.mesh, self.counter_size, self.ks)
+        for chunk in pass1_chunks:
+            for rows, codes, lens in bucketed_batches(chunk, self.batch_size):
+                codes, lens = self.pad_rows(codes, lens)
+                table = add(table, codes, lens)
+        self.counter = table

@@ -137,9 +137,39 @@ def _run(cfg: FilterConfig, out, stdin, resume_skip: int, progress) -> int:
         )
     ref_keys = panel.keys
 
-    from rkmh_tpu.commands.common import ChunkedPipeline, ChunkState, two_pass_chunks
+    from rkmh_tpu.commands.common import (
+        ChunkedPipeline, ChunkState, ShardedCtx, two_pass_chunks,
+    )
 
     chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
+
+    # ---- --devices N [--tp T]: SPMD classify over a (dp, tp) mesh ---------
+    # decided before the -M pass because with --devices the depth counter
+    # itself shards over dp (parallel/ep.py).  Byte-identical output
+    # (mesh.sharded_filter[_depth]_table_fn share engine.argmax_filter and
+    # the [5, B] packed wire); invalid geometries warn and fall back.
+    sharded = None
+    if cfg.devices > 1:
+        import jax
+
+        reason = None
+        n_vis = len(jax.devices())
+        dp = cfg.devices // cfg.tp if cfg.tp >= 1 else 0
+        if cfg.tp < 1 or cfg.devices % cfg.tp:
+            reason = f"--devices {cfg.devices} is not divisible by --tp {cfg.tp}"
+        elif cfg.devices > n_vis:
+            reason = f"--devices {cfg.devices} > {n_vis} visible device(s)"
+        elif cfg.min_kmer_occ >= 0 and cfg.counter_size % dp:
+            reason = (f"-M counter size {cfg.counter_size} is not divisible "
+                      f"by the {dp} dp shards")
+        elif panel.num_refs % cfg.tp:
+            reason = f"--tp {cfg.tp} does not divide {panel.num_refs} references"
+        if reason is not None:
+            log(f"filter --devices ignored ({reason}); running single-device")
+        else:
+            sharded = ShardedCtx(panel, ks, cfg.devices, cfg.tp,
+                                 cfg.counter_size, cfg.batch_size)
+
     classify_chunks = None
     read_counter = None
     if cfg.min_kmer_occ >= 0:
@@ -148,12 +178,15 @@ def _run(cfg: FilterConfig, out, stdin, resume_skip: int, progress) -> int:
         # First pass over plain files is chunked (constant memory) and the
         # classify pass re-reads them; stdin/FIFO inputs are buffered so the
         # second pass still sees every read (two_pass_chunks).
-        read_counter = HashCounter(cfg.counter_size)
         pass1, pass2 = two_pass_chunks(cfg.read_files or [], chunk_reads)
-        for chunk in pass1:
-            for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
-                hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
-                read_counter.add(hashes, mask)
+        if sharded is not None:
+            sharded.build_counter(pass1)
+        else:
+            read_counter = HashCounter(cfg.counter_size)
+            for chunk in pass1:
+                for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
+                    hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+                    read_counter.add(hashes, mask)
         classify_chunks = pass2()
 
     def classify(codes, lens, packed: bool = False):
@@ -185,52 +218,30 @@ def _run(cfg: FilterConfig, out, stdin, resume_skip: int, progress) -> int:
             num_refs=panel.num_refs, min_diff=cfg.min_diff, min_matches=cfg.min_matches,
         )
 
-    # ---- --devices N [--tp T]: SPMD classify over a (dp, tp) mesh ---------
-    # same fallback semantics as stream --devices; the -M counter pass is
-    # not sharded.  Byte-identical output (mesh.sharded_filter_table_fn
-    # shares engine.argmax_filter and emits the same [5, B] wire).
-    if cfg.devices > 1:
-        import jax
+    if sharded is not None:
+        import jax.numpy as jnp
 
-        reason = None
-        n_vis = len(jax.devices())
-        if cfg.tp < 1 or cfg.devices % cfg.tp:
-            reason = f"--devices {cfg.devices} is not divisible by --tp {cfg.tp}"
-        elif cfg.devices > n_vis:
-            reason = f"--devices {cfg.devices} > {n_vis} visible device(s)"
-        elif read_counter is not None:
-            reason = "-M depth filtering is not sharded yet"
-        elif panel.num_refs % cfg.tp:
-            reason = f"--tp {cfg.tp} does not divide {panel.num_refs} references"
-        if reason is not None:
-            log(f"filter --devices ignored ({reason}); running single-device")
+        from rkmh_tpu.parallel.mesh import (
+            sharded_filter_depth_table_fn, sharded_filter_table_fn,
+        )
+
+        ref_lens_dev = jnp.asarray(sharded.ref_lens_np)
+        if sharded.counter is not None:
+            sfn = sharded_filter_depth_table_fn(
+                sharded.mesh, ks, cfg.sketch_size, sharded.rps,
+                cfg.counter_size, cfg.min_kmer_occ,
+                cfg.min_diff, cfg.min_matches)
+            extra = (sharded.counter,)
         else:
-            import jax.numpy as jnp
-
-            from rkmh_tpu.parallel.mesh import (
-                build_sharded_tables, make_mesh, sharded_filter_table_fn,
-            )
-            from rkmh_tpu.utils import to_host as _to_host
-
-            dp = cfg.devices // cfg.tp
-            mesh = make_mesh(jax.devices()[: cfg.devices], dp=dp, tp=cfg.tp)
-            sk_np, lens_np = _to_host((panel.sketches, panel.lens))
-            tables, rps = build_sharded_tables(
-                np.asarray(sk_np), np.asarray(lens_np), cfg.tp)
-            tables = jnp.asarray(tables)
-            ref_lens_dev = jnp.asarray(np.asarray(lens_np))
             sfn = sharded_filter_table_fn(
-                mesh, ks, cfg.sketch_size, rps, cfg.min_diff, cfg.min_matches)
+                sharded.mesh, ks, cfg.sketch_size, sharded.rps,
+                cfg.min_diff, cfg.min_matches)
+            extra = ()
 
-            def classify(codes, lens, packed: bool = True):
-                pad = (-codes.shape[0]) % dp
-                if pad:  # pad rows are all-invalid reads (keep=0);
-                    # consumers index only the real rows
-                    codes = np.concatenate([
-                        codes,
-                        np.full((pad, codes.shape[1]), 4, dtype=codes.dtype),
-                    ])
-                return sfn(codes, tables, ref_lens_dev)
+        def classify(codes, lens, packed: bool = True):
+            codes, _ = sharded.pad_rows(codes)  # pad rows have keep=0 and
+            # fall off: consumers index only the real rows
+            return sfn(codes, sharded.tables, ref_lens_dev, *extra)
 
     # ---- file mode: emit passing reads ------------------------------------
     # length-bucketed + pipelined + group-fetched like stream; the keep

@@ -25,6 +25,7 @@ from rkmh_tpu.commands.common import (
     DEFAULT_BATCH,
     DEFAULT_KMER,
     DEFAULT_SKETCH,
+    ShardedCtx as _ShardedCtx,
     load_packed,
     bucketed_batches,
     iter_packed_chunks,
@@ -235,67 +236,23 @@ def _make_plain_step(panel, ks, cfg: StreamConfig, pack2: bool):
     return step
 
 
-class _ShardedClassify:
+class _ShardedClassify(_ShardedCtx):
     """--devices N [--tp T]: the classify step as one SPMD program over a
     (dp, tp) mesh of local devices (parallel/mesh.py) — reads dp-sharded,
     the panel table tp-sharded (tiled all_gather merge before the exact
     argmax scan), and with -M the depth counter dp-sharded
-    (parallel/ep.py).  Bit-identical to the single-device step
-    (tests/test_parallel.py, tests/test_stream_e2e.py); results use the
-    [3, B] int64 wire.
+    (parallel/ep.py; commands.common.ShardedCtx).  Bit-identical to the
+    single-device step (tests/test_parallel.py, tests/test_stream_e2e.py);
+    results use the [3, B] int64 wire.
 
     The reference's scaling story is one OpenMP thread pool
     (rkmh.cpp:813-898); this is its mesh equivalent at the CLI surface.
     """
 
     def __init__(self, panel, ks, cfg: StreamConfig):
-        import jax
-        import jax.numpy as jnp
-
-        from rkmh_tpu.parallel.mesh import build_sharded_tables, make_mesh
-        from rkmh_tpu.utils import to_host
-
-        self.ks, self.cfg = ks, cfg
-        self.tp = cfg.tp
-        self.dp = cfg.devices // cfg.tp
-        self.mesh = make_mesh(jax.devices()[: cfg.devices],
-                              dp=self.dp, tp=self.tp)
-        sk_np, lens_np = to_host((panel.sketches, panel.lens))
-        tables, self.rps = build_sharded_tables(
-            np.asarray(sk_np), np.asarray(lens_np), self.tp)
-        self.tables = jnp.asarray(tables)
-        self.counter = None  # set by build_counter for the -M path
-
-    def _pad_rows(self, codes, lens=None):
-        """Pad the batch to a dp multiple with all-invalid reads (code 4,
-        length 0); consumers index only the real rows."""
-        pad = (-codes.shape[0]) % self.dp
-        if pad:
-            codes = np.concatenate([
-                codes, np.full((pad, codes.shape[1]), 4, dtype=codes.dtype),
-            ])
-            if lens is not None:
-                lens = np.concatenate([
-                    np.asarray(lens), np.zeros(pad, dtype=np.int32)])
-        return codes, lens
-
-    def build_counter(self, pass1_chunks):
-        """-M first pass (rkmh.cpp:903-910) as a dp-sharded counter:
-        hashing + window masking run inside the shard_map and the lossy
-        table accumulates psum_scatter'd shards — content is bit-equal
-        to the single-device HashCounter (addition commutes)."""
-        from rkmh_tpu.parallel.ep import (
-            sharded_counter_add_codes_fn, sharded_counter_init,
-        )
-
-        cfg, ks = self.cfg, self.ks
-        table = sharded_counter_init(self.mesh, cfg.counter_size)
-        add = sharded_counter_add_codes_fn(self.mesh, cfg.counter_size, ks)
-        for chunk in pass1_chunks:
-            for rows, codes, lens in bucketed_batches(chunk, cfg.batch_size):
-                codes, lens = self._pad_rows(codes, lens)
-                table = add(table, codes, lens)
-        self.counter = table
+        super().__init__(panel, ks, cfg.devices, cfg.tp,
+                         cfg.counter_size, cfg.batch_size)
+        self.cfg = cfg
 
     def make_step(self):
         import jax
@@ -330,7 +287,7 @@ class _ShardedClassify:
                               shared.astype(jnp.int64), flags])
 
         def step(codes, lens):
-            codes, _ = self._pad_rows(codes)
+            codes, _ = self.pad_rows(codes)
             return packed(codes, self.tables, *extra)
 
         return step

@@ -237,6 +237,63 @@ def sharded_filter_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
     return jax.jit(fn)
 
 
+def sharded_filter_depth_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
+                                  refs_per_shard: int, counter_size: int,
+                                  min_occ: int,
+                                  min_diff: int = 0, min_matches: int = -1):
+    """filter -M SPMD step: sharded_filter_table_fn with the read-depth
+    mask fused in front (dp-sharded counter, parallel/ep.py — same
+    scheme as sharded_classify_depth_table_fn).  Matches the
+    single-device engine.sketch_batch_depth_filtered +
+    filter_sketches_table_packed pipeline bit for bit.
+
+    Inputs: codes [B, L], tables [tp, NB, width], ref_lens [R] int32
+    (replicated), counter shard ([counter_size] int32 over dp).
+    Returns the [5, B] int64 filter wire.
+    """
+    import jax.numpy as jnp
+
+    from rkmh_tpu.classify.engine import argmax_filter
+    from rkmh_tpu.ops.lookup import lookup_intersection_counts
+    from rkmh_tpu.ops.sketch import mask_by_frequency
+    from rkmh_tpu.parallel.ep import counter_get_local
+
+    ndev = mesh.shape["dp"]
+    assert counter_size % ndev == 0
+    shard_size = counter_size // ndev
+
+    def local_step(codes, table, ref_lens, cshard):
+        hashes = multi_k_window_hashes(codes, list(ks))
+        depths = counter_get_local(cshard, hashes, counter_size, shard_size)
+        hashes = mask_by_frequency(hashes, depths, min_occ)
+        sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
+        counts = lookup_intersection_counts(
+            sk, sk_lens, (table[0],), refs_per_shard
+        )
+        counts = jax.lax.all_gather(counts, "tp", axis=1, tiled=True)
+        best, shared, tu, keep, depth_fail, match_fail, diff_ok = argmax_filter(
+            counts, min_diff, min_matches, sk_lens, ref_lens
+        )
+        flags = (
+            depth_fail.astype(jnp.int64)
+            | (match_fail.astype(jnp.int64) << 1)
+            | (diff_ok.astype(jnp.int64) << 2)
+        )
+        return jnp.stack([
+            best.astype(jnp.int64), shared.astype(jnp.int64),
+            tu.astype(jnp.int64), keep.astype(jnp.int64), flags,
+        ])
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("tp", None, None), P(None), P("dp")),
+        out_specs=P(None, "dp"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_hpv16_fn(mesh: Mesh, ks: tuple, num_types: int, num_uniq: int):
     """SPMD hpv16 read step: dp-sharded reads x replicated set tables
     (type panel + lineage/sublineage unique-kmer panel).  Matches

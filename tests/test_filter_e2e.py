@@ -163,15 +163,22 @@ def test_filter_devices_parity(minion_data, capsys):
     assert buf.getvalue() == expected
     capsys.readouterr()
 
-    # -M: counter pass is not sharded — warn + identical fallback output
-    dep = oracle_filter(refs, reads, ks, (300, s)[0], min_matches=2,
-                        min_kmer_occ=2)
+    # -M with a dp-divisible counter: the depth counter shards over dp
+    # and the lookup fuses into the SPMD step — identical to single-device
+    dep = oracle_filter(refs, reads, ks, 300, min_matches=2, min_kmer_occ=2)
+    mbase = dict(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=300,
+                 min_matches=2, min_kmer_occ=2, batch_size=8)
     buf = io.StringIO()
-    run(FilterConfig(ref_files=[rp], read_files=[fp], ks=ks, sketch_size=300,
-                     min_matches=2, min_kmer_occ=2, counter_size=100003,
-                     batch_size=8, devices=4), out=buf)
+    run(FilterConfig(**mbase, counter_size=100_000, devices=4), out=buf)
+    sd = io.StringIO()
+    run(FilterConfig(**mbase, counter_size=100_000), out=sd)
+    assert buf.getvalue() == sd.getvalue()
+    capsys.readouterr()
+    # -M whose counter size does not split over dp: warn + fallback
+    buf = io.StringIO()
+    run(FilterConfig(**mbase, counter_size=100_003, devices=4), out=buf)
     assert buf.getvalue() == dep
-    assert "not sharded yet" in capsys.readouterr().err
+    assert "not divisible" in capsys.readouterr().err
 
     # tp does not divide the 2-ref panel: warn + fallback
     buf = io.StringIO()
