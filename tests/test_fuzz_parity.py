@@ -256,3 +256,46 @@ def test_call_fuzz_matches_oracle(tmp_path, seed):
     # non-vacuous for the pinned seeds: the planted SNPs must call
     if seed in (5, 6):
         assert want_body
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_devices_fuzz_matches_single(tmp_path, seed):
+    """Random (devices, tp, -M) geometries on the 8-device CPU mesh:
+    stream and filter --devices must be byte-identical to their
+    single-device runs (which the other fuzz cases pin to the oracle).
+    Non-dividing tp / counter geometries exercise the warn-and-fallback
+    path, which must also be byte-identical."""
+    from rkmh_tpu.commands.filter_cmd import FilterConfig, run as run_filter
+
+    rng = np.random.default_rng(seed + 77)
+    ks = (7, 11) if seed % 2 else (9,)
+    s = int(rng.integers(4, 40))
+    devices = int(rng.choice([2, 4, 8]))
+    tp = int(rng.choice([t for t in (1, 2, 4) if devices % t == 0]))
+    use_m = bool(seed % 2)
+    counter = int(rng.choice([4096, 4097, 100_000]))
+
+    refs = [(f"ref{i}", _rand_seq(rng, int(rng.integers(60, 400))))
+            for i in range(int(rng.integers(2, 9)))]
+    reads = [(f"rd{i}", _rand_seq(rng, int(rng.integers(3, 120))))
+             for i in range(24)]
+    rp = tmp_path / "refs.fa"
+    rp.write_text("".join(f">{n}\n{sq.decode()}\n" for n, sq in refs))
+    fp = tmp_path / "reads.fq"
+    fp.write_text("".join(f"@{n}\n{sq.decode()}\n+\n{'I' * len(sq)}\n"
+                          for n, sq in reads))
+
+    base = dict(ref_files=[str(rp)], read_files=[str(fp)], ks=ks,
+                sketch_size=s, batch_size=8,
+                min_kmer_occ=(2 if use_m else -1), counter_size=counter)
+    one, many = io.StringIO(), io.StringIO()
+    assert run(StreamConfig(**base), out=one) == 0
+    assert run(StreamConfig(**base, devices=devices, tp=tp), out=many) == 0
+    assert many.getvalue() == one.getvalue()
+
+    fbase = dict(base, min_matches=1)
+    one, many = io.StringIO(), io.StringIO()
+    assert run_filter(FilterConfig(**fbase), out=one) == 0
+    assert run_filter(FilterConfig(**fbase, devices=devices, tp=tp),
+                      out=many) == 0
+    assert many.getvalue() == one.getvalue()
