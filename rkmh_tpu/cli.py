@@ -88,6 +88,16 @@ def build_parser():
                        help="shard the reference panel over this many of the "
                             "--devices (devices = dp x tp); counts merge with "
                             "an all_gather, output stays byte-identical")
+        p.add_argument("--dist-coordinator", default="", dest="dist_coordinator",
+                       help="multi-host: coordinator host:port (every host "
+                            "runs the same command; see also "
+                            "JAX_COORDINATOR_ADDRESS)")
+        p.add_argument("--dist-procs", type=int, default=0, dest="dist_procs",
+                       help="multi-host: total process count")
+        p.add_argument("--dist-rank", type=int, default=-1, dest="dist_rank",
+                       help="multi-host: this process's id (0-based); each "
+                            "rank writes <out>.<rank>, merge with "
+                            "rkmh-tpu-dist-merge")
 
     p = sub.add_parser("filter")
     _common_classify_flags(p)
@@ -253,6 +263,9 @@ def _dispatch(args) -> int:
                 in_stream=args.in_stream,
                 devices=args.devices,
                 tp=args.tp,
+                dist_coordinator=args.dist_coordinator,
+                dist_procs=args.dist_procs,
+                dist_rank=args.dist_rank,
             )
         )
     if args.command == "filter":

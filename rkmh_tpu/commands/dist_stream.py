@@ -1,0 +1,363 @@
+"""Multi-host `stream` (--dist-procs/--dist-rank/--dist-coordinator).
+
+The reference is one OpenMP process (SURVEY.md §2.4); this is the CLI
+surface for the jax.distributed recipe in parallel/distributed.py: every
+host runs the SAME command, the global mesh spans all hosts' devices,
+and the classify step is the identical shard_map program the
+single-host --devices path uses (parallel/mesh.py) — so output is
+bit-identical to a single-process run over the merged shards.
+
+Multi-host SPMD requires LOCKSTEP dispatch: every process must execute
+the same sequence of global programs with the same global shapes.  The
+drain loop therefore runs on a fixed global geometry instead of the
+single-host pipeline's length-bucketed chunks:
+
+* one counting pre-pass (host-local parse, no device work) agrees on
+  the global read count N and padded length L — every host parses the
+  same input files, so no collective is needed to agree;
+* reads are packed into global batches of a fixed size B (B % dp == 0);
+  batch b row r is owned by the host whose local devices hold that dp
+  shard (process-contiguous blocks of Bl = B/H rows, asserted at
+  startup), and each host materializes ONLY its own rows via
+  jax.make_array_from_process_local_data — cross-host traffic is the
+  panel broadcast plus the tp all_gather, which stays host-local when
+  tp divides the local device count (enforced);
+* every host dispatches every batch (including trailing batches where
+  it owns no real rows — pad rows classify to garbage nobody reads);
+* with -M, a first lockstep pass accumulates the dp-sharded global
+  depth counter (parallel/ep.py psum_scatter build — the counter truly
+  spans hosts) and the classify pass fuses the sharded lookup, exactly
+  like single-host `--devices ... -M`.
+
+Each host writes its own rows (in increasing global order) to
+`<out>.<rank>`; `merge_outputs` (exposed as `rkmh-tpu-dist-merge`)
+round-robins the per-rank block stripes back into single-process order.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import deque
+
+import numpy as np
+
+from rkmh_tpu.commands.common import (
+    iter_packed_chunks,
+    log,
+    resolve_chunk_reads,
+)
+from rkmh_tpu.io.packing import PAD_CODE, bucket_length
+
+
+def _scan_input(read_files, chunk_reads):
+    """Host-local counting pre-pass: (total records, max read length).
+    Parse only — no device work; every host sees the same files, so all
+    hosts agree without a collective."""
+    n, maxlen = 0, 0
+    for chunk in iter_packed_chunks(read_files, chunk_reads):
+        n += len(chunk)
+        lens = np.asarray(chunk.lens)
+        if lens.size:
+            maxlen = max(maxlen, int(lens.max()))
+    return n, maxlen
+
+
+def _owned_block(b: int, B: int, Bl: int, rank: int) -> tuple[int, int]:
+    """Global row range [lo, hi) of batch b owned by this process."""
+    lo = b * B + rank * Bl
+    return lo, lo + Bl
+
+
+def _iter_owned_batches(read_files, chunk_reads, N, B, Bl, rank, L):
+    """Yield (batch_index, codes [Bl, L], lens [Bl], names [Bl]) for every
+    global batch, in order — including trailing batches with no owned
+    real rows (lockstep requires dispatching them anyway).  Rows this
+    host does not own are never encoded; unfilled rows are all-PAD."""
+    n_batches = -(-N // B) if N else 0
+
+    def fresh():
+        return (np.full((Bl, L), PAD_CODE, np.uint8),
+                np.zeros(Bl, np.int32), [None] * Bl)
+
+    b = 0
+    codes_buf, lens_buf, names = fresh()
+    r = 0  # global row index of the chunk's first record
+    for chunk in iter_packed_chunks(read_files, chunk_reads):
+        ccodes = np.asarray(chunk.codes)
+        clens = np.asarray(chunk.lens)
+        cnames = None
+        n = len(chunk)
+        pos = 0  # offset within this chunk
+        while pos < n:
+            g = r + pos
+            while b < g // B:  # batches strictly before g are complete
+                yield b, codes_buf, lens_buf, names
+                b += 1
+                codes_buf, lens_buf, names = fresh()
+            lo, hi = _owned_block(b, B, Bl, rank)
+            seg_end = min(r + n, (b + 1) * B)  # chunk rows inside batch b
+            s, e = max(g, lo), min(seg_end, hi)
+            if s < e:
+                if cnames is None:
+                    cnames = chunk.names
+                w = ccodes.shape[1]
+                codes_buf[s - lo : e - lo, :w] = ccodes[s - r : e - r]
+                lens_buf[s - lo : e - lo] = clens[s - r : e - r]
+                names[s - lo : e - lo] = cnames[s - r : e - r]
+            pos = seg_end - r
+        r += n
+    while b < n_batches:
+        yield b, codes_buf, lens_buf, names
+        b += 1
+        codes_buf, lens_buf, names = fresh()
+
+
+def _assert_process_contiguous(sharding, B: int, Bl: int, rank: int):
+    """The row→host mapping above assumes process p's local devices hold
+    rows [p*Bl, (p+1)*Bl) of a P('dp')-sharded [B, ...] array.  True for
+    process-major device enumeration (the JAX default); assert rather
+    than silently misroute reads."""
+    import jax
+
+    idx_map = sharding.devices_indices_map((B,))
+    mine = sorted({
+        (sl[0].start or 0, sl[0].stop if sl[0].stop is not None else B)
+        for d, sl in idx_map.items()
+        if d.process_index == jax.process_index()
+    })  # set: tp replicas repeat each dp row block
+    lo, hi = mine[0][0], mine[-1][1]
+    got = (lo, hi)
+    assert got == (rank * Bl, rank * Bl + Bl), (
+        f"process {rank} owns rows {got}, expected "
+        f"({rank * Bl}, {rank * Bl + Bl}) — device enumeration is not "
+        "process-major on this topology")
+    # and contiguous
+    for (a0, a1), (b0, b1) in zip(mine, mine[1:]):
+        assert a1 == b0, mine
+
+
+def run_distributed(cfg, out=None) -> int:
+    """Entry from stream.run when --dist-procs is set."""
+    import jax
+
+    from rkmh_tpu.parallel.distributed import initialize
+
+    if cfg.in_stream:
+        log("stream --dist-* cannot combine with -i (stdin is host-local "
+            "and multi-host batches run in lockstep)")
+        return 1
+    if cfg.resume:
+        log("stream --dist-* does not support --resume yet; rerun without it")
+        return 1
+    if not cfg.read_files:
+        log("stream --dist-* requires -f read files (re-readable on every "
+            "host)")
+        return 1
+
+    initialize(cfg.dist_coordinator or None,
+               cfg.dist_procs or None,
+               cfg.dist_rank if cfg.dist_rank >= 0 else None)
+    H = jax.process_count()
+    rank = jax.process_index()
+
+    ndev = jax.device_count()
+    n_local = len(jax.local_devices())
+    tp = cfg.tp
+    if tp < 1 or ndev % tp or n_local % tp:
+        log(f"stream --dist-*: --tp {tp} must divide the {n_local} local "
+            f"devices (panel all_gather must ride intra-host links)")
+        return 1
+    dp = ndev // tp
+    if cfg.min_kmer_occ >= 0 and cfg.counter_size % dp:
+        log(f"stream --dist-*: -M counter size {cfg.counter_size} is not "
+            f"divisible by the {dp} dp shards")
+        return 1
+
+    from rkmh_tpu.commands.common import resolve_batch_size
+
+    B = resolve_batch_size(cfg.batch_size)
+    B = -(-B // (dp * H)) * (dp * H)  # % dp == 0 and % H == 0
+    Bl = B // H
+    chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
+
+    ks = tuple(cfg.ks) if cfg.ks else (16,)
+    if not cfg.ks:
+        log("No kmer size(s) provided. Will use a default kmer size of 16.")
+
+    # panel: every host builds the identical panel from the same files
+    if cfg.ref_sketches:
+        from rkmh_tpu.io.sketch_json import load_sketches, panel_from_sketches
+
+        with open(cfg.ref_sketches) as fh:
+            panel = panel_from_sketches(load_sketches(fh), cfg.sketch_size)
+    else:
+        from rkmh_tpu.commands.common import build_ref_panel_from_files
+
+        panel = build_ref_panel_from_files(
+            cfg.ref_files, ks, cfg.sketch_size,
+            max_samples=cfg.max_samples, counter_size=cfg.counter_size,
+        )
+    if panel.num_refs % tp:
+        log(f"stream --dist-*: --tp {tp} does not divide {panel.num_refs} "
+            "references")
+        return 1
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rkmh_tpu.parallel.mesh import build_sharded_tables, make_mesh
+    from rkmh_tpu.utils import to_host
+
+    mesh = make_mesh(jax.devices(), dp=dp, tp=tp)
+    codes_sharding = NamedSharding(mesh, P("dp", None))
+    _assert_process_contiguous(NamedSharding(mesh, P("dp")), B, Bl, rank)
+
+    sk_np, lens_np = to_host((panel.sketches, panel.lens))
+    tables, rps = build_sharded_tables(
+        np.asarray(sk_np), np.asarray(lens_np), tp)
+    tables_g = jax.device_put(
+        jnp.asarray(tables), NamedSharding(mesh, P("tp", None, None)))
+
+    N, maxlen = _scan_input(cfg.read_files, chunk_reads)
+    L = bucket_length(max(maxlen, 1))
+    log(f"dist rank {rank}/{H}: {N} reads, pad {L}, global batch {B} "
+        f"({Bl} rows/host), mesh dp={dp} tp={tp}")
+
+    def put(local_rows, shape, sharding):
+        return jax.make_array_from_process_local_data(
+            sharding, local_rows, shape)
+
+    # ---- -M: lockstep global counter pass (dp-sharded, spans hosts) ----
+    counter = None
+    if cfg.min_kmer_occ >= 0:
+        from rkmh_tpu.parallel.ep import (
+            sharded_counter_add_codes_fn, sharded_counter_init,
+        )
+
+        counter = sharded_counter_init(mesh, cfg.counter_size)
+        add = sharded_counter_add_codes_fn(mesh, cfg.counter_size, ks)
+        lens_sharding = NamedSharding(mesh, P("dp"))
+        for b, codes, lens, names in _iter_owned_batches(
+                cfg.read_files, chunk_reads, N, B, Bl, rank, L):
+            counter = add(counter,
+                          put(codes, (B, L), codes_sharding),
+                          put(lens, (B,), lens_sharding))
+
+    from rkmh_tpu.parallel.mesh import (
+        sharded_classify_depth_table_fn, sharded_classify_table_fn,
+    )
+
+    if counter is not None:
+        fn = sharded_classify_depth_table_fn(
+            mesh, ks, cfg.sketch_size, rps, cfg.counter_size,
+            cfg.min_kmer_occ, cfg.min_diff, cfg.min_matches)
+        extra = (counter,)
+    else:
+        fn = sharded_classify_table_fn(
+            mesh, ks, cfg.sketch_size, rps, cfg.min_diff, cfg.min_matches)
+        extra = ()
+
+    @jax.jit
+    def packed(codes, tables, *extra):
+        best, shared, diff_ok, depth_fail, match_fail = fn(
+            codes, tables, *extra)
+        flags = (
+            diff_ok.astype(jnp.int64)
+            | (depth_fail.astype(jnp.int64) << 1)
+            | (match_fail.astype(jnp.int64) << 2)
+        )
+        return jnp.stack([best.astype(jnp.int64),
+                          shared.astype(jnp.int64), flags])
+
+    close_out = False
+    if out is None:
+        if cfg.out_file:
+            path = f"{cfg.out_file}.{rank}" if H > 1 else cfg.out_file
+            out = open(path, "w")
+            close_out = True
+        else:
+            out = sys.stdout
+
+    from rkmh_tpu.commands.stream import format_lines_host
+
+    def fetch_mine(res):
+        """This host's [3, Bl] columns of the [3, B] packed result."""
+        cols = np.empty((3, Bl), np.int64)
+        for sh in res.addressable_shards:
+            sl = sh.index[1]
+            lo = sl.start or 0
+            cols[:, lo - rank * Bl : (sl.stop or B) - rank * Bl] = \
+                np.asarray(sh.data)
+        return cols
+
+    def emit(names, res):
+        arr = fetch_mine(res)
+        real = [i for i, nm in enumerate(names) if nm is not None]
+        if not real:
+            return
+        out.write(format_lines_host(
+            panel.keys, [names[i] for i in real], arr[:, real],
+            cfg.sketch_size))
+
+    pending: deque = deque()
+    try:
+        for b, codes, lens, names in _iter_owned_batches(
+                cfg.read_files, chunk_reads, N, B, Bl, rank, L):
+            pending.append(
+                (names, packed(put(codes, (B, L), codes_sharding),
+                               tables_g, *extra)))
+            if len(pending) > 3:
+                emit(*pending.popleft())
+        while pending:
+            emit(*pending.popleft())
+    finally:
+        if close_out:
+            out.close()
+    return 0
+
+
+def merge_outputs(rank_files, batch_size: int, out=None) -> int:
+    """Interleave per-rank stripe files back into single-process order.
+
+    Each rank file holds blocks of batch_size/H lines in increasing
+    global order; round-robin one block per rank until all files drain.
+    """
+    out = out or sys.stdout
+    H = len(rank_files)
+    Bl = batch_size // H
+    fhs = [open(p) for p in rank_files]
+    try:
+        while True:
+            got = 0
+            for fh in fhs:
+                for _ in range(Bl):
+                    line = fh.readline()
+                    if not line:
+                        break
+                    out.write(line)
+                    got += 1
+            if not got:
+                return 0
+    finally:
+        for fh in fhs:
+            fh.close()
+
+
+def merge_main(argv=None) -> int:
+    """console entry: rkmh-tpu-dist-merge -b <global batch> out.0 out.1 ..."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Merge rkmh-tpu stream --dist-* per-rank outputs into "
+                    "single-process order.")
+    ap.add_argument("-b", "--batch-size", type=int, required=True,
+                    help="the GLOBAL batch size the run logged (dist rank "
+                         "line: 'global batch B')")
+    ap.add_argument("rank_files", nargs="+",
+                    help="per-rank outputs in rank order (out.0 out.1 ...)")
+    args = ap.parse_args(argv)
+    return merge_outputs(args.rank_files, args.batch_size)
+
+
+if __name__ == "__main__":
+    raise SystemExit(merge_main())

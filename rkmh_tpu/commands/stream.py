@@ -61,6 +61,9 @@ class StreamConfig:
     in_stream: bool = False      # -i: classify STDIN, flushed per batch
     devices: int = 0             # --devices: SPMD over N local devices
     tp: int = 1                  # --tp: panel shards (devices = dp * tp)
+    dist_coordinator: str = ""   # --dist-coordinator host:port (multi-host)
+    dist_procs: int = 0          # --dist-procs: process count (multi-host)
+    dist_rank: int = -1          # --dist-rank: this process's id
 
 
 # the 8 possible "\t<sketch>[FAIL:DEPTH]\t[FAIL:MATCHES]\t[FAIL:DIFF]\n"
@@ -435,6 +438,14 @@ def _run_stdin(cfg: StreamConfig, out, panel, ks, pack2: bool, step, stdin) -> i
 
 def run(cfg: StreamConfig, out=None, stdin=None) -> int:
     import os
+
+    if cfg.dist_procs > 1 or cfg.dist_coordinator:
+        # multi-host: lockstep global-batch drain over the cross-host
+        # mesh (commands.dist_stream); bit-identical to a single-process
+        # run after rkmh-tpu-dist-merge
+        from rkmh_tpu.commands.dist_stream import run_distributed
+
+        return run_distributed(cfg, out)
 
     resume_skip = 0
     close_out = False

@@ -124,3 +124,62 @@ def test_scaling_harness_runs():
     rows = [l for l in lines if "devices" in l]
     assert [r["devices"] for r in rows] == [1, 2, 4]
     assert all(r["reads_per_sec"] > 0 for r in rows)
+
+
+def test_two_process_distributed_cli_stream(tmp_path):
+    """The multi-host CLI surface end to end: two OS processes x 4
+    virtual CPU devices run `stream --dist-*` (tp=2 panel sharding, so
+    collectives genuinely cross the process boundary), each writes its
+    rank stripe file, and rkmh-tpu-dist-merge reassembles output that is
+    byte-identical to a plain single-process CLI run."""
+    import io as _io
+
+    from rkmh_tpu.commands.dist_stream import merge_outputs
+    from rkmh_tpu.commands.stream import StreamConfig, run as run_stream
+
+    D = "/root/reference/data"
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out = str(tmp_path / "out.rk")
+    args = [
+        "-m", "rkmh_tpu.cli", "stream",
+        "-r", f"{D}/zika.refs.fa", "-f", f"{D}/z1.fq",
+        "-k", "12", "-s", "1000", "--batch-size", "64", "--tp", "2",
+        "--dist-coordinator", f"localhost:{port}", "--dist-procs", "2",
+        "-o", out,
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *args, "--dist-rank", str(p)],
+            env={
+                "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+                "PYTHONPATH": "/root/repo",
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+                "HOME": os.environ.get("HOME", "/root"),
+            },
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for p in range(2)
+    ]
+    errs = []
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        errs.append(err)
+    assert all(p.returncode == 0 for p in procs), "\n".join(e[-1500:] for e in errs)
+
+    merged = _io.StringIO()
+    # global batch is 64 (logged as 'global batch 64'): 8 global devices,
+    # dp=4, H=2 -> batch-size 64 already divides
+    assert merge_outputs([f"{out}.0", f"{out}.1"], 64, out=merged) == 0
+
+    single = _io.StringIO()
+    assert run_stream(
+        StreamConfig(ref_files=[f"{D}/zika.refs.fa"],
+                     read_files=[f"{D}/z1.fq"], ks=(12,), sketch_size=1000,
+                     batch_size=64),
+        out=single,
+    ) == 0
+    assert merged.getvalue() == single.getvalue()
