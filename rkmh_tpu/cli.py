@@ -192,6 +192,13 @@ def build_parser():
     p.add_argument("--devices", type=int, default=0,
                    help="classify reads data-parallel over N local devices "
                         "(set tables replicated); 0 = single device")
+    p.add_argument("--dist-coordinator", default="", dest="dist_coordinator",
+                   help="multi-host: coordinator host:port")
+    p.add_argument("--dist-procs", type=int, default=0, dest="dist_procs",
+                   help="multi-host: total process count")
+    p.add_argument("--dist-rank", type=int, default=-1, dest="dist_rank",
+                   help="multi-host: this process's id; each rank writes "
+                        "<out>.<rank>, merge with rkmh-tpu-dist-merge")
 
     return ap
 
@@ -373,6 +380,9 @@ def _dispatch(args) -> int:
                 out_file=args.out_file,
                 resume=args.resume,
                 devices=args.devices,
+                dist_coordinator=args.dist_coordinator,
+                dist_procs=args.dist_procs,
+                dist_rank=args.dist_rank,
             )
         )
     return 1

@@ -316,6 +316,124 @@ def run_distributed(cfg, out=None) -> int:
     return 0
 
 
+def run_distributed_hpv16(cfg, out=None) -> int:
+    """hpv16 --dist-*: the tiered classifier over a cross-host dp mesh.
+
+    Same lockstep global-batch recipe as run_distributed; the set tables
+    are built identically on every host (deterministic from refpath+k)
+    and replicated, so the only collective traffic is their broadcast.
+    hpv16 emits exactly one line per read, so the same stripe files +
+    rkmh-tpu-dist-merge reassembly applies.
+    """
+    import jax
+
+    from rkmh_tpu.parallel.distributed import initialize
+
+    if cfg.resume:
+        log("hpv16 --dist-* does not support --resume yet; rerun without it")
+        return 1
+    if cfg.min_kmer_occ > 0:
+        log("hpv16 --dist-* does not shard the -M read-depth mask yet; "
+            "rerun without -M or single-host")
+        return 1
+    if not cfg.read_files:
+        log("hpv16 --dist-* requires -f read files (re-readable on every "
+            "host)")
+        return 1
+
+    initialize(cfg.dist_coordinator or None,
+               cfg.dist_procs or None,
+               cfg.dist_rank if cfg.dist_rank >= 0 else None)
+    H = jax.process_count()
+    rank = jax.process_index()
+    ndev = jax.device_count()
+
+    from rkmh_tpu.commands.common import resolve_batch_size
+
+    B = resolve_batch_size(cfg.batch_size)
+    B = -(-B // (ndev * H)) * (ndev * H)
+    Bl = B // H
+    chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
+
+    from rkmh_tpu.commands.hpv16_cmd import build_tables, format_read_lines
+
+    if not cfg.ks:
+        log("NO KMER SIZE PROVIDED. USING A DEFAULT KMER SIZE OF 16")
+        ks = (16,)
+    else:
+        ks = tuple(cfg.ks)
+    tb = build_tables(cfg, ks)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rkmh_tpu.parallel.mesh import make_mesh, sharded_hpv16_fn
+
+    mesh = make_mesh(jax.devices(), dp=ndev, tp=1)
+    codes_sharding = NamedSharding(mesh, P("dp", None))
+    _assert_process_contiguous(NamedSharding(mesh, P("dp")), B, Bl, rank)
+    fn = sharded_hpv16_fn(mesh, ks, len(tb.type_names), tb.n_lin + tb.n_sub)
+    type_g = jax.device_put(tb.type_table, NamedSharding(mesh, P()))
+    uniq_g = jax.device_put(tb.uniq_table, NamedSharding(mesh, P()))
+
+    N, maxlen = _scan_input(cfg.read_files, chunk_reads)
+    L = bucket_length(max(maxlen, 1))
+    log(f"dist rank {rank}/{H}: {N} reads, pad {L}, global batch {B} "
+        f"({Bl} rows/host), mesh dp={ndev}")
+
+    close_out = False
+    if out is None:
+        if cfg.out_file:
+            path = f"{cfg.out_file}.{rank}" if H > 1 else cfg.out_file
+            out = open(path, "w")
+            close_out = True
+        else:
+            out = sys.stdout
+
+    U = tb.n_lin + tb.n_sub
+
+    def fetch_mine(res):
+        """This host's [Bl, 2+U] rows of the [B, 2+U] packed result."""
+        rows = np.empty((Bl, 2 + U), np.int64)
+        for sh in res.addressable_shards:
+            sl = sh.index[0]
+            lo = sl.start or 0
+            rows[lo - rank * Bl : (sl.stop or B) - rank * Bl] = \
+                np.asarray(sh.data)
+        return rows
+
+    def emit(names, lens, res):
+        arr = fetch_mine(res)
+        real = [i for i, nm in enumerate(names) if nm is not None]
+        if not real:
+            return
+        out.write("".join(format_read_lines(
+            tb, ks, [names[i] for i in real], lens[real], arr[real])))
+
+    pending: deque = deque()
+    try:
+        for b, codes, lens, names in _iter_owned_batches(
+                cfg.read_files, chunk_reads, N, B, Bl, rank, L):
+            pending.append(
+                (names, lens.copy(),
+                 fn(put_local(codes, (B, L), codes_sharding),
+                    type_g, uniq_g)))
+            if len(pending) > 3:
+                emit(*pending.popleft())
+        while pending:
+            emit(*pending.popleft())
+    finally:
+        if close_out:
+            out.close()
+    return 0
+
+
+def put_local(local_rows, shape, sharding):
+    import jax
+
+    return jax.make_array_from_process_local_data(
+        sharding, local_rows, shape)
+
+
 def merge_outputs(rank_files, batch_size: int, out=None) -> int:
     """Interleave per-rank stripe files back into single-process order.
 

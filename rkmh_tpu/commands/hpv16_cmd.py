@@ -60,6 +60,9 @@ class Hpv16Config:
     out_file: str = ""             # -o: write here instead of stdout
     resume: bool = False           # --resume: continue an interrupted -o run
     devices: int = 0               # --devices: dp-shard reads over N devices
+    dist_coordinator: str = ""     # --dist-coordinator host:port (multi-host)
+    dist_procs: int = 0            # --dist-procs: process count (multi-host)
+    dist_rank: int = -1            # --dist-rank: this process's id
 
 
 def _fmt_double(x: float) -> str:
@@ -122,6 +125,11 @@ def _family_unique(hashes, mask, groups):
 def run(cfg: Hpv16Config, out=None) -> int:
     import os
 
+    if cfg.dist_procs > 1 or cfg.dist_coordinator:
+        from rkmh_tpu.commands.dist_stream import run_distributed_hpv16
+
+        return run_distributed_hpv16(cfg, out)
+
     # failure recovery: hpv16 emits exactly one line per read, so the
     # partial output is its own checkpoint (line-counted resume, same as
     # stream; see commands.recovery)
@@ -150,16 +158,29 @@ def run(cfg: Hpv16Config, out=None) -> int:
             out.close()
 
 
-def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
-    from rkmh_tpu.commands.common import resolve_batch_size
+class Hpv16Tables:
+    """Everything the read loop needs: device set tables + name maps.
+    Deterministic for a given (refpath, k) — multi-host runs build it
+    identically on every host."""
 
-    cfg.batch_size = resolve_batch_size(cfg.batch_size)
-    if not cfg.ks:
-        log("NO KMER SIZE PROVIDED. USING A DEFAULT KMER SIZE OF 16")
-        ks = (16,)
-    else:
-        ks = tuple(cfg.ks)
+    __slots__ = ("type_names", "type_table", "uniq_table",
+                 "lin_names", "sublin_names")
+
+    @property
+    def n_lin(self):
+        return len(self.lin_names)
+
+    @property
+    def n_sub(self):
+        return len(self.sublin_names)
+
+
+def build_tables(cfg: Hpv16Config, ks: tuple) -> Hpv16Tables:
+    """Type panel + lineage/sublineage unique-kmer set tables (device
+    built; rkmh.cpp:2544-2653), with the .tst side-effect file and the
+    stderr stats."""
     k0 = ks[0]
+    tb = Hpv16Tables()
 
     type_recs = load_packed([f"{cfg.refpath}/all_pave_ref.fa"])
     sub_recs = load_packed([f"{cfg.refpath}/new_refs.fa"])
@@ -228,6 +249,65 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
     for sn, uniq in zip(sublin_names, sublin_uniqs):
         log(f"\t{sn}\t{len(uniq)}")
 
+    tb.type_names = type_names
+    tb.type_table = type_table
+    tb.uniq_table = uniq_table
+    tb.lin_names = lin_names
+    tb.sublin_names = sublin_names
+    return tb
+
+
+def format_read_lines(tb: Hpv16Tables, ks: tuple, row_names, lens, packed):
+    """Per-read output lines (rkmh.cpp:2681-2715) from the fetched
+    [n, 2+U] packed result; lens/packed may carry trailing pad rows."""
+    n_lin, n_sub = tb.n_lin, tb.n_sub
+    best_np = packed[:, 0]
+    shared_np = packed[:, 1]
+    uc_np = packed[:, 2:]
+    hashnum = np.zeros(len(lens), dtype=np.int64)
+    for k_ in ks:
+        hashnum += np.maximum(np.asarray(lens).astype(np.int64) - (k_ - 1), 0)
+
+    lines = []
+    for i, name in enumerate(row_names):
+        hn = int(hashnum[i])
+        lin_ints = uc_np[i, :n_lin]
+        sub_ints = uc_np[i, n_lin:]
+        lin_sims = lin_ints / hn if hn else np.zeros_like(lin_ints, dtype=float)
+        sub_sims = sub_ints / hn if hn else np.zeros_like(sub_ints, dtype=float)
+        lin_order = sorted(range(n_lin), key=lambda x: -lin_sims[x])
+        sub_order = sorted(range(n_sub), key=lambda x: -sub_sims[x])
+        parts = [
+            name,
+            tb.type_names[int(best_np[i])],
+            f"{int(shared_np[i])}/{hn}",
+            "".join(f"{tb.lin_names[x]}:{_fmt_double(lin_sims[x])};"
+                    for x in lin_order),
+            "".join(f"{tb.sublin_names[x]}:{_fmt_double(sub_sims[x])};"
+                    for x in sub_order),
+            "".join(f"{int(lin_ints[x])};" for x in lin_order),
+            "".join(f"{int(sub_ints[x])};" for x in sub_order),
+        ]
+        lines.append("\t".join(parts) + "\n")
+    return lines
+
+
+def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
+    from rkmh_tpu.commands.common import resolve_batch_size
+
+    cfg.batch_size = resolve_batch_size(cfg.batch_size)
+    if not cfg.ks:
+        log("NO KMER SIZE PROVIDED. USING A DEFAULT KMER SIZE OF 16")
+        ks = (16,)
+    else:
+        ks = tuple(cfg.ks)
+
+    tb = build_tables(cfg, ks)
+    type_names, lin_names, sublin_names = (
+        tb.type_names, tb.lin_names, tb.sublin_names)
+    type_table, uniq_table = tb.type_table, tb.uniq_table
+    n_lin, n_sub = tb.n_lin, tb.n_sub
+
     from rkmh_tpu.commands.common import (
         ChunkState,
         ChunkedPipeline,
@@ -271,32 +351,10 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
             self.lines = [None] * len(names)
 
     def fmt_rows(st, rows, lens, packed):
-        best_np = packed[:, 0]
-        shared_np = packed[:, 1]
-        uc_np = packed[:, 2:]
-        hashnum = np.zeros(len(lens), dtype=np.int64)
-        for k_ in ks:
-            hashnum += np.maximum(lens.astype(np.int64) - (k_ - 1), 0)
-
-        for i, ridx in enumerate(rows):
-            hn = int(hashnum[i])
-            lin_ints = uc_np[i, :n_lin]
-            sub_ints = uc_np[i, n_lin:]
-            lin_sims = lin_ints / hn if hn else np.zeros_like(lin_ints, dtype=float)
-            sub_sims = sub_ints / hn if hn else np.zeros_like(sub_ints, dtype=float)
-            lin_order = sorted(range(n_lin), key=lambda x: -lin_sims[x])
-            sub_order = sorted(range(n_sub), key=lambda x: -sub_sims[x])
-
-            parts = [
-                st.names[ridx],
-                type_names[int(best_np[i])],
-                f"{int(shared_np[i])}/{hn}",
-                "".join(f"{lin_names[x]}:{_fmt_double(lin_sims[x])};" for x in lin_order),
-                "".join(f"{sublin_names[x]}:{_fmt_double(sub_sims[x])};" for x in sub_order),
-                "".join(f"{int(lin_ints[x])};" for x in lin_order),
-                "".join(f"{int(sub_ints[x])};" for x in sub_order),
-            ]
-            st.lines[ridx] = "\t".join(parts) + "\n"
+        lines = format_read_lines(
+            tb, ks, [st.names[r] for r in rows], lens, packed)
+        for ridx, line in zip(rows, lines):
+            st.lines[ridx] = line
         st.filled += len(rows)
 
     # --devices N: dp-shard the read batch over N local devices with the

@@ -183,3 +183,69 @@ def test_two_process_distributed_cli_stream(tmp_path):
         out=single,
     ) == 0
     assert merged.getvalue() == single.getvalue()
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_two_process_distributed_cli_hpv16(tmp_path):
+    """hpv16 --dist-*: two processes x 4 virtual CPU devices over the
+    real minION25 reads + PAVE panels; merged stripes byte-equal the
+    single-process CLI run (one line per read, so the stream merge tool
+    applies directly)."""
+    import io as _io
+
+    from rkmh_tpu.commands.dist_stream import merge_outputs
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run as run_hpv16
+
+    D = "/root/reference/data"
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out = str(tmp_path / "out.hpv")
+    args = [
+        "-m", "rkmh_tpu.cli", "hpv16",
+        "-f", f"{D}/minION25.fq", "-R", D, "-k", "16", "--batch-size", "8",
+        "--dist-coordinator", f"localhost:{port}", "--dist-procs", "2",
+        "-o", out,
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *args, "--dist-rank", str(p)],
+            cwd=str(tmp_path),  # .tst side-effect file lands here
+            env={
+                "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+                "PYTHONPATH": "/root/repo",
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+                "HOME": os.environ.get("HOME", "/root"),
+            },
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for p in range(2)
+    ]
+    errs = []
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        errs.append(err)
+    assert all(p.returncode == 0 for p in procs), "\n".join(e[-1500:] for e in errs)
+
+    merged = _io.StringIO()
+    # the run rounds the global batch up to ndev*H = 16 (logged as
+    # 'global batch 16') — the merge stripe width is B/H = 8 lines
+    assert merge_outputs([f"{out}.0", f"{out}.1"], 16, out=merged) == 0
+
+    single = _io.StringIO()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert run_hpv16(
+            Hpv16Config(read_files=[f"{D}/minION25.fq"], refpath=D,
+                        ks=(16,), batch_size=8),
+            out=single,
+        ) == 0
+    finally:
+        os.chdir(cwd)
+    assert merged.getvalue() == single.getvalue()
