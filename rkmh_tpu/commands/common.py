@@ -543,6 +543,23 @@ def batch_iter(records: list[SeqRecord], batch_size: int, pad_to: int | None = N
         yield chunk, codes, lens
 
 
+def sharded_geometry_reason(devices: int, tp: int, num_refs: int,
+                            n_visible: int, min_kmer_occ: int = -1,
+                            counter_size: int = 0) -> str | None:
+    """Why a --devices geometry cannot apply (None = it can).  Shared by
+    every command driver so fallback rules never diverge."""
+    if tp < 1 or devices % tp:
+        return f"--devices {devices} is not divisible by --tp {tp}"
+    if devices > n_visible:
+        return f"--devices {devices} > {n_visible} visible device(s)"
+    if min_kmer_occ >= 0 and counter_size % (devices // tp):
+        return (f"-M counter size {counter_size} is not divisible by "
+                f"the {devices // tp} dp shards")
+    if num_refs % tp:
+        return f"--tp {tp} does not divide {num_refs} references"
+    return None
+
+
 class ShardedCtx:
     """Shared --devices machinery for the classify-family commands: a
     (dp, tp) device mesh, tp-sharded panel bucket tables, an optional
@@ -564,12 +581,20 @@ class ShardedCtx:
         self.dp = devices // tp
         self.counter_size = counter_size
         self.batch_size = batch_size
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         self.mesh = make_mesh(jax.devices()[:devices], dp=self.dp, tp=tp)
         sk_np, lens_np = to_host((panel.sketches, panel.lens))
         self.ref_lens_np = np.asarray(lens_np)
         tables, self.rps = build_sharded_tables(
             np.asarray(sk_np), self.ref_lens_np, tp)
-        self.tables = jnp.asarray(tables)
+        # place the panel shards on the mesh ONCE — a plain jnp array
+        # lands on the default device and would be resharded on every
+        # dispatch (the whole table, each batch)
+        self.tables = jax.device_put(
+            tables, NamedSharding(self.mesh, P("tp", None, None)))
+        self.ref_lens = jax.device_put(
+            self.ref_lens_np, NamedSharding(self.mesh, P()))
         self.counter = None  # set by build_counter for the -M path
 
     def pad_rows(self, codes, lens=None):

@@ -115,8 +115,9 @@ def _iter_owned_batches(read_files, chunk_reads, N, B, Bl, rank, L):
 def _assert_process_contiguous(sharding, B: int, Bl: int, rank: int):
     """The row→host mapping above assumes process p's local devices hold
     rows [p*Bl, (p+1)*Bl) of a P('dp')-sharded [B, ...] array.  True for
-    process-major device enumeration (the JAX default); assert rather
-    than silently misroute reads."""
+    process-major device enumeration (the JAX default); raise (not a
+    bare assert — it must survive python -O) rather than silently
+    misroute reads."""
     import jax
 
     idx_map = sharding.devices_indices_map((B,))
@@ -125,19 +126,36 @@ def _assert_process_contiguous(sharding, B: int, Bl: int, rank: int):
         for d, sl in idx_map.items()
         if d.process_index == jax.process_index()
     })  # set: tp replicas repeat each dp row block
-    lo, hi = mine[0][0], mine[-1][1]
-    got = (lo, hi)
-    assert got == (rank * Bl, rank * Bl + Bl), (
-        f"process {rank} owns rows {got}, expected "
-        f"({rank * Bl}, {rank * Bl + Bl}) — device enumeration is not "
-        "process-major on this topology")
-    # and contiguous
-    for (a0, a1), (b0, b1) in zip(mine, mine[1:]):
-        assert a1 == b0, mine
+    got = (mine[0][0], mine[-1][1])
+    gaps = [m for m, nxt in zip(mine, mine[1:]) if m[1] != nxt[0]]
+    if got != (rank * Bl, rank * Bl + Bl) or gaps:
+        raise RuntimeError(
+            f"process {rank} owns rows {mine}, expected the contiguous "
+            f"block ({rank * Bl}, {rank * Bl + Bl}) — device enumeration "
+            "is not process-major on this topology; refusing to misroute "
+            "reads")
+
+
+def put_local(local_rows, shape, sharding):
+    """This process's rows -> its shard of a global array."""
+    import jax
+
+    return jax.make_array_from_process_local_data(
+        sharding, local_rows, shape)
+
+
+def _write_meta(out_file: str, B: int, H: int):
+    """Record the stripe geometry next to the rank files so
+    rkmh-tpu-dist-merge never has to be handed the (internally rounded)
+    global batch size by hand."""
+    import json
+
+    with open(f"{out_file}.dist.json", "w") as fh:
+        json.dump({"global_batch": B, "procs": H}, fh)
 
 
 def run_distributed(cfg, out=None) -> int:
-    """Entry from stream.run when --dist-procs is set."""
+    """Entry from stream.run when --dist-* / the JAX_* env vars are set."""
     import jax
 
     from rkmh_tpu.parallel.distributed import initialize
@@ -223,10 +241,6 @@ def run_distributed(cfg, out=None) -> int:
     log(f"dist rank {rank}/{H}: {N} reads, pad {L}, global batch {B} "
         f"({Bl} rows/host), mesh dp={dp} tp={tp}")
 
-    def put(local_rows, shape, sharding):
-        return jax.make_array_from_process_local_data(
-            sharding, local_rows, shape)
-
     # ---- -M: lockstep global counter pass (dp-sharded, spans hosts) ----
     counter = None
     if cfg.min_kmer_occ >= 0:
@@ -240,8 +254,8 @@ def run_distributed(cfg, out=None) -> int:
         for b, codes, lens, names in _iter_owned_batches(
                 cfg.read_files, chunk_reads, N, B, Bl, rank, L):
             counter = add(counter,
-                          put(codes, (B, L), codes_sharding),
-                          put(lens, (B,), lens_sharding))
+                          put_local(codes, (B, L), codes_sharding),
+                          put_local(lens, (B,), lens_sharding))
 
     from rkmh_tpu.parallel.mesh import (
         sharded_classify_depth_table_fn, sharded_classify_table_fn,
@@ -275,6 +289,8 @@ def run_distributed(cfg, out=None) -> int:
             path = f"{cfg.out_file}.{rank}" if H > 1 else cfg.out_file
             out = open(path, "w")
             close_out = True
+            if H > 1:
+                _write_meta(cfg.out_file, B, H)
         else:
             out = sys.stdout
 
@@ -304,7 +320,7 @@ def run_distributed(cfg, out=None) -> int:
         for b, codes, lens, names in _iter_owned_batches(
                 cfg.read_files, chunk_reads, N, B, Bl, rank, L):
             pending.append(
-                (names, packed(put(codes, (B, L), codes_sharding),
+                (names, packed(put_local(codes, (B, L), codes_sharding),
                                tables_g, *extra)))
             if len(pending) > 3:
                 emit(*pending.popleft())
@@ -386,6 +402,8 @@ def run_distributed_hpv16(cfg, out=None) -> int:
             path = f"{cfg.out_file}.{rank}" if H > 1 else cfg.out_file
             out = open(path, "w")
             close_out = True
+            if H > 1:
+                _write_meta(cfg.out_file, B, H)
         else:
             out = sys.stdout
 
@@ -427,13 +445,6 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     return 0
 
 
-def put_local(local_rows, shape, sharding):
-    import jax
-
-    return jax.make_array_from_process_local_data(
-        sharding, local_rows, shape)
-
-
 def merge_outputs(rank_files, batch_size: int, out=None) -> int:
     """Interleave per-rank stripe files back into single-process order.
 
@@ -462,19 +473,40 @@ def merge_outputs(rank_files, batch_size: int, out=None) -> int:
 
 
 def merge_main(argv=None) -> int:
-    """console entry: rkmh-tpu-dist-merge -b <global batch> out.0 out.1 ..."""
+    """console entry: rkmh-tpu-dist-merge out.0 out.1 ...
+
+    The stripe geometry comes from the <out>.dist.json sidecar the run
+    writes next to the rank files (so the internally-rounded global
+    batch never has to be re-typed); -b overrides it explicitly.
+    """
     import argparse
+    import json
+    import re
 
     ap = argparse.ArgumentParser(
-        description="Merge rkmh-tpu stream --dist-* per-rank outputs into "
-                    "single-process order.")
-    ap.add_argument("-b", "--batch-size", type=int, required=True,
-                    help="the GLOBAL batch size the run logged (dist rank "
-                         "line: 'global batch B')")
+        description="Merge rkmh-tpu stream/hpv16 --dist-* per-rank outputs "
+                    "into single-process order.")
+    ap.add_argument("-b", "--batch-size", type=int, default=0,
+                    help="override the GLOBAL batch size (default: read it "
+                         "from the <out>.dist.json sidecar)")
     ap.add_argument("rank_files", nargs="+",
                     help="per-rank outputs in rank order (out.0 out.1 ...)")
     args = ap.parse_args(argv)
-    return merge_outputs(args.rank_files, args.batch_size)
+    B = args.batch_size
+    if not B:
+        base = re.sub(r"\.\d+$", "", args.rank_files[0])
+        meta_path = f"{base}.dist.json"
+        try:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        except OSError:
+            ap.error(f"no {meta_path} sidecar next to the rank files; "
+                     "pass -b <global batch> explicitly")
+        B = int(meta["global_batch"])
+        if meta.get("procs") != len(args.rank_files):
+            ap.error(f"{meta_path} records {meta.get('procs')} ranks but "
+                     f"{len(args.rank_files)} files were given")
+    return merge_outputs(args.rank_files, B)
 
 
 if __name__ == "__main__":

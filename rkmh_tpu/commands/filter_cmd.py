@@ -152,18 +152,11 @@ def _run(cfg: FilterConfig, out, stdin, resume_skip: int, progress) -> int:
     if cfg.devices > 1:
         import jax
 
-        reason = None
-        n_vis = len(jax.devices())
-        dp = cfg.devices // cfg.tp if cfg.tp >= 1 else 0
-        if cfg.tp < 1 or cfg.devices % cfg.tp:
-            reason = f"--devices {cfg.devices} is not divisible by --tp {cfg.tp}"
-        elif cfg.devices > n_vis:
-            reason = f"--devices {cfg.devices} > {n_vis} visible device(s)"
-        elif cfg.min_kmer_occ >= 0 and cfg.counter_size % dp:
-            reason = (f"-M counter size {cfg.counter_size} is not divisible "
-                      f"by the {dp} dp shards")
-        elif panel.num_refs % cfg.tp:
-            reason = f"--tp {cfg.tp} does not divide {panel.num_refs} references"
+        from rkmh_tpu.commands.common import sharded_geometry_reason
+
+        reason = sharded_geometry_reason(
+            cfg.devices, cfg.tp, panel.num_refs, len(jax.devices()),
+            cfg.min_kmer_occ, cfg.counter_size)
         if reason is not None:
             log(f"filter --devices ignored ({reason}); running single-device")
         else:
@@ -219,29 +212,20 @@ def _run(cfg: FilterConfig, out, stdin, resume_skip: int, progress) -> int:
         )
 
     if sharded is not None:
-        import jax.numpy as jnp
+        from rkmh_tpu.parallel.mesh import sharded_filter_table_fn
 
-        from rkmh_tpu.parallel.mesh import (
-            sharded_filter_depth_table_fn, sharded_filter_table_fn,
-        )
-
-        ref_lens_dev = jnp.asarray(sharded.ref_lens_np)
-        if sharded.counter is not None:
-            sfn = sharded_filter_depth_table_fn(
-                sharded.mesh, ks, cfg.sketch_size, sharded.rps,
-                cfg.counter_size, cfg.min_kmer_occ,
-                cfg.min_diff, cfg.min_matches)
-            extra = (sharded.counter,)
-        else:
-            sfn = sharded_filter_table_fn(
-                sharded.mesh, ks, cfg.sketch_size, sharded.rps,
-                cfg.min_diff, cfg.min_matches)
-            extra = ()
+        use_counter = sharded.counter is not None
+        sfn = sharded_filter_table_fn(
+            sharded.mesh, ks, cfg.sketch_size, sharded.rps,
+            cfg.min_diff, cfg.min_matches,
+            counter_size=cfg.counter_size if use_counter else None,
+            min_occ=cfg.min_kmer_occ)
+        extra = (sharded.counter,) if use_counter else ()
 
         def classify(codes, lens, packed: bool = True):
             codes, _ = sharded.pad_rows(codes)  # pad rows have keep=0 and
             # fall off: consumers index only the real rows
-            return sfn(codes, sharded.tables, ref_lens_dev, *extra)
+            return sfn(codes, sharded.tables, sharded.ref_lens, *extra)
 
     # ---- file mode: emit passing reads ------------------------------------
     # length-bucketed + pipelined + group-fetched like stream; the keep

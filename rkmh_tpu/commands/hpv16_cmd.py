@@ -125,7 +125,8 @@ def _family_unique(hashes, mask, groups):
 def run(cfg: Hpv16Config, out=None) -> int:
     import os
 
-    if cfg.dist_procs > 1 or cfg.dist_coordinator:
+    if (cfg.dist_procs > 1 or cfg.dist_coordinator
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
         from rkmh_tpu.commands.dist_stream import run_distributed_hpv16
 
         return run_distributed_hpv16(cfg, out)
@@ -373,11 +374,18 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
         if reason is not None:
             log(f"hpv16 --devices ignored ({reason}); running single-device")
         else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from rkmh_tpu.parallel.mesh import make_mesh, sharded_hpv16_fn
 
             mesh = make_mesh(jax.devices()[: cfg.devices],
                              dp=cfg.devices, tp=1)
             hstep = sharded_hpv16_fn(mesh, ks, len(type_names), n_lin + n_sub)
+            # replicate the set tables on the mesh ONCE (the type table is
+            # the big one); unplaced they would re-broadcast every batch
+            repl = NamedSharding(mesh, P())
+            type_g = jax.device_put(type_table, repl)
+            uniq_g = jax.device_put(uniq_table, repl)
 
             def sharded_step(codes):
                 pad = (-codes.shape[0]) % cfg.devices
@@ -387,7 +395,7 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
                         codes,
                         np.full((pad, codes.shape[1]), 4, dtype=codes.dtype),
                     ])
-                return hstep(codes, type_table, uniq_table)
+                return hstep(codes, type_g, uniq_g)
 
     def device_step(codes):
         if sharded_step is not None:

@@ -261,21 +261,16 @@ class _ShardedClassify(_ShardedCtx):
         import jax
         import jax.numpy as jnp
 
-        from rkmh_tpu.parallel.mesh import (
-            sharded_classify_depth_table_fn, sharded_classify_table_fn,
-        )
+        from rkmh_tpu.parallel.mesh import sharded_classify_table_fn
 
         cfg, ks = self.cfg, self.ks
-        if self.counter is not None:
-            fn = sharded_classify_depth_table_fn(
-                self.mesh, ks, cfg.sketch_size, self.rps, cfg.counter_size,
-                cfg.min_kmer_occ, cfg.min_diff, cfg.min_matches)
-            extra = (self.counter,)
-        else:
-            fn = sharded_classify_table_fn(
-                self.mesh, ks, cfg.sketch_size, self.rps,
-                cfg.min_diff, cfg.min_matches)
-            extra = ()
+        use_counter = self.counter is not None
+        fn = sharded_classify_table_fn(
+            self.mesh, ks, cfg.sketch_size, self.rps,
+            cfg.min_diff, cfg.min_matches,
+            counter_size=cfg.counter_size if use_counter else None,
+            min_occ=cfg.min_kmer_occ)
+        extra = (self.counter,) if use_counter else ()
 
         @jax.jit
         def packed(codes, tables, *extra):
@@ -296,23 +291,20 @@ class _ShardedClassify(_ShardedCtx):
         return step
 
 
-def _validate_devices(cfg: StreamConfig, in_stream: bool) -> str | None:
+def _validate_devices(cfg: StreamConfig, in_stream: bool,
+                      num_refs: int) -> str | None:
     """Reason --devices cannot apply (None = it can)."""
     import jax
 
+    from rkmh_tpu.commands.common import sharded_geometry_reason
+
     if cfg.devices <= 1:
         return "unset"
-    if cfg.tp < 1 or cfg.devices % cfg.tp:
-        return (f"--devices {cfg.devices} is not divisible by --tp {cfg.tp}")
-    n = len(jax.devices())
-    if cfg.devices > n:
-        return f"--devices {cfg.devices} > {n} visible device(s)"
-    if cfg.min_kmer_occ >= 0 and cfg.counter_size % (cfg.devices // cfg.tp):
-        return (f"-M counter size {cfg.counter_size} is not divisible by "
-                f"the {cfg.devices // cfg.tp} dp shards")
     if in_stream:
         return "-i latency batching runs single-device"
-    return None
+    return sharded_geometry_reason(
+        cfg.devices, cfg.tp, num_refs, len(jax.devices()),
+        cfg.min_kmer_occ, cfg.counter_size)
 
 
 # -i liveness knobs: how long the consumer waits for new input before it
@@ -439,8 +431,10 @@ def _run_stdin(cfg: StreamConfig, out, panel, ks, pack2: bool, step, stdin) -> i
 def run(cfg: StreamConfig, out=None, stdin=None) -> int:
     import os
 
-    if cfg.dist_procs > 1 or cfg.dist_coordinator:
-        # multi-host: lockstep global-batch drain over the cross-host
+    if (cfg.dist_procs > 1 or cfg.dist_coordinator
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        # multi-host (flags OR the standard JAX_* env vars — initialize()
+        # reads both): lockstep global-batch drain over the cross-host
         # mesh (commands.dist_stream); bit-identical to a single-process
         # run after rkmh-tpu-dist-merge
         from rkmh_tpu.commands.dist_stream import run_distributed
@@ -524,15 +518,11 @@ def _run(cfg: StreamConfig, out, resume_skip: int = 0, stdin=None) -> int:
 
     from rkmh_tpu.commands.common import ChunkedPipeline, two_pass_chunks
 
-    sharded_reason = _validate_devices(cfg, in_stream)
+    sharded_reason = _validate_devices(cfg, in_stream, panel.num_refs)
     if cfg.devices > 1 and sharded_reason not in (None, "unset"):
         log(f"stream --devices ignored ({sharded_reason}); "
             "running single-device")
     use_sharded = cfg.devices > 1 and sharded_reason is None
-    if use_sharded and panel.num_refs % cfg.tp:
-        log(f"stream --tp {cfg.tp} does not divide {panel.num_refs} "
-            "references; running single-device")
-        use_sharded = False
     sharded = _ShardedClassify(panel, ks, cfg) if use_sharded else None
 
     classify_chunks = None

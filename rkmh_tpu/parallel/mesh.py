@@ -117,103 +117,115 @@ def build_sharded_tables(ref_sk, ref_lens, tp: int):
     return np.stack([p.table for p in parts]), rps
 
 
-def sharded_classify_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
-                              refs_per_shard: int,
-                              min_diff: int = 0, min_matches: int = -1):
-    """Production SPMD classify step: dp-sharded reads x tp-sharded panel
-    bucket tables (ops/lookup fast path), bit-identical to single chip.
+def _sharded_counts_step(mesh: Mesh, ks: tuple, sketch_size: int,
+                         refs_per_shard: int, finish,
+                         extra_in_specs: tuple, out_specs,
+                         counter_size: int | None = None, min_occ: int = 0):
+    """Shared skeleton of every SPMD classify/filter step:
+    [optional dp-sharded depth mask (parallel/ep.py) ->] hash ->
+    bottom-s -> tp-sharded table probe -> tiled all_gather ->
+    ``finish(counts, sk_lens, *extra)``.
 
-    Inputs: codes [B, L] (B % dp == 0), tables [tp, NB, width] uint32.
+    The counter shard, when enabled, is the LAST positional input; it
+    replicates over tp, so every tp column answers depth queries
+    identically.  ``finish`` picks the argmax flavor + wire format.
     """
     from rkmh_tpu.ops.lookup import lookup_intersection_counts
 
-    def local_step(codes, table):
-        hashes = multi_k_window_hashes(codes, list(ks))
+    if counter_size is not None:
+        from rkmh_tpu.ops.sketch import mask_by_frequency
+        from rkmh_tpu.parallel.ep import counter_get_local
+
+        ndev = mesh.shape["dp"]
+        if counter_size % ndev:
+            raise ValueError(
+                f"counter size {counter_size} not divisible by dp {ndev}")
+        shard_size = counter_size // ndev
+
+    def local_step(codes, table, *extra):
+        hashes = multi_k_window_hashes(codes, list(ks))          # [B/dp, W]
+        if counter_size is not None:
+            cshard = extra[-1]
+            extra = extra[:-1]
+            depths = counter_get_local(cshard, hashes, counter_size, shard_size)
+            hashes = mask_by_frequency(hashes, depths, min_occ)
         sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
         counts = lookup_intersection_counts(
             sk, sk_lens, (table[0],), refs_per_shard
         )  # [B/dp, R/tp]
         counts = jax.lax.all_gather(counts, "tp", axis=1, tiled=True)  # [B/dp, R]
-        return argmax_stream(counts, min_diff, min_matches, sk_lens)
+        return finish(counts, sk_lens, *extra)
 
+    in_specs = (P("dp", None), P("tp", None, None)) + extra_in_specs
+    if counter_size is not None:
+        in_specs = in_specs + (P("dp"),)
     fn = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P("dp", None), P("tp", None, None)),
-        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def sharded_classify_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
+                              refs_per_shard: int,
+                              min_diff: int = 0, min_matches: int = -1,
+                              counter_size: int | None = None,
+                              min_occ: int = 0):
+    """Production SPMD classify step: dp-sharded reads x tp-sharded panel
+    bucket tables (ops/lookup fast path), bit-identical to single chip.
+
+    Inputs: codes [B, L] (B % dp == 0), tables [tp, NB, width] uint32
+    [, counter shard when counter_size is set — the stream -M fused
+    path, matching the engine.sketch_batch_depth_filtered + classify
+    two-pass of rkmh.cpp:903-948].
+    """
+
+    def finish(counts, sk_lens):
+        return argmax_stream(counts, min_diff, min_matches, sk_lens)
+
+    return _sharded_counts_step(
+        mesh, ks, sketch_size, refs_per_shard, finish,
+        extra_in_specs=(),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        counter_size=counter_size, min_occ=min_occ,
+    )
 
 
 def sharded_classify_depth_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
                                     refs_per_shard: int, counter_size: int,
                                     min_occ: int,
                                     min_diff: int = 0, min_matches: int = -1):
-    """stream -M SPMD classify: dp-sharded reads x tp-sharded panel
-    tables x dp-sharded depth counter (parallel/ep.py scheme; the
-    counter replicates over tp, so every tp column answers depth
-    queries identically).  Per read: hash -> sharded counter lookup ->
-    mask_by_frequency -> bottom-s -> probe -> tp all_gather -> exact
-    rkmh argmax.  Matches engine.sketch_batch_depth_filtered +
-    classify (rkmh.cpp:903-948 two-pass -M) bit for bit.
-
-    Inputs: codes [B, L] (B % dp == 0), tables [tp, NB, width] uint32,
-    counter shard (logical [counter_size] int32 sharded over dp).
-    """
-    from rkmh_tpu.ops.lookup import lookup_intersection_counts
-    from rkmh_tpu.ops.sketch import mask_by_frequency
-    from rkmh_tpu.parallel.ep import counter_get_local
-
-    ndev = mesh.shape["dp"]
-    assert counter_size % ndev == 0
-    shard_size = counter_size // ndev
-
-    def local_step(codes, table, cshard):
-        hashes = multi_k_window_hashes(codes, list(ks))          # [B/dp, W]
-        depths = counter_get_local(cshard, hashes, counter_size, shard_size)
-        hashes = mask_by_frequency(hashes, depths, min_occ)
-        sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
-        counts = lookup_intersection_counts(
-            sk, sk_lens, (table[0],), refs_per_shard
-        )
-        counts = jax.lax.all_gather(counts, "tp", axis=1, tiled=True)
-        return argmax_stream(counts, min_diff, min_matches, sk_lens)
-
-    fn = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P("dp", None), P("tp", None, None), P("dp")),
-        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
-        check_vma=False,
+    """stream -M fused classify (see sharded_classify_table_fn)."""
+    return sharded_classify_table_fn(
+        mesh, ks, sketch_size, refs_per_shard, min_diff, min_matches,
+        counter_size=counter_size, min_occ=min_occ,
     )
-    return jax.jit(fn)
 
 
 def sharded_filter_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
                             refs_per_shard: int,
-                            min_diff: int = 0, min_matches: int = -1):
+                            min_diff: int = 0, min_matches: int = -1,
+                            counter_size: int | None = None,
+                            min_occ: int = 0):
     """SPMD `filter` classify step: dp-sharded reads x tp-sharded panel
     bucket tables, filter-flavor argmax (equiv.hpp:324-353 semantics via
     engine.argmax_filter), bit-identical to the single-device step.
 
     Inputs: codes [B, L] (B % dp == 0), tables [tp, NB, width] uint32,
     ref_lens [R] int32 (replicated — the union term indexes the GLOBAL
-    best, so it must see every reference's sketch length).  Returns the
-    [5, B] int64 wire of engine.filter_sketches_table_packed.
+    best, so it must see every reference's sketch length)
+    [, counter shard when counter_size is set — the filter -M fused
+    path].  Returns the [5, B] int64 wire of
+    engine.filter_sketches_table_packed.
     """
     import jax.numpy as jnp
 
     from rkmh_tpu.classify.engine import argmax_filter
-    from rkmh_tpu.ops.lookup import lookup_intersection_counts
 
-    def local_step(codes, table, ref_lens):
-        hashes = multi_k_window_hashes(codes, list(ks))
-        sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
-        counts = lookup_intersection_counts(
-            sk, sk_lens, (table[0],), refs_per_shard
-        )  # [B/dp, R/tp]
-        counts = jax.lax.all_gather(counts, "tp", axis=1, tiled=True)  # [B/dp, R]
+    def finish(counts, sk_lens, ref_lens):
         best, shared, tu, keep, depth_fail, match_fail, diff_ok = argmax_filter(
             counts, min_diff, min_matches, sk_lens, ref_lens
         )
@@ -227,71 +239,23 @@ def sharded_filter_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
             tu.astype(jnp.int64), keep.astype(jnp.int64), flags,
         ])
 
-    fn = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P("dp", None), P("tp", None, None), P(None)),
+    return _sharded_counts_step(
+        mesh, ks, sketch_size, refs_per_shard, finish,
+        extra_in_specs=(P(None),),
         out_specs=P(None, "dp"),
-        check_vma=False,
+        counter_size=counter_size, min_occ=min_occ,
     )
-    return jax.jit(fn)
 
 
 def sharded_filter_depth_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
                                   refs_per_shard: int, counter_size: int,
                                   min_occ: int,
                                   min_diff: int = 0, min_matches: int = -1):
-    """filter -M SPMD step: sharded_filter_table_fn with the read-depth
-    mask fused in front (dp-sharded counter, parallel/ep.py — same
-    scheme as sharded_classify_depth_table_fn).  Matches the
-    single-device engine.sketch_batch_depth_filtered +
-    filter_sketches_table_packed pipeline bit for bit.
-
-    Inputs: codes [B, L], tables [tp, NB, width], ref_lens [R] int32
-    (replicated), counter shard ([counter_size] int32 over dp).
-    Returns the [5, B] int64 filter wire.
-    """
-    import jax.numpy as jnp
-
-    from rkmh_tpu.classify.engine import argmax_filter
-    from rkmh_tpu.ops.lookup import lookup_intersection_counts
-    from rkmh_tpu.ops.sketch import mask_by_frequency
-    from rkmh_tpu.parallel.ep import counter_get_local
-
-    ndev = mesh.shape["dp"]
-    assert counter_size % ndev == 0
-    shard_size = counter_size // ndev
-
-    def local_step(codes, table, ref_lens, cshard):
-        hashes = multi_k_window_hashes(codes, list(ks))
-        depths = counter_get_local(cshard, hashes, counter_size, shard_size)
-        hashes = mask_by_frequency(hashes, depths, min_occ)
-        sk, sk_lens = bottom_s_sketch(hashes, sketch_size)
-        counts = lookup_intersection_counts(
-            sk, sk_lens, (table[0],), refs_per_shard
-        )
-        counts = jax.lax.all_gather(counts, "tp", axis=1, tiled=True)
-        best, shared, tu, keep, depth_fail, match_fail, diff_ok = argmax_filter(
-            counts, min_diff, min_matches, sk_lens, ref_lens
-        )
-        flags = (
-            depth_fail.astype(jnp.int64)
-            | (match_fail.astype(jnp.int64) << 1)
-            | (diff_ok.astype(jnp.int64) << 2)
-        )
-        return jnp.stack([
-            best.astype(jnp.int64), shared.astype(jnp.int64),
-            tu.astype(jnp.int64), keep.astype(jnp.int64), flags,
-        ])
-
-    fn = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P("dp", None), P("tp", None, None), P(None), P("dp")),
-        out_specs=P(None, "dp"),
-        check_vma=False,
+    """filter -M fused step (see sharded_filter_table_fn)."""
+    return sharded_filter_table_fn(
+        mesh, ks, sketch_size, refs_per_shard, min_diff, min_matches,
+        counter_size=counter_size, min_occ=min_occ,
     )
-    return jax.jit(fn)
 
 
 def sharded_hpv16_fn(mesh: Mesh, ks: tuple, num_types: int, num_uniq: int):

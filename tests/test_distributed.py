@@ -134,7 +134,6 @@ def test_two_process_distributed_cli_stream(tmp_path):
     byte-identical to a plain single-process CLI run."""
     import io as _io
 
-    from rkmh_tpu.commands.dist_stream import merge_outputs
     from rkmh_tpu.commands.stream import StreamConfig, run as run_stream
 
     D = "/root/reference/data"
@@ -170,10 +169,15 @@ def test_two_process_distributed_cli_stream(tmp_path):
         errs.append(err)
     assert all(p.returncode == 0 for p in procs), "\n".join(e[-1500:] for e in errs)
 
+    # geometry comes from the .dist.json sidecar the run wrote (global
+    # batch 64: 8 global devices, dp=4, H=2 -> 64 already divides)
+    import contextlib
+
+    from rkmh_tpu.commands.dist_stream import merge_main
+
     merged = _io.StringIO()
-    # global batch is 64 (logged as 'global batch 64'): 8 global devices,
-    # dp=4, H=2 -> batch-size 64 already divides
-    assert merge_outputs([f"{out}.0", f"{out}.1"], 64, out=merged) == 0
+    with contextlib.redirect_stdout(merged):
+        assert merge_main([f"{out}.0", f"{out}.1"]) == 0
 
     single = _io.StringIO()
     assert run_stream(
@@ -196,7 +200,6 @@ def test_two_process_distributed_cli_hpv16(tmp_path):
     applies directly)."""
     import io as _io
 
-    from rkmh_tpu.commands.dist_stream import merge_outputs
     from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run as run_hpv16
 
     D = "/root/reference/data"
@@ -232,10 +235,15 @@ def test_two_process_distributed_cli_hpv16(tmp_path):
         errs.append(err)
     assert all(p.returncode == 0 for p in procs), "\n".join(e[-1500:] for e in errs)
 
+    # the run rounds the global batch up to ndev*H = 16; the .dist.json
+    # sidecar records it so the merge needs no hand-typed -b
+    import contextlib
+
+    from rkmh_tpu.commands.dist_stream import merge_main
+
     merged = _io.StringIO()
-    # the run rounds the global batch up to ndev*H = 16 (logged as
-    # 'global batch 16') — the merge stripe width is B/H = 8 lines
-    assert merge_outputs([f"{out}.0", f"{out}.1"], 16, out=merged) == 0
+    with contextlib.redirect_stdout(merged):
+        assert merge_main([f"{out}.0", f"{out}.1"]) == 0
 
     single = _io.StringIO()
     cwd = os.getcwd()
