@@ -118,6 +118,14 @@ def build_parser():
                    help="shard the reference panel over this many of the "
                         "--devices (devices = dp x tp); counts merge with "
                         "an all_gather, output stays byte-identical")
+    p.add_argument("--dist-coordinator", default="", dest="dist_coordinator",
+                   help="multi-host: coordinator host:port")
+    p.add_argument("--dist-procs", type=int, default=0, dest="dist_procs",
+                   help="multi-host: total process count")
+    p.add_argument("--dist-rank", type=int, default=-1, dest="dist_rank",
+                   help="multi-host: this process's id; each rank writes "
+                        "<out>.<rank> (+ .idx), merge with "
+                        "rkmh-tpu-dist-merge")
 
     p = sub.add_parser("hash")
     p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
@@ -298,6 +306,9 @@ def _dispatch(args) -> int:
                 resume=args.resume,
                 devices=args.devices,
                 tp=args.tp,
+                dist_coordinator=args.dist_coordinator,
+                dist_procs=args.dist_procs,
+                dist_rank=args.dist_rank,
             )
         )
     if args.command == "hash":

@@ -68,19 +68,25 @@ def _owned_block(b: int, B: int, Bl: int, rank: int) -> tuple[int, int]:
     return lo, lo + Bl
 
 
-def _iter_owned_batches(read_files, chunk_reads, N, B, Bl, rank, L):
+def _iter_owned_batches(read_files, chunk_reads, N, B, Bl, rank, L,
+                        with_records: bool = False):
     """Yield (batch_index, codes [Bl, L], lens [Bl], names [Bl]) for every
     global batch, in order — including trailing batches with no owned
     real rows (lockstep requires dispatching them anyway).  Rows this
-    host does not own are never encoded; unfilled rows are all-PAD."""
+    host does not own are never encoded; unfilled rows are all-PAD.
+    with_records adds a 5th element: per-row (name, seq, qual) tuples
+    (None for unowned rows) — the filter drain re-emits passing reads."""
     n_batches = -(-N // B) if N else 0
 
     def fresh():
-        return (np.full((Bl, L), PAD_CODE, np.uint8),
-                np.zeros(Bl, np.int32), [None] * Bl)
+        bufs = [np.full((Bl, L), PAD_CODE, np.uint8),
+                np.zeros(Bl, np.int32), [None] * Bl]
+        if with_records:
+            bufs.append([None] * Bl)
+        return bufs
 
     b = 0
-    codes_buf, lens_buf, names = fresh()
+    bufs = fresh()
     r = 0  # global row index of the chunk's first record
     for chunk in iter_packed_chunks(read_files, chunk_reads):
         ccodes = np.asarray(chunk.codes)
@@ -91,9 +97,9 @@ def _iter_owned_batches(read_files, chunk_reads, N, B, Bl, rank, L):
         while pos < n:
             g = r + pos
             while b < g // B:  # batches strictly before g are complete
-                yield b, codes_buf, lens_buf, names
+                yield (b, *bufs)
                 b += 1
-                codes_buf, lens_buf, names = fresh()
+                bufs = fresh()
             lo, hi = _owned_block(b, B, Bl, rank)
             seg_end = min(r + n, (b + 1) * B)  # chunk rows inside batch b
             s, e = max(g, lo), min(seg_end, hi)
@@ -101,15 +107,22 @@ def _iter_owned_batches(read_files, chunk_reads, N, B, Bl, rank, L):
                 if cnames is None:
                     cnames = chunk.names
                 w = ccodes.shape[1]
-                codes_buf[s - lo : e - lo, :w] = ccodes[s - r : e - r]
-                lens_buf[s - lo : e - lo] = clens[s - r : e - r]
-                names[s - lo : e - lo] = cnames[s - r : e - r]
+                bufs[0][s - lo : e - lo, :w] = ccodes[s - r : e - r]
+                bufs[1][s - lo : e - lo] = clens[s - r : e - r]
+                bufs[2][s - lo : e - lo] = cnames[s - r : e - r]
+                if with_records:
+                    seqs = chunk.seqs[s - r : e - r]
+                    quals = chunk.quals[s - r : e - r]
+                    bufs[3][s - lo : e - lo] = [
+                        (nm, sq, ql) for nm, sq, ql in
+                        zip(cnames[s - r : e - r], seqs, quals)
+                    ]
             pos = seg_end - r
         r += n
     while b < n_batches:
-        yield b, codes_buf, lens_buf, names
+        yield (b, *bufs)
         b += 1
-        codes_buf, lens_buf, names = fresh()
+        bufs = fresh()
 
 
 def _assert_process_contiguous(sharding, B: int, Bl: int, rank: int):
@@ -144,33 +157,45 @@ def put_local(local_rows, shape, sharding):
         sharding, local_rows, shape)
 
 
-def _write_meta(out_file: str, B: int, H: int):
+def _write_meta(out_file: str, B: int, H: int, fmt: str = "stream"):
     """Record the stripe geometry next to the rank files so
     rkmh-tpu-dist-merge never has to be handed the (internally rounded)
-    global batch size by hand."""
+    global batch size by hand.  fmt 'stream' = fixed one-line-per-read
+    stripes; 'filter' = variable records with per-batch counts in the
+    rank .idx sidecars."""
     import json
 
     with open(f"{out_file}.dist.json", "w") as fh:
-        json.dump({"global_batch": B, "procs": H}, fh)
+        json.dump({"global_batch": B, "procs": H, "format": fmt}, fh)
 
 
-def run_distributed(cfg, out=None) -> int:
-    """Entry from stream.run when --dist-* / the JAX_* env vars are set."""
+class _DistCtx:
+    """Shared state of a lockstep classify-family distributed run."""
+
+    __slots__ = ("H", "rank", "mesh", "codes_sharding", "tables_g",
+                 "ref_lens_g", "rps", "B", "Bl", "L", "N", "ks",
+                 "counter", "chunk_reads", "panel")
+
+
+def _setup_classify_dist(cfg, cmd: str):
+    """Init + geometry + panel + mesh/tables + input scan + optional -M
+    counter pass, shared by the stream and filter drains.  Returns a
+    _DistCtx, or None after logging the refusal reason."""
     import jax
 
     from rkmh_tpu.parallel.distributed import initialize
 
-    if cfg.in_stream:
-        log("stream --dist-* cannot combine with -i (stdin is host-local "
+    if getattr(cfg, "in_stream", False):
+        log(f"{cmd} --dist-* cannot combine with -i (stdin is host-local "
             "and multi-host batches run in lockstep)")
-        return 1
+        return None
     if cfg.resume:
-        log("stream --dist-* does not support --resume yet; rerun without it")
-        return 1
+        log(f"{cmd} --dist-* does not support --resume yet; rerun without it")
+        return None
     if not cfg.read_files:
-        log("stream --dist-* requires -f read files (re-readable on every "
+        log(f"{cmd} --dist-* requires -f read files (re-readable on every "
             "host)")
-        return 1
+        return None
 
     initialize(cfg.dist_coordinator or None,
                cfg.dist_procs or None,
@@ -182,23 +207,25 @@ def run_distributed(cfg, out=None) -> int:
     n_local = len(jax.local_devices())
     tp = cfg.tp
     if tp < 1 or ndev % tp or n_local % tp:
-        log(f"stream --dist-*: --tp {tp} must divide the {n_local} local "
+        log(f"{cmd} --dist-*: --tp {tp} must divide the {n_local} local "
             f"devices (panel all_gather must ride intra-host links)")
-        return 1
+        return None
     dp = ndev // tp
     if cfg.min_kmer_occ >= 0 and cfg.counter_size % dp:
-        log(f"stream --dist-*: -M counter size {cfg.counter_size} is not "
+        log(f"{cmd} --dist-*: -M counter size {cfg.counter_size} is not "
             f"divisible by the {dp} dp shards")
-        return 1
+        return None
 
     from rkmh_tpu.commands.common import resolve_batch_size
 
+    ctx = _DistCtx()
+    ctx.H, ctx.rank = H, rank
     B = resolve_batch_size(cfg.batch_size)
-    B = -(-B // (dp * H)) * (dp * H)  # % dp == 0 and % H == 0
-    Bl = B // H
-    chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
+    ctx.B = B = -(-B // (dp * H)) * (dp * H)  # % dp == 0 and % H == 0
+    ctx.Bl = B // H
+    ctx.chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
 
-    ks = tuple(cfg.ks) if cfg.ks else (16,)
+    ctx.ks = tuple(cfg.ks) if cfg.ks else (16,)
     if not cfg.ks:
         log("No kmer size(s) provided. Will use a default kmer size of 16.")
 
@@ -211,14 +238,17 @@ def run_distributed(cfg, out=None) -> int:
     else:
         from rkmh_tpu.commands.common import build_ref_panel_from_files
 
+        kwargs = dict(max_samples=cfg.max_samples,
+                      counter_size=cfg.counter_size)
+        if cmd == "filter":  # filter -I counts once per sample
+            kwargs["distinct_counter"] = True
         panel = build_ref_panel_from_files(
-            cfg.ref_files, ks, cfg.sketch_size,
-            max_samples=cfg.max_samples, counter_size=cfg.counter_size,
-        )
+            cfg.ref_files, ctx.ks, cfg.sketch_size, **kwargs)
+    ctx.panel = panel
     if panel.num_refs % tp:
-        log(f"stream --dist-*: --tp {tp} does not divide {panel.num_refs} "
+        log(f"{cmd} --dist-*: --tp {tp} does not divide {panel.num_refs} "
             "references")
-        return 1
+        return None
 
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -226,50 +256,87 @@ def run_distributed(cfg, out=None) -> int:
     from rkmh_tpu.parallel.mesh import build_sharded_tables, make_mesh
     from rkmh_tpu.utils import to_host
 
-    mesh = make_mesh(jax.devices(), dp=dp, tp=tp)
-    codes_sharding = NamedSharding(mesh, P("dp", None))
-    _assert_process_contiguous(NamedSharding(mesh, P("dp")), B, Bl, rank)
+    ctx.mesh = make_mesh(jax.devices(), dp=dp, tp=tp)
+    ctx.codes_sharding = NamedSharding(ctx.mesh, P("dp", None))
+    _assert_process_contiguous(
+        NamedSharding(ctx.mesh, P("dp")), B, ctx.Bl, rank)
 
     sk_np, lens_np = to_host((panel.sketches, panel.lens))
-    tables, rps = build_sharded_tables(
+    tables, ctx.rps = build_sharded_tables(
         np.asarray(sk_np), np.asarray(lens_np), tp)
-    tables_g = jax.device_put(
-        jnp.asarray(tables), NamedSharding(mesh, P("tp", None, None)))
+    ctx.tables_g = jax.device_put(
+        jnp.asarray(tables), NamedSharding(ctx.mesh, P("tp", None, None)))
+    ctx.ref_lens_g = jax.device_put(
+        np.asarray(lens_np), NamedSharding(ctx.mesh, P()))
 
-    N, maxlen = _scan_input(cfg.read_files, chunk_reads)
-    L = bucket_length(max(maxlen, 1))
-    log(f"dist rank {rank}/{H}: {N} reads, pad {L}, global batch {B} "
-        f"({Bl} rows/host), mesh dp={dp} tp={tp}")
+    ctx.N, maxlen = _scan_input(cfg.read_files, ctx.chunk_reads)
+    ctx.L = bucket_length(max(maxlen, 1))
+    log(f"dist rank {rank}/{H}: {ctx.N} reads, pad {ctx.L}, global batch "
+        f"{B} ({ctx.Bl} rows/host), mesh dp={dp} tp={tp}")
 
     # ---- -M: lockstep global counter pass (dp-sharded, spans hosts) ----
-    counter = None
+    ctx.counter = None
     if cfg.min_kmer_occ >= 0:
         from rkmh_tpu.parallel.ep import (
             sharded_counter_add_codes_fn, sharded_counter_init,
         )
 
-        counter = sharded_counter_init(mesh, cfg.counter_size)
-        add = sharded_counter_add_codes_fn(mesh, cfg.counter_size, ks)
-        lens_sharding = NamedSharding(mesh, P("dp"))
+        counter = sharded_counter_init(ctx.mesh, cfg.counter_size)
+        add = sharded_counter_add_codes_fn(ctx.mesh, cfg.counter_size, ctx.ks)
+        lens_sharding = NamedSharding(ctx.mesh, P("dp"))
         for b, codes, lens, names in _iter_owned_batches(
-                cfg.read_files, chunk_reads, N, B, Bl, rank, L):
+                cfg.read_files, ctx.chunk_reads, ctx.N, B, ctx.Bl, rank,
+                ctx.L):
             counter = add(counter,
-                          put_local(codes, (B, L), codes_sharding),
+                          put_local(codes, (B, ctx.L), ctx.codes_sharding),
                           put_local(lens, (B,), lens_sharding))
+        ctx.counter = counter
+    return ctx
 
-    from rkmh_tpu.parallel.mesh import (
-        sharded_classify_depth_table_fn, sharded_classify_table_fn,
-    )
 
-    if counter is not None:
-        fn = sharded_classify_depth_table_fn(
-            mesh, ks, cfg.sketch_size, rps, cfg.counter_size,
-            cfg.min_kmer_occ, cfg.min_diff, cfg.min_matches)
-        extra = (counter,)
-    else:
-        fn = sharded_classify_table_fn(
-            mesh, ks, cfg.sketch_size, rps, cfg.min_diff, cfg.min_matches)
-        extra = ()
+def _open_rank_out(cfg, out, ctx, fmt: str):
+    """(out stream, close flag); rank files get the geometry sidecar."""
+    if out is not None:
+        return out, False
+    if cfg.out_file:
+        path = (f"{cfg.out_file}.{ctx.rank}" if ctx.H > 1 else cfg.out_file)
+        fh = open(path, "w")
+        if ctx.H > 1:
+            _write_meta(cfg.out_file, ctx.B, ctx.H, fmt)
+        return fh, True
+    return sys.stdout, False
+
+
+def _fetch_mine_cols(res, n_rows: int, B: int, Bl: int, rank: int):
+    """This host's [n_rows, Bl] columns of an [n_rows, B] packed result
+    sharded P(None, 'dp')."""
+    cols = np.empty((n_rows, Bl), np.int64)
+    for sh in res.addressable_shards:
+        sl = sh.index[1]
+        lo = sl.start or 0
+        cols[:, lo - rank * Bl : (sl.stop or B) - rank * Bl] = \
+            np.asarray(sh.data)
+    return cols
+
+
+def run_distributed(cfg, out=None) -> int:
+    """stream --dist-*: entry from stream.run."""
+    import jax
+    import jax.numpy as jnp
+
+    ctx = _setup_classify_dist(cfg, "stream")
+    if ctx is None:
+        return 1
+    B, Bl, rank = ctx.B, ctx.Bl, ctx.rank
+
+    from rkmh_tpu.parallel.mesh import sharded_classify_table_fn
+
+    fn = sharded_classify_table_fn(
+        ctx.mesh, ctx.ks, cfg.sketch_size, ctx.rps,
+        cfg.min_diff, cfg.min_matches,
+        counter_size=cfg.counter_size if ctx.counter is not None else None,
+        min_occ=cfg.min_kmer_occ)
+    extra = (ctx.counter,) if ctx.counter is not None else ()
 
     @jax.jit
     def packed(codes, tables, *extra):
@@ -283,45 +350,27 @@ def run_distributed(cfg, out=None) -> int:
         return jnp.stack([best.astype(jnp.int64),
                           shared.astype(jnp.int64), flags])
 
-    close_out = False
-    if out is None:
-        if cfg.out_file:
-            path = f"{cfg.out_file}.{rank}" if H > 1 else cfg.out_file
-            out = open(path, "w")
-            close_out = True
-            if H > 1:
-                _write_meta(cfg.out_file, B, H)
-        else:
-            out = sys.stdout
+    out, close_out = _open_rank_out(cfg, out, ctx, "stream")
 
     from rkmh_tpu.commands.stream import format_lines_host
 
-    def fetch_mine(res):
-        """This host's [3, Bl] columns of the [3, B] packed result."""
-        cols = np.empty((3, Bl), np.int64)
-        for sh in res.addressable_shards:
-            sl = sh.index[1]
-            lo = sl.start or 0
-            cols[:, lo - rank * Bl : (sl.stop or B) - rank * Bl] = \
-                np.asarray(sh.data)
-        return cols
-
     def emit(names, res):
-        arr = fetch_mine(res)
+        arr = _fetch_mine_cols(res, 3, B, Bl, rank)
         real = [i for i, nm in enumerate(names) if nm is not None]
         if not real:
             return
         out.write(format_lines_host(
-            panel.keys, [names[i] for i in real], arr[:, real],
+            ctx.panel.keys, [names[i] for i in real], arr[:, real],
             cfg.sketch_size))
 
     pending: deque = deque()
     try:
         for b, codes, lens, names in _iter_owned_batches(
-                cfg.read_files, chunk_reads, N, B, Bl, rank, L):
+                cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L):
             pending.append(
-                (names, packed(put_local(codes, (B, L), codes_sharding),
-                               tables_g, *extra)))
+                (names, packed(put_local(codes, (B, ctx.L),
+                                         ctx.codes_sharding),
+                               ctx.tables_g, *extra)))
             if len(pending) > 3:
                 emit(*pending.popleft())
         while pending:
@@ -329,6 +378,64 @@ def run_distributed(cfg, out=None) -> int:
     finally:
         if close_out:
             out.close()
+    return 0
+
+
+def run_distributed_filter(cfg, out=None) -> int:
+    """filter --dist-*: the keep-and-re-emit drain over the cross-host
+    mesh.  filter emits a VARIABLE number of records per stripe block,
+    so each rank also writes `<out>.<rank>.idx` (one passing-record
+    count per global batch); the merge reads the counts instead of
+    assuming fixed-width stripes.
+    """
+    ctx = _setup_classify_dist(cfg, "filter")
+    if ctx is None:
+        return 1
+    B, Bl, rank = ctx.B, ctx.Bl, ctx.rank
+
+    from rkmh_tpu.parallel.mesh import sharded_filter_table_fn
+
+    sfn = sharded_filter_table_fn(
+        ctx.mesh, ctx.ks, cfg.sketch_size, ctx.rps,
+        cfg.min_diff, cfg.min_matches,
+        counter_size=cfg.counter_size if ctx.counter is not None else None,
+        min_occ=cfg.min_kmer_occ)
+    extra = (ctx.counter,) if ctx.counter is not None else ()
+
+    out, close_out = _open_rank_out(cfg, out, ctx, "filter")
+    idx_counts = []
+
+    def emit(recs, res):
+        arr = _fetch_mine_cols(res, 5, B, Bl, rank)
+        keep = arr[3]
+        wrote = 0
+        for i, rec in enumerate(recs):
+            if rec is None or not keep[i]:
+                continue
+            name, seq, qual = rec
+            qual = qual if qual is not None else b"I" * len(seq)
+            out.write(f">{name}\n{seq.decode()}\n+\n{qual.decode()}\n")
+            wrote += 1
+        idx_counts.append(wrote)
+
+    pending: deque = deque()
+    try:
+        for b, codes, lens, names, recs in _iter_owned_batches(
+                cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L,
+                with_records=True):
+            pending.append(
+                (recs, sfn(put_local(codes, (B, ctx.L), ctx.codes_sharding),
+                           ctx.tables_g, ctx.ref_lens_g, *extra)))
+            if len(pending) > 3:
+                emit(*pending.popleft())
+        while pending:
+            emit(*pending.popleft())
+    finally:
+        if close_out:
+            out.close()
+    if cfg.out_file and ctx.H > 1:
+        with open(f"{cfg.out_file}.{rank}.idx", "w") as fh:
+            fh.write("".join(f"{c}\n" for c in idx_counts))
     return 0
 
 
@@ -472,40 +579,68 @@ def merge_outputs(rank_files, batch_size: int, out=None) -> int:
             fh.close()
 
 
+def merge_outputs_filter(rank_files, lines_per_record: int = 4,
+                         out=None) -> int:
+    """Merge filter --dist-* stripes: the per-batch passing-record counts
+    live in each rank's `<file>.idx` sidecar (one int per global batch),
+    so blocks of variable size reassemble in single-process order."""
+    out = out or sys.stdout
+    fhs = [open(p) for p in rank_files]
+    idx = [open(f"{p}.idx") for p in rank_files]
+    try:
+        while True:
+            counts = [i.readline() for i in idx]
+            if not any(counts):
+                return 0
+            for fh, c in zip(fhs, counts):
+                for _ in range(int(c or 0) * lines_per_record):
+                    out.write(fh.readline())
+    finally:
+        for fh in fhs + idx:
+            fh.close()
+
+
 def merge_main(argv=None) -> int:
     """console entry: rkmh-tpu-dist-merge out.0 out.1 ...
 
-    The stripe geometry comes from the <out>.dist.json sidecar the run
-    writes next to the rank files (so the internally-rounded global
-    batch never has to be re-typed); -b overrides it explicitly.
+    The stripe geometry (and format: fixed one-line-per-read stripes vs
+    filter's variable records) comes from the <out>.dist.json sidecar
+    the run writes next to the rank files; -b overrides the global
+    batch explicitly (stream format only).
     """
     import argparse
     import json
     import re
 
     ap = argparse.ArgumentParser(
-        description="Merge rkmh-tpu stream/hpv16 --dist-* per-rank outputs "
-                    "into single-process order.")
+        description="Merge rkmh-tpu stream/filter/hpv16 --dist-* per-rank "
+                    "outputs into single-process order.")
     ap.add_argument("-b", "--batch-size", type=int, default=0,
                     help="override the GLOBAL batch size (default: read it "
                          "from the <out>.dist.json sidecar)")
     ap.add_argument("rank_files", nargs="+",
                     help="per-rank outputs in rank order (out.0 out.1 ...)")
     args = ap.parse_args(argv)
-    B = args.batch_size
-    if not B:
-        base = re.sub(r"\.\d+$", "", args.rank_files[0])
-        meta_path = f"{base}.dist.json"
-        try:
-            with open(meta_path) as fh:
-                meta = json.load(fh)
-        except OSError:
-            ap.error(f"no {meta_path} sidecar next to the rank files; "
-                     "pass -b <global batch> explicitly")
-        B = int(meta["global_batch"])
+    B, fmt = args.batch_size, "stream"
+    base = re.sub(r"\.\d+$", "", args.rank_files[0])
+    meta_path = f"{base}.dist.json"
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    except OSError:
+        meta = None
+    if meta is not None:
+        fmt = meta.get("format", "stream")
         if meta.get("procs") != len(args.rank_files):
             ap.error(f"{meta_path} records {meta.get('procs')} ranks but "
                      f"{len(args.rank_files)} files were given")
+        if not B:
+            B = int(meta["global_batch"])
+    if fmt == "filter":
+        return merge_outputs_filter(args.rank_files)
+    if not B:
+        ap.error(f"no {meta_path} sidecar next to the rank files; "
+                 "pass -b <global batch> explicitly")
     return merge_outputs(args.rank_files, B)
 
 

@@ -57,10 +57,22 @@ class FilterConfig:
     resume: bool = False            # --resume: continue an interrupted -o run
     devices: int = 0                # --devices: SPMD over N local devices
     tp: int = 1                     # --tp: panel shards (devices = dp * tp)
+    dist_coordinator: str = ""      # --dist-coordinator host:port (multi-host)
+    dist_procs: int = 0             # --dist-procs: process count (multi-host)
+    dist_rank: int = -1             # --dist-rank: this process's id
 
 
 def run(cfg: FilterConfig, out=None, stdin=None) -> int:
     import os
+
+    if (cfg.dist_procs > 1 or cfg.dist_coordinator
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        # multi-host (flags OR the standard JAX_* env vars): lockstep
+        # global-batch drain; variable-record stripes merge via the
+        # per-rank .idx sidecars (rkmh-tpu-dist-merge)
+        from rkmh_tpu.commands.dist_stream import run_distributed_filter
+
+        return run_distributed_filter(cfg, out)
 
     from rkmh_tpu.commands.recovery import Progress
 

@@ -257,3 +257,62 @@ def test_two_process_distributed_cli_hpv16(tmp_path):
     finally:
         os.chdir(cwd)
     assert merged.getvalue() == single.getvalue()
+
+
+def test_two_process_distributed_cli_filter(tmp_path):
+    """filter --dist-*: variable records per stripe (only passing reads
+    are emitted), so the merge follows the per-rank .idx sidecars; the
+    merged bytes equal a single-process CLI run."""
+    import contextlib
+    import io as _io
+
+    from rkmh_tpu.commands.dist_stream import merge_main
+    from rkmh_tpu.commands.filter_cmd import FilterConfig, run as run_filter
+
+    D = "/root/reference/data"
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out = str(tmp_path / "out.fq")
+    args = [
+        "-m", "rkmh_tpu.cli", "filter",
+        "-r", f"{D}/hpv_16.fa", "-r", f"{D}/dengue.fa",
+        "-f", f"{D}/minION25.fq",
+        "-k", "16", "-s", "400", "-N", "5", "--batch-size", "8", "--tp", "2",
+        "--dist-coordinator", f"localhost:{port}", "--dist-procs", "2",
+        "-o", out,
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *args, "--dist-rank", str(p)],
+            env={
+                "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+                "PYTHONPATH": "/root/repo",
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+                "HOME": os.environ.get("HOME", "/root"),
+            },
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for p in range(2)
+    ]
+    errs = []
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        errs.append(err)
+    assert all(p.returncode == 0 for p in procs), "\n".join(e[-1500:] for e in errs)
+
+    merged = _io.StringIO()
+    with contextlib.redirect_stdout(merged):
+        assert merge_main([f"{out}.0", f"{out}.1"]) == 0
+
+    single = _io.StringIO()
+    assert run_filter(
+        FilterConfig(ref_files=[f"{D}/hpv_16.fa", f"{D}/dengue.fa"],
+                     read_files=[f"{D}/minION25.fq"], ks=(16,),
+                     sketch_size=400, min_matches=5, batch_size=8),
+        out=single,
+    ) == 0
+    assert merged.getvalue() == single.getvalue()
+    assert merged.getvalue()  # some reads must pass for the test to bite
