@@ -189,8 +189,13 @@ def _setup_classify_dist(cfg, cmd: str):
         log(f"{cmd} --dist-* cannot combine with -i (stdin is host-local "
             "and multi-host batches run in lockstep)")
         return None
-    if cfg.resume:
-        log(f"{cmd} --dist-* does not support --resume yet; rerun without it")
+    if cfg.resume and cmd == "filter":
+        log("filter --dist-* does not support --resume yet (variable-"
+            "record stripes); rerun without it")
+        return None
+    if cfg.resume and not cfg.out_file:
+        log(f"{cmd} --dist-* --resume requires -o <file> (resume state is "
+            "each rank's partial stripe); refusing to reclassify to stdout")
         return None
     if not cfg.read_files:
         log(f"{cmd} --dist-* requires -f read files (re-readable on every "
@@ -294,17 +299,45 @@ def _setup_classify_dist(cfg, cmd: str):
     return ctx
 
 
-def _open_rank_out(cfg, out, ctx, fmt: str):
-    """(out stream, close flag); rank files get the geometry sidecar."""
+def _open_rank_out(cfg, out, rank: int, H: int, B: int, fmt: str):
+    """(out stream, close flag, resume_skip lines); rank files get the
+    geometry sidecar.  With --resume, every rank still re-dispatches
+    EVERY batch (collectives need all ranks in lockstep; the compute is
+    deterministic) but skips re-emitting the lines its stripe already
+    holds — idempotent, byte-identical to an uninterrupted run."""
+    import os
+
     if out is not None:
-        return out, False
+        return out, False, 0
     if cfg.out_file:
-        path = (f"{cfg.out_file}.{ctx.rank}" if ctx.H > 1 else cfg.out_file)
-        fh = open(path, "w")
-        if ctx.H > 1:
-            _write_meta(cfg.out_file, ctx.B, ctx.H, fmt)
-        return fh, True
-    return sys.stdout, False
+        from rkmh_tpu.commands.recovery import count_complete_lines
+
+        path = f"{cfg.out_file}.{rank}" if H > 1 else cfg.out_file
+        skip = 0
+        meta_path = f"{cfg.out_file}.dist.json"
+        if cfg.resume and H > 1 and os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            if (meta.get("global_batch"), meta.get("procs")) != (B, H):
+                raise RuntimeError(
+                    f"--resume geometry mismatch: {meta_path} records "
+                    f"global_batch={meta.get('global_batch')} procs="
+                    f"{meta.get('procs')} but this run would use "
+                    f"{B}/{H} — rerun with the original "
+                    "--batch-size/--dist-procs or without --resume")
+        if cfg.resume and os.path.exists(path):
+            skip = count_complete_lines(path)
+            log(f"dist rank {rank}: resuming, {skip} lines already "
+                f"landed in {path}")
+            fh = open(path, "a")
+        else:
+            fh = open(path, "w")
+        if H > 1:
+            _write_meta(cfg.out_file, B, H, fmt)
+        return fh, True, skip
+    return sys.stdout, False, 0
 
 
 def _fetch_mine_cols(res, n_rows: int, B: int, Bl: int, rank: int):
@@ -350,13 +383,18 @@ def run_distributed(cfg, out=None) -> int:
         return jnp.stack([best.astype(jnp.int64),
                           shared.astype(jnp.int64), flags])
 
-    out, close_out = _open_rank_out(cfg, out, ctx, "stream")
+    out, close_out, skip = _open_rank_out(cfg, out, rank, ctx.H, B, "stream")
 
     from rkmh_tpu.commands.stream import format_lines_host
 
     def emit(names, res):
+        nonlocal skip
         arr = _fetch_mine_cols(res, 3, B, Bl, rank)
         real = [i for i, nm in enumerate(names) if nm is not None]
+        if skip:  # --resume: these rows' lines already landed
+            drop = min(skip, len(real))
+            real = real[drop:]
+            skip -= drop
         if not real:
             return
         out.write(format_lines_host(
@@ -402,7 +440,7 @@ def run_distributed_filter(cfg, out=None) -> int:
         min_occ=cfg.min_kmer_occ)
     extra = (ctx.counter,) if ctx.counter is not None else ()
 
-    out, close_out = _open_rank_out(cfg, out, ctx, "filter")
+    out, close_out, _skip0 = _open_rank_out(cfg, out, rank, ctx.H, B, "filter")
     idx_counts = []
 
     def emit(recs, res):
@@ -452,8 +490,9 @@ def run_distributed_hpv16(cfg, out=None) -> int:
 
     from rkmh_tpu.parallel.distributed import initialize
 
-    if cfg.resume:
-        log("hpv16 --dist-* does not support --resume yet; rerun without it")
+    if cfg.resume and not cfg.out_file:
+        log("hpv16 --dist-* --resume requires -o <file> (resume state is "
+            "each rank's partial stripe); refusing to reclassify to stdout")
         return 1
     if cfg.min_kmer_occ > 0:
         log("hpv16 --dist-* does not shard the -M read-depth mask yet; "
@@ -503,16 +542,7 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     log(f"dist rank {rank}/{H}: {N} reads, pad {L}, global batch {B} "
         f"({Bl} rows/host), mesh dp={ndev}")
 
-    close_out = False
-    if out is None:
-        if cfg.out_file:
-            path = f"{cfg.out_file}.{rank}" if H > 1 else cfg.out_file
-            out = open(path, "w")
-            close_out = True
-            if H > 1:
-                _write_meta(cfg.out_file, B, H)
-        else:
-            out = sys.stdout
+    out, close_out, skip = _open_rank_out(cfg, out, rank, H, B, "stream")
 
     U = tb.n_lin + tb.n_sub
 
@@ -527,8 +557,13 @@ def run_distributed_hpv16(cfg, out=None) -> int:
         return rows
 
     def emit(names, lens, res):
+        nonlocal skip
         arr = fetch_mine(res)
         real = [i for i, nm in enumerate(names) if nm is not None]
+        if skip:  # --resume: these rows' lines already landed
+            drop = min(skip, len(real))
+            real = real[drop:]
+            skip -= drop
         if not real:
             return
         out.write("".join(format_read_lines(

@@ -316,3 +316,71 @@ def test_two_process_distributed_cli_filter(tmp_path):
     ) == 0
     assert merged.getvalue() == single.getvalue()
     assert merged.getvalue()  # some reads must pass for the test to bite
+
+
+def test_two_process_distributed_cli_stream_resume(tmp_path):
+    """dist --resume: after an interruption (simulated by truncating the
+    rank stripes at different points), rerunning every rank with
+    --resume appends exactly the missing lines — merged output is
+    byte-identical to an uninterrupted single-process run."""
+    import contextlib
+    import io as _io
+
+    from rkmh_tpu.commands.dist_stream import merge_main
+    from rkmh_tpu.commands.stream import StreamConfig, run as run_stream
+
+    D = "/root/reference/data"
+    out = str(tmp_path / "out.rk")
+    args = [
+        "-m", "rkmh_tpu.cli", "stream",
+        "-r", f"{D}/zika.refs.fa", "-f", f"{D}/z1.fq",
+        "-k", "12", "-s", "1000", "--batch-size", "64", "--tp", "2",
+        "--dist-procs", "2", "-o", out,
+    ]
+    env = {
+        "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+        "PYTHONPATH": "/root/repo",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "HOME": os.environ.get("HOME", "/root"),
+    }
+
+    def launch(extra):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, *args, "--dist-coordinator",
+                 f"localhost:{port}", "--dist-rank", str(p), *extra],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True)
+            for p in range(2)
+        ]
+        errs = [p.communicate(timeout=600)[1] for p in procs]
+        assert all(p.returncode == 0 for p in procs), \
+            "\n".join(e[-1500:] for e in errs)
+
+    launch([])
+    # interrupt: chop the two stripes at different (line-exact) points,
+    # one of them mid-line to exercise torn-tail truncation
+    for p, keep in ((0, 100), (1, 271)):
+        with open(f"{out}.{p}") as fh:
+            lines = fh.readlines()
+        torn = lines[keep][: len(lines[keep]) // 2] if p == 1 else ""
+        with open(f"{out}.{p}", "w") as fh:
+            fh.writelines(lines[:keep])
+            fh.write(torn)
+    launch(["--resume"])
+
+    merged = _io.StringIO()
+    with contextlib.redirect_stdout(merged):
+        assert merge_main([f"{out}.0", f"{out}.1"]) == 0
+    single = _io.StringIO()
+    assert run_stream(
+        StreamConfig(ref_files=[f"{D}/zika.refs.fa"],
+                     read_files=[f"{D}/z1.fq"], ks=(12,), sketch_size=1000,
+                     batch_size=64),
+        out=single,
+    ) == 0
+    assert merged.getvalue() == single.getvalue()
