@@ -189,10 +189,6 @@ def _setup_classify_dist(cfg, cmd: str):
         log(f"{cmd} --dist-* cannot combine with -i (stdin is host-local "
             "and multi-host batches run in lockstep)")
         return None
-    if cfg.resume and cmd == "filter":
-        log("filter --dist-* does not support --resume yet (variable-"
-            "record stripes); rerun without it")
-        return None
     if cfg.resume and not cfg.out_file:
         log(f"{cmd} --dist-* --resume requires -o <file> (resume state is "
             "each rank's partial stripe); refusing to reclassify to stdout")
@@ -419,13 +415,33 @@ def run_distributed(cfg, out=None) -> int:
     return 0
 
 
+def _truncate_to_lines(path: str, n_lines: int):
+    """Truncate a text file to exactly its first n_lines lines."""
+    with open(path, "r+b") as fh:
+        off = 0
+        for _ in range(n_lines):
+            line = fh.readline()
+            if not line:
+                break
+            off += len(line)
+        fh.truncate(off)
+
+
 def run_distributed_filter(cfg, out=None) -> int:
     """filter --dist-*: the keep-and-re-emit drain over the cross-host
     mesh.  filter emits a VARIABLE number of records per stripe block,
     so each rank also writes `<out>.<rank>.idx` (one passing-record
-    count per global batch); the merge reads the counts instead of
-    assuming fixed-width stripes.
+    count per global batch, flushed after the records it covers); the
+    merge reads the counts instead of assuming fixed-width stripes.
+
+    --resume: the idx sidecar doubles as the checkpoint — a rank
+    truncates its stripe to the records the (torn-tail-truncated) idx
+    covers, re-dispatches every batch (lockstep), and skips re-emitting
+    the covered ones.  Records are flushed before their idx line, so
+    the idx never points past the stripe.
     """
+    import os
+
     ctx = _setup_classify_dist(cfg, "filter")
     if ctx is None:
         return 1
@@ -440,10 +456,37 @@ def run_distributed_filter(cfg, out=None) -> int:
         min_occ=cfg.min_kmer_occ)
     extra = (ctx.counter,) if ctx.counter is not None else ()
 
+    # --resume pre-step: reconcile stripe + idx BEFORE _open_rank_out
+    # opens the stripe for append
+    resume_batches = 0
+    path = (f"{cfg.out_file}.{rank}" if ctx.H > 1 else cfg.out_file) \
+        if cfg.out_file else None
+    idx_path = f"{path}.idx" if path else None
+    if cfg.resume and path and os.path.exists(path):
+        from rkmh_tpu.commands.recovery import count_complete_lines
+
+        if idx_path and os.path.exists(idx_path):
+            count_complete_lines(idx_path)  # truncate a torn idx tail
+            with open(idx_path) as fh:
+                counts = [int(x) for x in fh.read().split()]
+            resume_batches = len(counts)
+            _truncate_to_lines(path, sum(counts) * 4)
+            log(f"dist rank {rank}: resuming, {resume_batches} batches "
+                f"({sum(counts)} records) already landed in {path}")
+        else:
+            log(f"dist rank {rank}: --resume without {idx_path}; "
+                "restarting this rank's stripe from scratch")
+            os.remove(path)
+
     out, close_out, _skip0 = _open_rank_out(cfg, out, rank, ctx.H, B, "filter")
-    idx_counts = []
+    idx_fh = open(idx_path, "a" if resume_batches else "w") if idx_path else None
+    batches_done = 0
 
     def emit(recs, res):
+        nonlocal batches_done
+        if batches_done < resume_batches:
+            batches_done += 1  # --resume: this batch's records already landed
+            return
         arr = _fetch_mine_cols(res, 5, B, Bl, rank)
         keep = arr[3]
         wrote = 0
@@ -454,7 +497,11 @@ def run_distributed_filter(cfg, out=None) -> int:
             qual = qual if qual is not None else b"I" * len(seq)
             out.write(f">{name}\n{seq.decode()}\n+\n{qual.decode()}\n")
             wrote += 1
-        idx_counts.append(wrote)
+        batches_done += 1
+        if idx_fh is not None:
+            out.flush()  # the idx line must never point past the stripe
+            idx_fh.write(f"{wrote}\n")
+            idx_fh.flush()
 
     pending: deque = deque()
     try:
@@ -469,11 +516,10 @@ def run_distributed_filter(cfg, out=None) -> int:
         while pending:
             emit(*pending.popleft())
     finally:
+        if idx_fh is not None:
+            idx_fh.close()
         if close_out:
             out.close()
-    if cfg.out_file and ctx.H > 1:
-        with open(f"{cfg.out_file}.{rank}.idx", "w") as fh:
-            fh.write("".join(f"{c}\n" for c in idx_counts))
     return 0
 
 

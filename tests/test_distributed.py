@@ -384,3 +384,41 @@ def test_two_process_distributed_cli_stream_resume(tmp_path):
         out=single,
     ) == 0
     assert merged.getvalue() == single.getvalue()
+
+
+def test_distributed_filter_resume_idx_checkpoint(tmp_path):
+    """filter dist --resume: the per-batch .idx sidecar is the
+    checkpoint — the stripe truncates to the records the idx covers
+    (dropping a torn tail past it) and resumed output is byte-identical
+    to an uninterrupted run.  Single process over the 8-device mesh
+    (the multi-rank mechanics are covered by the CLI tests)."""
+    import io as _io
+
+    from rkmh_tpu.commands.dist_stream import run_distributed_filter
+    from rkmh_tpu.commands.filter_cmd import FilterConfig, run as run_filter
+
+    D = "/root/reference/data"
+    base = dict(ref_files=[f"{D}/hpv_16.fa", f"{D}/dengue.fa"],
+                read_files=[f"{D}/minION25.fq"], ks=(16,), sketch_size=400,
+                min_matches=5, batch_size=4, tp=2)
+    single = _io.StringIO()
+    assert run_filter(FilterConfig(**base), out=single) == 0
+
+    p = str(tmp_path / "out.fq")
+    assert run_distributed_filter(FilterConfig(**base, out_file=p)) == 0
+    assert open(p).read() == single.getvalue()
+
+    with open(f"{p}.idx") as fh:
+        idx = fh.readlines()
+    with open(f"{p}.idx", "w") as fh:
+        fh.writelines(idx[:3])
+    kept = sum(int(x) for x in idx[:3]) * 4
+    with open(p) as fh:
+        lines = fh.readlines()
+    with open(p, "w") as fh:
+        fh.writelines(lines[: kept + 2])  # torn tail past the idx
+
+    assert run_distributed_filter(
+        FilterConfig(**base, out_file=p, resume=True)) == 0
+    assert open(p).read() == single.getvalue()
+    assert len(open(f"{p}.idx").readlines()) == len(idx)
