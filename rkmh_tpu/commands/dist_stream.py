@@ -540,10 +540,6 @@ def run_distributed_hpv16(cfg, out=None) -> int:
         log("hpv16 --dist-* --resume requires -o <file> (resume state is "
             "each rank's partial stripe); refusing to reclassify to stdout")
         return 1
-    if cfg.min_kmer_occ > 0:
-        log("hpv16 --dist-* does not shard the -M read-depth mask yet; "
-            "rerun without -M or single-host")
-        return 1
     if not cfg.read_files:
         log("hpv16 --dist-* requires -f read files (re-readable on every "
             "host)")
@@ -555,6 +551,10 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     H = jax.process_count()
     rank = jax.process_index()
     ndev = jax.device_count()
+    if cfg.min_kmer_occ > 0 and cfg.counter_size % ndev:
+        log(f"hpv16 --dist-*: -M counter size {cfg.counter_size} is not "
+            f"divisible by the {ndev} dp shards")
+        return 1
 
     from rkmh_tpu.commands.common import resolve_batch_size
 
@@ -579,7 +579,6 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     mesh = make_mesh(jax.devices(), dp=ndev, tp=1)
     codes_sharding = NamedSharding(mesh, P("dp", None))
     _assert_process_contiguous(NamedSharding(mesh, P("dp")), B, Bl, rank)
-    fn = sharded_hpv16_fn(mesh, ks, len(tb.type_names), tb.n_lin + tb.n_sub)
     type_g = jax.device_put(tb.type_table, NamedSharding(mesh, P()))
     uniq_g = jax.device_put(tb.uniq_table, NamedSharding(mesh, P()))
 
@@ -587,6 +586,29 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     L = bucket_length(max(maxlen, 1))
     log(f"dist rank {rank}/{H}: {N} reads, pad {L}, global batch {B} "
         f"({Bl} rows/host), mesh dp={ndev}")
+
+    # -M: lockstep global counter pass (dp-sharded, spans hosts;
+    # rkmh.cpp:2513-2530 counts every read k-mer occurrence)
+    extra = ()
+    if cfg.min_kmer_occ > 0:
+        from rkmh_tpu.parallel.ep import (
+            sharded_counter_add_codes_fn, sharded_counter_init,
+        )
+
+        counter = sharded_counter_init(mesh, cfg.counter_size)
+        add = sharded_counter_add_codes_fn(mesh, cfg.counter_size, ks)
+        lens_sharding = NamedSharding(mesh, P("dp"))
+        for b, codes, lens, names in _iter_owned_batches(
+                cfg.read_files, chunk_reads, N, B, Bl, rank, L):
+            counter = add(counter,
+                          put_local(codes, (B, L), codes_sharding),
+                          put_local(lens, (B,), lens_sharding))
+        extra = (counter,)
+
+    fn = sharded_hpv16_fn(
+        mesh, ks, len(tb.type_names), tb.n_lin + tb.n_sub,
+        counter_size=cfg.counter_size if extra else None,
+        min_occ=cfg.min_kmer_occ)
 
     out, close_out, skip = _open_rank_out(cfg, out, rank, H, B, "stream")
 
@@ -622,7 +644,7 @@ def run_distributed_hpv16(cfg, out=None) -> int:
             pending.append(
                 (names, lens.copy(),
                  fn(put_local(codes, (B, L), codes_sharding),
-                    type_g, uniq_g)))
+                    type_g, uniq_g, *extra)))
             if len(pending) > 3:
                 emit(*pending.popleft())
         while pending:

@@ -319,20 +319,63 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
 
     chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
 
+    # --devices decision first: with -M the counter itself shards over
+    # the dp axis (parallel/ep.py), so the counting pass needs the mesh
+    use_sharded = False
+    mesh = None
+    if cfg.devices > 1:
+        reason = None
+        n_vis = len(jax.devices())
+        if cfg.devices > n_vis:
+            reason = f"--devices {cfg.devices} > {n_vis} visible device(s)"
+        elif cfg.min_kmer_occ > 0 and cfg.counter_size % cfg.devices:
+            reason = (f"-M counter size {cfg.counter_size} is not divisible "
+                      f"by the {cfg.devices} dp shards")
+        if reason is not None:
+            log(f"hpv16 --devices ignored ({reason}); running single-device")
+        else:
+            from rkmh_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(jax.devices()[: cfg.devices],
+                             dp=cfg.devices, tp=1)
+            use_sharded = True
+
+    def _pad_dp(codes, lens):
+        pad = (-codes.shape[0]) % cfg.devices
+        if pad:
+            codes = np.concatenate([
+                codes, np.full((pad, codes.shape[1]), 4, dtype=codes.dtype)])
+            lens = np.concatenate([np.asarray(lens, dtype=np.int32),
+                                   np.zeros(pad, np.int32)])
+        return codes, np.asarray(lens, dtype=np.int32)
+
     classify_chunks = None
     counter_table = None
+    sharded_counter = None
     if cfg.min_kmer_occ > 0:
         # -M: every read k-mer occurrence into the big lossy counter
         # (rkmh.cpp:2513-2530; size 8e8); chunked first pass, plain files
         # re-read for the classify pass (constant memory) and stdin/FIFO
         # inputs buffered so the second pass still sees every read
-        hc = HashCounter(cfg.counter_size)
         pass1, pass2 = two_pass_chunks(cfg.read_files, chunk_reads)
-        for chunk in pass1:
-            for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
-                hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
-                hc.add(hashes, mask)
-        counter_table = hc.table
+        if use_sharded:
+            from rkmh_tpu.parallel.ep import (
+                sharded_counter_add_codes_fn, sharded_counter_init,
+            )
+
+            sharded_counter = sharded_counter_init(mesh, cfg.counter_size)
+            add = sharded_counter_add_codes_fn(mesh, cfg.counter_size, ks)
+            for chunk in pass1:
+                for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
+                    codes, lens = _pad_dp(codes, lens)
+                    sharded_counter = add(sharded_counter, codes, lens)
+        else:
+            hc = HashCounter(cfg.counter_size)
+            for chunk in pass1:
+                for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
+                    hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
+                    hc.add(hashes, mask)
+            counter_table = hc.table
         classify_chunks = pass2()
     if classify_chunks is None:
         classify_chunks = iter_packed_chunks(cfg.read_files, chunk_reads)
@@ -360,42 +403,36 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
 
     # --devices N: dp-shard the read batch over N local devices with the
     # set tables replicated (they are small relative to HBM; the type
-    # panel dominates and broadcasts once).  Bit-identical to the
-    # single-device step (__graft_entry__.dryrun_multichip asserts it);
-    # the -M counter mask is not sharded, so it falls back.
+    # panel dominates and broadcasts once) and, with -M, the depth
+    # counter dp-sharded.  Bit-identical to the single-device step
+    # (__graft_entry__.dryrun_multichip asserts it).
     sharded_step = None
-    if cfg.devices > 1:
-        reason = None
-        n_vis = len(jax.devices())
-        if cfg.devices > n_vis:
-            reason = f"--devices {cfg.devices} > {n_vis} visible device(s)"
-        elif cfg.min_kmer_occ > 0:
-            reason = "-M depth masking is not sharded yet"
-        if reason is not None:
-            log(f"hpv16 --devices ignored ({reason}); running single-device")
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+    if use_sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from rkmh_tpu.parallel.mesh import make_mesh, sharded_hpv16_fn
+        from rkmh_tpu.parallel.mesh import sharded_hpv16_fn
 
-            mesh = make_mesh(jax.devices()[: cfg.devices],
-                             dp=cfg.devices, tp=1)
-            hstep = sharded_hpv16_fn(mesh, ks, len(type_names), n_lin + n_sub)
-            # replicate the set tables on the mesh ONCE (the type table is
-            # the big one); unplaced they would re-broadcast every batch
-            repl = NamedSharding(mesh, P())
-            type_g = jax.device_put(type_table, repl)
-            uniq_g = jax.device_put(uniq_table, repl)
+        hstep = sharded_hpv16_fn(
+            mesh, ks, len(type_names), n_lin + n_sub,
+            counter_size=(cfg.counter_size if sharded_counter is not None
+                          else None),
+            min_occ=cfg.min_kmer_occ)
+        extra = (sharded_counter,) if sharded_counter is not None else ()
+        # replicate the set tables on the mesh ONCE (the type table is
+        # the big one); unplaced they would re-broadcast every batch
+        repl = NamedSharding(mesh, P())
+        type_g = jax.device_put(type_table, repl)
+        uniq_g = jax.device_put(uniq_table, repl)
 
-            def sharded_step(codes):
-                pad = (-codes.shape[0]) % cfg.devices
-                if pad:  # pad rows are all-invalid reads; fmt_rows only
-                    # walks the real `rows`, so they fall off unread
-                    codes = np.concatenate([
-                        codes,
-                        np.full((pad, codes.shape[1]), 4, dtype=codes.dtype),
-                    ])
-                return hstep(codes, type_g, uniq_g)
+        def sharded_step(codes):
+            pad = (-codes.shape[0]) % cfg.devices
+            if pad:  # pad rows are all-invalid reads; fmt_rows only
+                # walks the real `rows`, so they fall off unread
+                codes = np.concatenate([
+                    codes,
+                    np.full((pad, codes.shape[1]), 4, dtype=codes.dtype),
+                ])
+            return hstep(codes, type_g, uniq_g, *extra)
 
     def device_step(codes):
         if sharded_step is not None:

@@ -258,17 +258,35 @@ def sharded_filter_depth_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
     )
 
 
-def sharded_hpv16_fn(mesh: Mesh, ks: tuple, num_types: int, num_uniq: int):
+def sharded_hpv16_fn(mesh: Mesh, ks: tuple, num_types: int, num_uniq: int,
+                     counter_size: int | None = None, min_occ: int = 0):
     """SPMD hpv16 read step: dp-sharded reads x replicated set tables
     (type panel + lineage/sublineage unique-kmer panel).  Matches
     engine.hpv16_batch bit for bit; reads are embarrassingly parallel so
-    no collective is needed in the hot loop (the tables broadcast once).
+    no collective is needed in the hot loop (the tables broadcast once)
+    — except with -M, where the counter shard (last input, dp-sharded,
+    parallel/ep.py) masks read hashes below min_occ depth
+    (mask_by_frequency, rkmh.cpp:2663) before the set intersections.
     """
     from rkmh_tpu.ops.lookup import lookup_intersection_counts
     import jax.numpy as jnp
 
-    def local_step(codes, type_table, uniq_table):
+    if counter_size is not None:
+        from rkmh_tpu.ops.sketch import mask_by_frequency
+        from rkmh_tpu.parallel.ep import counter_get_local
+
+        ndev = mesh.shape["dp"]
+        if counter_size % ndev:
+            raise ValueError(
+                f"counter size {counter_size} not divisible by dp {ndev}")
+        shard_size = counter_size // ndev
+
+    def local_step(codes, type_table, uniq_table, *extra):
         hashes = multi_k_window_hashes(codes, list(ks))
+        if counter_size is not None:
+            depths = counter_get_local(
+                extra[0], hashes, counter_size, shard_size)
+            hashes = mask_by_frequency(hashes, depths, min_occ)
         full, lens = bottom_s_sketch(hashes, hashes.shape[-1])
         tc = lookup_intersection_counts(full, lens, (type_table,), num_types)
         uc = lookup_intersection_counts(full, lens, (uniq_table,), num_uniq)
@@ -281,10 +299,13 @@ def sharded_hpv16_fn(mesh: Mesh, ks: tuple, num_types: int, num_uniq: int):
             axis=1,
         )
 
+    in_specs = (P("dp", None), P(None, None), P(None, None))
+    if counter_size is not None:
+        in_specs = in_specs + (P("dp"),)
     fn = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P("dp", None), P(None, None), P(None, None)),
+        in_specs=in_specs,
         out_specs=P("dp", None),
         check_vma=False,
     )

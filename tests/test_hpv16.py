@@ -335,3 +335,39 @@ def test_hpv16_devices_parity(refpath, tmp_path, monkeypatch):
     fallback = io.StringIO()
     assert run(Hpv16Config(**base, devices=64), out=fallback) == 0
     assert fallback.getvalue() == single.getvalue()
+
+
+def test_hpv16_devices_min_kmer_occ_parity(refpath, tmp_path, monkeypatch):
+    """--devices with -M: the read-depth counter shards over dp and the
+    mask fuses into the SPMD step — byte-identical to single-device."""
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
+
+    td, types, subs, reads = refpath
+    monkeypatch.chdir(tmp_path)
+    base = dict(read_files=[str(td / "reads.fq")], refpath=str(td),
+                ks=(16,), batch_size=8, min_kmer_occ=2, counter_size=4096)
+    single = io.StringIO()
+    assert run(Hpv16Config(**base), out=single) == 0
+    sharded = io.StringIO()
+    assert run(Hpv16Config(**base, devices=4), out=sharded) == 0
+    assert sharded.getvalue() == single.getvalue()
+
+
+def test_hpv16_dist_drain_matches_single(refpath, tmp_path, monkeypatch):
+    """The hpv16 lockstep distributed drain (single process over the
+    8-device mesh — the multi-rank mechanics are covered by the CLI test
+    in test_distributed.py) is byte-identical to the normal driver,
+    with and without -M."""
+    from rkmh_tpu.commands.dist_stream import run_distributed_hpv16
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
+
+    td, types, subs, reads = refpath
+    monkeypatch.chdir(tmp_path)
+    for extra in ({}, {"min_kmer_occ": 2, "counter_size": 4096}):
+        base = dict(read_files=[str(td / "reads.fq")], refpath=str(td),
+                    ks=(16,), batch_size=8, **extra)
+        single = io.StringIO()
+        assert run(Hpv16Config(**base), out=single) == 0
+        dist = io.StringIO()
+        assert run_distributed_hpv16(Hpv16Config(**base), out=dist) == 0
+        assert dist.getvalue() == single.getvalue(), extra
