@@ -164,9 +164,35 @@ def _write_meta(out_file: str, B: int, H: int, fmt: str = "stream"):
     stripes; 'filter' = variable records with per-batch counts in the
     rank .idx sidecars."""
     import json
+    import os
 
-    with open(f"{out_file}.dist.json", "w") as fh:
+    path = f"{out_file}.dist.json"
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
         json.dump({"global_batch": B, "procs": H, "format": fmt}, fh)
+    os.replace(tmp, path)  # atomic: a killed rank never leaves torn JSON
+
+
+def _dist_counter_pass(mesh, cfg, ks, chunk_reads, N, B, Bl, rank, L,
+                       codes_sharding):
+    """-M lockstep global counter pass (dp-sharded, spans hosts;
+    rkmh counts every read k-mer occurrence before classifying).
+    Shared by the stream/filter setup and the hpv16 drain."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rkmh_tpu.parallel.ep import (
+        sharded_counter_add_codes_fn, sharded_counter_init,
+    )
+
+    counter = sharded_counter_init(mesh, cfg.counter_size)
+    add = sharded_counter_add_codes_fn(mesh, cfg.counter_size, ks)
+    lens_sharding = NamedSharding(mesh, P("dp"))
+    for b, codes, lens, names in _iter_owned_batches(
+            cfg.read_files, chunk_reads, N, B, Bl, rank, L):
+        counter = add(counter,
+                      put_local(codes, (B, L), codes_sharding),
+                      put_local(lens, (B,), lens_sharding))
+    return counter
 
 
 class _DistCtx:
@@ -275,24 +301,48 @@ def _setup_classify_dist(cfg, cmd: str):
     log(f"dist rank {rank}/{H}: {ctx.N} reads, pad {ctx.L}, global batch "
         f"{B} ({ctx.Bl} rows/host), mesh dp={dp} tp={tp}")
 
-    # ---- -M: lockstep global counter pass (dp-sharded, spans hosts) ----
     ctx.counter = None
     if cfg.min_kmer_occ >= 0:
-        from rkmh_tpu.parallel.ep import (
-            sharded_counter_add_codes_fn, sharded_counter_init,
-        )
-
-        counter = sharded_counter_init(ctx.mesh, cfg.counter_size)
-        add = sharded_counter_add_codes_fn(ctx.mesh, cfg.counter_size, ctx.ks)
-        lens_sharding = NamedSharding(ctx.mesh, P("dp"))
-        for b, codes, lens, names in _iter_owned_batches(
-                cfg.read_files, ctx.chunk_reads, ctx.N, B, ctx.Bl, rank,
-                ctx.L):
-            counter = add(counter,
-                          put_local(codes, (B, ctx.L), ctx.codes_sharding),
-                          put_local(lens, (B,), lens_sharding))
-        ctx.counter = counter
+        ctx.counter = _dist_counter_pass(
+            ctx.mesh, cfg, ctx.ks, ctx.chunk_reads, ctx.N, B, ctx.Bl,
+            rank, ctx.L, ctx.codes_sharding)
     return ctx
+
+
+def _load_meta(out_file: str):
+    """The .dist.json geometry sidecar, or None (absent/corrupt —
+    callers decide whether that is fatal)."""
+    import json
+
+    try:
+        with open(f"{out_file}.dist.json") as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _check_resume_geometry(cfg, B: int, H: int, stripe_exists: bool):
+    """--resume only makes sense against stripes written with the SAME
+    geometry — a changed global batch or rank count silently remaps read
+    ownership, so a missing/corrupt/mismatched sidecar is fatal when a
+    stripe exists (the skip counts would drop or duplicate the wrong
+    reads).  No stripe and no sidecar = a fresh start, which --resume
+    permits (matching the single-host commands)."""
+    meta = _load_meta(cfg.out_file)
+    if meta is None:
+        if stripe_exists:
+            raise RuntimeError(
+                f"--resume needs the {cfg.out_file}.dist.json sidecar of "
+                "the interrupted run to verify the stripe geometry, and "
+                "it is missing or unreadable — rerun without --resume")
+        return
+    if (meta.get("global_batch"), meta.get("procs")) != (B, H):
+        raise RuntimeError(
+            f"--resume geometry mismatch: {cfg.out_file}.dist.json records "
+            f"global_batch={meta.get('global_batch')} procs="
+            f"{meta.get('procs')} but this run would use {B}/{H} — rerun "
+            "with the original --batch-size/--dist-procs or without "
+            "--resume")
 
 
 def _open_rank_out(cfg, out, rank: int, H: int, B: int, fmt: str):
@@ -300,7 +350,9 @@ def _open_rank_out(cfg, out, rank: int, H: int, B: int, fmt: str):
     geometry sidecar.  With --resume, every rank still re-dispatches
     EVERY batch (collectives need all ranks in lockstep; the compute is
     deterministic) but skips re-emitting the lines its stripe already
-    holds — idempotent, byte-identical to an uninterrupted run."""
+    holds — idempotent, byte-identical to an uninterrupted run.  The
+    filter drain manages its own skip via its .idx checkpoint, so its
+    resume_skip is always 0 (no wasted stripe scan here)."""
     import os
 
     if out is not None:
@@ -310,28 +362,18 @@ def _open_rank_out(cfg, out, rank: int, H: int, B: int, fmt: str):
 
         path = f"{cfg.out_file}.{rank}" if H > 1 else cfg.out_file
         skip = 0
-        meta_path = f"{cfg.out_file}.dist.json"
-        if cfg.resume and H > 1 and os.path.exists(meta_path):
-            import json
-
-            with open(meta_path) as fh:
-                meta = json.load(fh)
-            if (meta.get("global_batch"), meta.get("procs")) != (B, H):
-                raise RuntimeError(
-                    f"--resume geometry mismatch: {meta_path} records "
-                    f"global_batch={meta.get('global_batch')} procs="
-                    f"{meta.get('procs')} but this run would use "
-                    f"{B}/{H} — rerun with the original "
-                    "--batch-size/--dist-procs or without --resume")
+        if cfg.resume:
+            _check_resume_geometry(cfg, B, H, os.path.exists(path))
         if cfg.resume and os.path.exists(path):
-            skip = count_complete_lines(path)
-            log(f"dist rank {rank}: resuming, {skip} lines already "
-                f"landed in {path}")
+            if fmt != "filter":
+                skip = count_complete_lines(path)
+                log(f"dist rank {rank}: resuming, {skip} lines already "
+                    f"landed in {path}")
             fh = open(path, "a")
         else:
             fh = open(path, "w")
-        if H > 1:
-            _write_meta(cfg.out_file, B, H, fmt)
+        # (re)write after validation — idempotent, atomic
+        _write_meta(cfg.out_file, B, H, fmt)
         return fh, True, skip
     return sys.stdout, False, 0
 
@@ -462,6 +504,10 @@ def run_distributed_filter(cfg, out=None) -> int:
     path = (f"{cfg.out_file}.{rank}" if ctx.H > 1 else cfg.out_file) \
         if cfg.out_file else None
     idx_path = f"{path}.idx" if path else None
+    if cfg.resume and path:
+        # geometry must hold BEFORE touching the stripe — the idx counts
+        # only mean anything under the original batch/rank layout
+        _check_resume_geometry(cfg, B, ctx.H, os.path.exists(path))
     if cfg.resume and path and os.path.exists(path):
         from rkmh_tpu.commands.recovery import count_complete_lines
 
@@ -587,23 +633,12 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     log(f"dist rank {rank}/{H}: {N} reads, pad {L}, global batch {B} "
         f"({Bl} rows/host), mesh dp={ndev}")
 
-    # -M: lockstep global counter pass (dp-sharded, spans hosts;
-    # rkmh.cpp:2513-2530 counts every read k-mer occurrence)
+    # -M: rkmh.cpp:2513-2530 counts every read k-mer occurrence
     extra = ()
     if cfg.min_kmer_occ > 0:
-        from rkmh_tpu.parallel.ep import (
-            sharded_counter_add_codes_fn, sharded_counter_init,
-        )
-
-        counter = sharded_counter_init(mesh, cfg.counter_size)
-        add = sharded_counter_add_codes_fn(mesh, cfg.counter_size, ks)
-        lens_sharding = NamedSharding(mesh, P("dp"))
-        for b, codes, lens, names in _iter_owned_batches(
-                cfg.read_files, chunk_reads, N, B, Bl, rank, L):
-            counter = add(counter,
-                          put_local(codes, (B, L), codes_sharding),
-                          put_local(lens, (B,), lens_sharding))
-        extra = (counter,)
+        extra = (_dist_counter_pass(
+            mesh, cfg, ks, chunk_reads, N, B, Bl, rank, L,
+            codes_sharding),)
 
     fn = sharded_hpv16_fn(
         mesh, ks, len(tb.type_names), tb.n_lin + tb.n_sub,
@@ -691,13 +726,24 @@ def merge_outputs_filter(rank_files, lines_per_record: int = 4,
     fhs = [open(p) for p in rank_files]
     idx = [open(f"{p}.idx") for p in rank_files]
     try:
+        batch = 0
         while True:
             counts = [i.readline() for i in idx]
             if not any(counts):
                 return 0
+            if not all(counts):
+                # one rank's idx ended early: its run was interrupted
+                # before its peers' — refusing beats emitting a merge
+                # that looks complete but silently misses its blocks
+                short = [rank_files[j] for j, c in enumerate(counts) if not c]
+                raise RuntimeError(
+                    f"rank idx files disagree at batch {batch}: "
+                    f"{short} ended early — the interrupted rank(s) must "
+                    "be rerun with --resume before merging")
             for fh, c in zip(fhs, counts):
-                for _ in range(int(c or 0) * lines_per_record):
+                for _ in range(int(c) * lines_per_record):
                     out.write(fh.readline())
+            batch += 1
     finally:
         for fh in fhs + idx:
             fh.close()
@@ -712,7 +758,6 @@ def merge_main(argv=None) -> int:
     batch explicitly (stream format only).
     """
     import argparse
-    import json
     import re
 
     ap = argparse.ArgumentParser(
@@ -727,18 +772,22 @@ def merge_main(argv=None) -> int:
     B, fmt = args.batch_size, "stream"
     base = re.sub(r"\.\d+$", "", args.rank_files[0])
     meta_path = f"{base}.dist.json"
-    try:
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-    except OSError:
-        meta = None
-    if meta is not None:
+    meta = _load_meta(base)  # None on absent OR corrupt sidecar
+    if meta is not None and B:
+        # explicit -b bypasses the sidecar geometry but keeps its format
+        fmt = meta.get("format", "stream")
+    elif meta is not None:
         fmt = meta.get("format", "stream")
         if meta.get("procs") != len(args.rank_files):
             ap.error(f"{meta_path} records {meta.get('procs')} ranks but "
                      f"{len(args.rank_files)} files were given")
         if not B:
             B = int(meta["global_batch"])
+    import os
+
+    if meta is None and all(os.path.exists(f"{p}.idx")
+                            for p in args.rank_files):
+        fmt = "filter"  # sidecar lost, but the idx files identify the format
     if fmt == "filter":
         return merge_outputs_filter(args.rank_files)
     if not B:

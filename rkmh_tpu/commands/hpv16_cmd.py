@@ -340,14 +340,17 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
                              dp=cfg.devices, tp=1)
             use_sharded = True
 
-    def _pad_dp(codes, lens):
+    def _pad_dp(codes, lens=None):
         pad = (-codes.shape[0]) % cfg.devices
         if pad:
             codes = np.concatenate([
                 codes, np.full((pad, codes.shape[1]), 4, dtype=codes.dtype)])
-            lens = np.concatenate([np.asarray(lens, dtype=np.int32),
-                                   np.zeros(pad, np.int32)])
-        return codes, np.asarray(lens, dtype=np.int32)
+        if lens is None:
+            return codes, None
+        lens = np.asarray(lens, dtype=np.int32)
+        if pad:
+            lens = np.concatenate([lens, np.zeros(pad, np.int32)])
+        return codes, lens
 
     classify_chunks = None
     counter_table = None
@@ -425,13 +428,9 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
         uniq_g = jax.device_put(uniq_table, repl)
 
         def sharded_step(codes):
-            pad = (-codes.shape[0]) % cfg.devices
-            if pad:  # pad rows are all-invalid reads; fmt_rows only
-                # walks the real `rows`, so they fall off unread
-                codes = np.concatenate([
-                    codes,
-                    np.full((pad, codes.shape[1]), 4, dtype=codes.dtype),
-                ])
+            # pad rows are all-invalid reads; fmt_rows only walks the
+            # real `rows`, so they fall off unread
+            codes, _ = _pad_dp(codes)
             return hstep(codes, type_g, uniq_g, *extra)
 
     def device_step(codes):

@@ -422,3 +422,42 @@ def test_distributed_filter_resume_idx_checkpoint(tmp_path):
         FilterConfig(**base, out_file=p, resume=True)) == 0
     assert open(p).read() == single.getvalue()
     assert len(open(f"{p}.idx").readlines()) == len(idx)
+
+
+def test_dist_resume_geometry_guards(tmp_path):
+    """--resume refuses a geometry change (batch size) and a missing
+    sidecar next to an existing stripe; the filter merge refuses idx
+    files that disagree (one rank interrupted earlier than its peers)."""
+    import io as _io
+
+    import pytest as _pytest
+
+    from rkmh_tpu.commands.dist_stream import (
+        merge_outputs_filter, run_distributed,
+    )
+    from rkmh_tpu.commands.stream import StreamConfig
+
+    D = "/root/reference/data"
+    p = str(tmp_path / "out.rk")
+    base = dict(ref_files=[f"{D}/zika.refs.fa"], read_files=[f"{D}/z1.fq"],
+                ks=(12,), sketch_size=1000, out_file=p)
+    assert run_distributed(StreamConfig(**base, batch_size=64)) == 0
+
+    # changed batch size -> rejected before any output is touched
+    with _pytest.raises(RuntimeError, match="geometry mismatch"):
+        run_distributed(StreamConfig(**base, batch_size=128, resume=True))
+
+    # sidecar lost while the stripe exists -> rejected
+    os.remove(f"{p}.dist.json")
+    with _pytest.raises(RuntimeError, match="sidecar"):
+        run_distributed(StreamConfig(**base, batch_size=64, resume=True))
+
+    # filter merge: idx files of different batch counts -> rejected
+    for r, counts in ((0, [1, 2]), (1, [1, 2, 3])):
+        with open(tmp_path / f"f.{r}", "w") as fh:
+            fh.write("x\n" * sum(counts) * 4)
+        with open(tmp_path / f"f.{r}.idx", "w") as fh:
+            fh.write("".join(f"{c}\n" for c in counts))
+    with _pytest.raises(RuntimeError, match="ended early"):
+        merge_outputs_filter([str(tmp_path / "f.0"), str(tmp_path / "f.1")],
+                             out=_io.StringIO())
