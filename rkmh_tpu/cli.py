@@ -177,6 +177,9 @@ def build_parser():
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-w", "--window-len", type=int, default=100)
     p.add_argument("-d", "--show-depth", action="store_true")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard the positional scan over N local devices "
+                        "(reference positions data-parallel); 0 = single")
 
     p = sub.add_parser("hpv16")
     p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
@@ -369,6 +372,7 @@ def _dispatch(args) -> int:
                 ks=tuple(args.ks),
                 window_len=args.window_len,
                 show_depth=args.show_depth,
+                devices=args.devices,
             )
         )
     if args.command == "hpv16":

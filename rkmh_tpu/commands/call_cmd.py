@@ -44,6 +44,7 @@ class CallConfig:
     window_len: int = 100
     show_depth: bool = False
     batch_size: int = 2048
+    devices: int = 0     # --devices: shard the positional scan over N devices
 
 
 def _code_char(c: int) -> str:
@@ -118,14 +119,48 @@ def run(cfg: CallConfig, out=None) -> int:
         if alt_depth > call_max_depth.get(key, 0):
             call_max_depth[key] = alt_depth
 
+    # --devices N: the positional scan (depth + windowed average + SNP/DEL
+    # enumeration) shards reference positions over a dp mesh
+    # (mesh.sharded_call_scan_fn: k-halo code slices, a window_len depth
+    # halo via ppermute).  Bit-identical to call_scan_ref; genomes whose
+    # per-device span would be shorter than the depth window fall back.
+    scan_sharded = None
+    if cfg.devices > 1:
+        import jax
+
+        n_vis = len(jax.devices())
+        if cfg.devices > n_vis:
+            log(f"call --devices ignored (--devices {cfg.devices} > {n_vis} "
+                "visible device(s)); running single-device")
+        else:
+            from rkmh_tpu.parallel.mesh import make_mesh, sharded_call_scan_fn
+
+            mesh = make_mesh(jax.devices()[: cfg.devices],
+                             dp=cfg.devices, tp=1)
+            scan_sharded = sharded_call_scan_fn(mesh, k, cfg.window_len)
+
     for ref in refs:
-        L = bucket_length(len(ref.seq))
         if len(ref.seq) < k:
             continue
-        codes, _ = encode_seqs([ref.seq], pad_to=L)
-        res = call_engine.call_scan_ref(codes[0], table, k, cfg.window_len)
-        res = to_host(res)
         P = len(ref.seq) - k + 1
+        Pl = -(-P // cfg.devices) if scan_sharded is not None else 0
+        if scan_sharded is not None and Pl >= cfg.window_len:
+            n = cfg.devices
+            codes, _ = encode_seqs([ref.seq], pad_to=n * Pl + k)
+            padded = np.concatenate(
+                [np.full(1, 4, np.uint8), codes[0]])  # row j reaches ref[j-1]
+            slices = np.stack([
+                padded[d * Pl : d * Pl + Pl + k + 1] for d in range(n)
+            ])
+            res = scan_sharded(slices, table)
+        else:
+            if scan_sharded is not None:
+                log(f"call --devices: {ref.name} spans only {P} positions "
+                    f"(< window {cfg.window_len} per device); single-device")
+            L = bucket_length(len(ref.seq))
+            codes, _ = encode_seqs([ref.seq], pad_to=L)
+            res = call_engine.call_scan_ref(codes[0], table, k, cfg.window_len)
+        res = to_host(res)
 
         depth = res["depth"][:P]
         avg = res["avg"][:P]

@@ -358,6 +358,115 @@ def sharded_call_enum_fn(mesh: Mesh, k: int):
     return jax.jit(wrapper)
 
 
+def sharded_call_scan_fn(mesh: Mesh, k: int, window_len: int):
+    """SPMD `call` positional scan: the FULL call_scan_ref pipeline
+    (depth, trailing-window average, SNP + 1bp-DEL mutation rescue)
+    with reference positions sharded over dp.
+
+    Each device owns Pl contiguous positions.  Inputs are host-built
+    overlapping slices of ``[4] + genome`` ([dp, Pl + k + 1]: one
+    leading byte so row j reaches ref[j-1] for the DEL (k+1)-mers, plus
+    the usual k-halo), a replicated read-depth hashmap, and the true
+    position count (for the global j index).  The trailing-window
+    average needs the previous shard's last `window_len` depths — a
+    single ppermute halo exchange (shard 0 receives zeros, which is
+    exactly the empty-window prefix).  Requires Pl >= window_len so one
+    neighbor's halo suffices; callers fall back below that.
+
+    Returns call_scan_ref's dict with every array [dp*Pl, ...]-shaped
+    (concatenated position order); rows past the true P are garbage the
+    host slices off, exactly like the single-device path.
+    """
+    from rkmh_tpu.call_engine import ROT, _slice_stack
+    from rkmh_tpu.ops.hashing import kmer_window_hashes
+    from rkmh_tpu.ops.hashmap import hashmap_get
+    import jax.numpy as jnp
+
+    def local_step(slices, *table):
+        padded = slices[0]                    # [Pl + k + 1]; padded[0] = ref[g-1]
+        Pl = padded.shape[0] - k - 1
+        d = jax.lax.axis_index("dp")
+        jg = d * Pl + jnp.arange(Pl)          # global position index
+
+        ref = padded[1:]                      # ref[g .. g+Pl+k-1]
+        wh = kmer_window_hashes(ref[None], k)[0][:Pl]          # [Pl]
+        depth = hashmap_get(table, wh)                         # [Pl] i32
+
+        # trailing-window avg: previous shard's last w depths via ppermute
+        w = window_len
+        halo = jax.lax.ppermute(
+            depth[-w:], "dp",
+            [(i, i + 1) for i in range(mesh.shape["dp"] - 1)],
+        )                                      # shard 0 gets zeros
+        css = jnp.cumsum(
+            jnp.concatenate([halo, depth]).astype(jnp.int64))
+        jl = jnp.arange(Pl)
+        wsize = jnp.minimum(jg + 1, w)
+        hi = css[w + jl]
+        lo_idx = w + jl - wsize
+        lo = jnp.where(lo_idx >= 0, css[jnp.clip(lo_idx, 0, None)], 0)
+        wsum = hi - lo
+        avg = (wsum.astype(jnp.float64) / wsize.astype(jnp.float64)).astype(jnp.int32)
+
+        site = depth.astype(jnp.float64) < 0.5 * avg.astype(jnp.float64)
+
+        # SNP enumeration (identical math to call_scan_ref)
+        win = _slice_stack(ref, 0, k, Pl)                      # [Pl, k]
+        rot = jnp.asarray(ROT)
+        safe = jnp.minimum(win, 3)
+        alts = rot[safe]                                       # [Pl, k, 3]
+        eye = jnp.eye(k, dtype=bool)
+        alt_codes = jnp.where(
+            eye[None, :, None, :], alts[:, :, :, None], win[:, None, None, :]
+        )
+        snp_hash = kmer_window_hashes(
+            alt_codes.reshape(-1, k), k)[:, 0].reshape(Pl, k, 3)
+        snp_depth = hashmap_get(table, snp_hash)
+        avg_f = avg.astype(jnp.float64)
+        snp_call = (
+            site[:, None, None]
+            & (snp_depth.astype(jnp.float64) >= 0.1 * avg_f[:, None, None])
+            & (snp_depth > depth[:, None, None])
+            & (win < 4)[:, :, None]
+        )
+        max_rescue = jnp.max(
+            jnp.where(site[:, None, None], snp_depth, 0), axis=(1, 2))
+
+        # DEL enumeration: dwin row j = padded[j .. j+k] = ref[g-1 .. g+k-1]
+        dwin = _slice_stack(padded, 0, k + 1, Pl)              # [Pl, k+1]
+        dels = []
+        for ap in range(1, k + 1):
+            dels.append(jnp.concatenate(
+                [dwin[:, :ap], dwin[:, ap + 1:]], axis=-1))
+        del_codes = jnp.stack(dels, axis=1)                    # [Pl, k, k]
+        del_hash = kmer_window_hashes(
+            del_codes.reshape(-1, k), k)[:, 0].reshape(Pl, k)
+        del_depth = hashmap_get(table, del_hash)
+        del_call = (
+            site[:, None]
+            & (del_depth.astype(jnp.float64) > 0.9 * avg_f[:, None])
+            & (jg > 0)[:, None]
+        )
+        return (depth, avg, site, snp_depth, snp_call, max_rescue,
+                del_depth, del_call)
+
+    def wrapper(slices, table_arrays):
+        fn = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P("dp", None),) + (P(None),) * len(table_arrays),
+            out_specs=(P("dp"), P("dp"), P("dp"), P("dp", None, None),
+                       P("dp", None, None), P("dp"), P("dp", None),
+                       P("dp", None)),
+            check_vma=False,
+        )
+        names = ("depth", "avg", "site", "snp_depth", "snp_call",
+                 "max_rescue", "del_depth", "del_call")
+        return dict(zip(names, fn(slices, *table_arrays)))
+
+    return jax.jit(wrapper)
+
+
 def shard_batch(mesh: Mesh, codes):
     """Place a host batch onto the mesh sharded along dp."""
     sharding = jax.sharding.NamedSharding(mesh, P("dp", None))

@@ -229,3 +229,34 @@ def test_hashmap_build_scales_without_doubling():
     idx = rng.integers(0, len(keys), size=512)
     for k, v in zip(keys[idx].tolist(), vals[idx].tolist()):
         assert d[k] == v
+
+
+def test_call_devices_parity(tmp_path):
+    """call --devices: the position-sharded scan (k-halo slices +
+    window_len depth halo over ppermute) is byte-identical to the
+    single-device VCF on real data, in both VCF and -d depth modes;
+    genomes too short for the per-device window fall back, also
+    byte-identical."""
+    from rkmh_tpu.commands.call_cmd import CallConfig, run
+
+    base = dict(ref_files=[f"{DATA}/hpv_16.fa"],
+                read_files=[f"{DATA}/minION25.fq"], ks=(16,))
+    for extra in ({}, {"show_depth": True}):
+        single, sharded = io.StringIO(), io.StringIO()
+        assert run(CallConfig(**base, **extra), out=single) == 0
+        assert run(CallConfig(**base, **extra, devices=8), out=sharded) == 0
+        assert sharded.getvalue() == single.getvalue(), extra
+        assert single.getvalue()
+
+    # tiny genome: P/devices < window_len -> single-device fallback
+    ref = tmp_path / "tiny.fa"
+    from rkmh_tpu.io.fastx import read_fastx
+
+    seq = read_fastx(f"{DATA}/hpv_16.fa")[0].seq[:600]
+    ref.write_text(f">tiny\n{seq.decode()}\n")
+    single, sharded = io.StringIO(), io.StringIO()
+    base_t = dict(ref_files=[str(ref)], read_files=[f"{DATA}/minION25.fq"],
+                  ks=(16,))
+    assert run(CallConfig(**base_t), out=single) == 0
+    assert run(CallConfig(**base_t, devices=8), out=sharded) == 0
+    assert sharded.getvalue() == single.getvalue()
