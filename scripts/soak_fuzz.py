@@ -40,6 +40,7 @@ def main():
         ("call", fuzz.test_call_fuzz_matches_oracle),
         ("hpv16", _hpv16),
         ("devices", fuzz.test_devices_fuzz_matches_single),
+        ("call-devices", fuzz.test_call_devices_fuzz_matches_single),
     ]
     for seed in range(start, start + n):
         for name, fn in cases:

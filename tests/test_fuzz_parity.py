@@ -299,3 +299,43 @@ def test_devices_fuzz_matches_single(tmp_path, seed):
     assert run_filter(FilterConfig(**fbase, devices=devices, tp=tp),
                       out=many) == 0
     assert many.getvalue() == one.getvalue()
+
+
+@pytest.mark.parametrize("seed", [8])
+def test_call_devices_fuzz_matches_single(tmp_path, seed):
+    """call --devices on random genomes/reads: the position-sharded scan
+    must produce the byte-identical VCF (the shard-boundary windows and
+    the ppermute depth halo are where a bug would land).  devices=2 so
+    ~600 bp genomes still clear the per-device window; an undersized
+    genome exercises the fallback."""
+    from rkmh_tpu.commands.call_cmd import CallConfig, run as run_call
+
+    rng = np.random.default_rng(seed + 177)
+    k = int(rng.choice([12, 16]))
+    glen = int(rng.integers(450, 900))
+    ref = _rand_seq(rng, glen, with_n=False)
+    reads = []
+    for i in range(30):  # overlapping slices + planted SNPs for depth
+        st = int(rng.integers(0, max(1, glen - 120)))
+        sq = bytearray(ref[st : st + 120])
+        if i % 3 == 0 and len(sq) > 10:
+            sq[int(rng.integers(5, len(sq) - 5))] = ord(
+                rng.choice(list("ACGT")))
+        reads.append((f"rd{i}", bytes(sq)))
+
+    rp = tmp_path / "ref.fa"
+    rp.write_text(f">refA\n{ref.decode()}\n")
+    fp = tmp_path / "reads.fq"
+    fp.write_text("".join(f"@{n}\n{sq.decode()}\n+\n{'I' * len(sq)}\n"
+                          for n, sq in reads))
+    base = dict(ref_files=[str(rp)], read_files=[str(fp)], ks=(k,))
+
+    one, two = io.StringIO(), io.StringIO()
+    assert run_call(CallConfig(**base), out=one) == 0
+    assert run_call(CallConfig(**base, devices=2), out=two) == 0
+    assert two.getvalue() == one.getvalue()
+
+    # fallback: 8 devices cannot cover the window on this genome
+    eight = io.StringIO()
+    assert run_call(CallConfig(**base, devices=8), out=eight) == 0
+    assert eight.getvalue() == one.getvalue()
