@@ -182,6 +182,11 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(reads_per_sec / baseline, 2),
         "device_step_reads_per_sec": round(dev_reads_per_sec, 1),
+        # interpretability guard: if the axon plugin fails to init, jax
+        # silently falls back to CPU and the number craters — record
+        # what actually ran so a tunnel outage is not read as a
+        # performance regression
+        "platform": platform,
     }
     if pallas_parity is not None:
         result["pallas_parity"] = pallas_parity
