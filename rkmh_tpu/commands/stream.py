@@ -291,8 +291,7 @@ class _ShardedClassify(_ShardedCtx):
         return step
 
 
-def _validate_devices(cfg: StreamConfig, in_stream: bool,
-                      num_refs: int) -> str | None:
+def _validate_devices(cfg: StreamConfig, num_refs: int) -> str | None:
     """Reason --devices cannot apply (None = it can)."""
     import jax
 
@@ -300,8 +299,6 @@ def _validate_devices(cfg: StreamConfig, in_stream: bool,
 
     if cfg.devices <= 1:
         return "unset"
-    if in_stream:
-        return "-i latency batching runs single-device"
     return sharded_geometry_reason(
         cfg.devices, cfg.tp, num_refs, len(jax.devices()),
         cfg.min_kmer_occ, cfg.counter_size)
@@ -518,7 +515,7 @@ def _run(cfg: StreamConfig, out, resume_skip: int = 0, stdin=None) -> int:
 
     from rkmh_tpu.commands.common import ChunkedPipeline, two_pass_chunks
 
-    sharded_reason = _validate_devices(cfg, in_stream, panel.num_refs)
+    sharded_reason = _validate_devices(cfg, panel.num_refs)
     if cfg.devices > 1 and sharded_reason not in (None, "unset"):
         log(f"stream --devices ignored ({sharded_reason}); "
             "running single-device")

@@ -399,3 +399,19 @@ def test_stream_devices_min_kmer_occ_parity(zika_subset, tmp_path):
     base4 = {**base, "ref_files": [rp4]}
     assert (_stream_out({**base4, "devices": 8, "tp": 2})
             == _stream_out(base4))
+
+
+def test_stream_in_stream_devices_parity(zika_subset):
+    """stream -i --devices: the live-STDIN drain dispatches the SPMD
+    step per batch; output is byte-identical to single-device -i."""
+    refs, reads, rp, fp = zika_subset
+    payload = open(fp, "rb").read()
+    base = dict(ref_files=[rp], ks=(12,), sketch_size=1000,
+                in_stream=True, batch_size=8)
+    one, two = io.StringIO(), io.StringIO()
+    assert run(StreamConfig(**base), out=one,
+               stdin=io.BytesIO(payload)) == 0
+    assert run(StreamConfig(**base, devices=4), out=two,
+               stdin=io.BytesIO(payload)) == 0
+    assert two.getvalue() == one.getvalue()
+    assert one.getvalue() == oracle_stream_lines(refs, reads, (12,), 1000)
