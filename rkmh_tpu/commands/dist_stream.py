@@ -49,6 +49,21 @@ from rkmh_tpu.commands.common import (
 from rkmh_tpu.io.packing import PAD_CODE, bucket_length
 
 
+def _rereadable_inputs(read_files) -> bool:
+    """Multi-host drains read the input MULTIPLE times (count pre-pass,
+    optional -M pass, classify pass); stdin/FIFO/file-like sources would
+    be drained by the first pass, so only plain paths qualify."""
+    from rkmh_tpu.commands.common import _is_fifo
+
+    if not read_files:
+        return False
+    return all(
+        isinstance(p, (str, bytes)) and p not in ("-", b"-")
+        and not _is_fifo(p)
+        for p in read_files
+    )
+
+
 def _scan_input(read_files, chunk_reads):
     """Host-local counting pre-pass: (total records, max read length).
     Parse only — no device work; every host sees the same files, so all
@@ -219,9 +234,10 @@ def _setup_classify_dist(cfg, cmd: str):
         log(f"{cmd} --dist-* --resume requires -o <file> (resume state is "
             "each rank's partial stripe); refusing to reclassify to stdout")
         return None
-    if not cfg.read_files:
-        log(f"{cmd} --dist-* requires -f read files (re-readable on every "
-            "host)")
+    if not _rereadable_inputs(cfg.read_files):
+        log(f"{cmd} --dist-* requires re-readable -f files on every host "
+            "(the counting pre-pass and the classify pass each read the "
+            "input; stdin/FIFOs would be consumed by the first)")
         return None
 
     initialize(cfg.dist_coordinator or None,
@@ -586,9 +602,10 @@ def run_distributed_hpv16(cfg, out=None) -> int:
         log("hpv16 --dist-* --resume requires -o <file> (resume state is "
             "each rank's partial stripe); refusing to reclassify to stdout")
         return 1
-    if not cfg.read_files:
-        log("hpv16 --dist-* requires -f read files (re-readable on every "
-            "host)")
+    if not _rereadable_inputs(cfg.read_files):
+        log("hpv16 --dist-* requires re-readable -f files on every host "
+            "(the counting pre-pass and the classify pass each read the "
+            "input; stdin/FIFOs would be consumed by the first)")
         return 1
 
     initialize(cfg.dist_coordinator or None,
