@@ -67,7 +67,9 @@ def _rereadable_inputs(read_files) -> bool:
 def _scan_input(read_files, chunk_reads):
     """Host-local counting pre-pass: (total records, max read length).
     Parse only — no device work; every host sees the same files, so all
-    hosts agree without a collective."""
+    hosts agree without a collective.  This rides the native C parser
+    (GB/s), so the extra pass costs far less than the classify pass it
+    enables; a parse-free count would need an index sidecar format."""
     n, maxlen = 0, 0
     for chunk in iter_packed_chunks(read_files, chunk_reads):
         n += len(chunk)
