@@ -203,6 +203,11 @@ def build_parser():
     p.add_argument("--devices", type=int, default=0,
                    help="classify reads data-parallel over N local devices "
                         "(set tables replicated); 0 = single device")
+    p.add_argument("--tp", type=int, default=1,
+                   help="shard the 182-genome type set table over this many "
+                        "of the --devices (devices = dp x tp); distinct "
+                        "counts merge with an all_gather, output stays "
+                        "byte-identical")
     p.add_argument("--dist-coordinator", default="", dest="dist_coordinator",
                    help="multi-host: coordinator host:port")
     p.add_argument("--dist-procs", type=int, default=0, dest="dist_procs",
@@ -395,6 +400,7 @@ def _dispatch(args) -> int:
                 out_file=args.out_file,
                 resume=args.resume,
                 devices=args.devices,
+                tp=args.tp,
                 dist_coordinator=args.dist_coordinator,
                 dist_procs=args.dist_procs,
                 dist_rank=args.dist_rank,

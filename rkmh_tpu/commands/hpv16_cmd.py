@@ -60,6 +60,7 @@ class Hpv16Config:
     out_file: str = ""             # -o: write here instead of stdout
     resume: bool = False           # --resume: continue an interrupted -o run
     devices: int = 0               # --devices: dp-shard reads over N devices
+    tp: int = 1                    # --tp: type-panel shards (devices = dp*tp)
     dist_coordinator: str = ""     # --dist-coordinator host:port (multi-host)
     dist_procs: int = 0            # --dist-procs: process count (multi-host)
     dist_rank: int = -1            # --dist-rank: this process's id
@@ -165,7 +166,7 @@ class Hpv16Tables:
     identically on every host."""
 
     __slots__ = ("type_names", "type_table", "uniq_table",
-                 "lin_names", "sublin_names")
+                 "lin_names", "sublin_names", "type_hashes", "type_mask")
 
     @property
     def n_lin(self):
@@ -252,6 +253,7 @@ def build_tables(cfg: Hpv16Config, ks: tuple) -> Hpv16Tables:
 
     tb.type_names = type_names
     tb.type_table = type_table
+    tb.type_hashes, tb.type_mask = th, tm  # kept for tp-sharded rebuilds
     tb.uniq_table = uniq_table
     tb.lin_names = lin_names
     tb.sublin_names = sublin_names
@@ -323,25 +325,28 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
     # the dp axis (parallel/ep.py), so the counting pass needs the mesh
     use_sharded = False
     mesh = None
+    dp = max(cfg.devices // max(cfg.tp, 1), 1)
     if cfg.devices > 1:
         reason = None
         n_vis = len(jax.devices())
-        if cfg.devices > n_vis:
+        if cfg.tp < 1 or cfg.devices % cfg.tp:
+            reason = f"--devices {cfg.devices} is not divisible by --tp {cfg.tp}"
+        elif cfg.devices > n_vis:
             reason = f"--devices {cfg.devices} > {n_vis} visible device(s)"
-        elif cfg.min_kmer_occ > 0 and cfg.counter_size % cfg.devices:
+        elif cfg.min_kmer_occ > 0 and cfg.counter_size % dp:
             reason = (f"-M counter size {cfg.counter_size} is not divisible "
-                      f"by the {cfg.devices} dp shards")
+                      f"by the {dp} dp shards")
         if reason is not None:
             log(f"hpv16 --devices ignored ({reason}); running single-device")
         else:
             from rkmh_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(jax.devices()[: cfg.devices],
-                             dp=cfg.devices, tp=1)
+                             dp=dp, tp=cfg.tp)
             use_sharded = True
 
     def _pad_dp(codes, lens=None):
-        pad = (-codes.shape[0]) % cfg.devices
+        pad = (-codes.shape[0]) % dp
         if pad:
             codes = np.concatenate([
                 codes, np.full((pad, codes.shape[1]), 4, dtype=codes.dtype)])
@@ -415,17 +420,42 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
 
         from rkmh_tpu.parallel.mesh import sharded_hpv16_fn
 
-        hstep = sharded_hpv16_fn(
-            mesh, ks, len(type_names), n_lin + n_sub,
-            counter_size=(cfg.counter_size if sharded_counter is not None
-                          else None),
-            min_occ=cfg.min_kmer_occ)
         extra = (sharded_counter,) if sharded_counter is not None else ()
-        # replicate the set tables on the mesh ONCE (the type table is
-        # the big one); unplaced they would re-broadcast every batch
         repl = NamedSharding(mesh, P())
-        type_g = jax.device_put(type_table, repl)
         uniq_g = jax.device_put(uniq_table, repl)
+        if cfg.tp > 1:
+            # --tp: the ~600 MB type set table shards across the tp axis
+            # (per-shard distinct counts all_gather before the argmax —
+            # bit-identical first-ref tie-break); refs pad to a tp
+            # multiple with all-masked rows whose zero counts argmax can
+            # never prefer
+            from rkmh_tpu.ops.lookup import build_sharded_set_tables_device
+
+            th, tm = tb.type_hashes, tb.type_mask
+            pad_r = (-th.shape[0]) % cfg.tp
+            if pad_r:
+                th = jnp.concatenate(
+                    [th, jnp.zeros((pad_r, th.shape[1]), th.dtype)])
+                tm = jnp.concatenate(
+                    [tm, jnp.zeros((pad_r, tm.shape[1]), bool)])
+            type_stacked, rps = build_sharded_set_tables_device(th, tm, cfg.tp)
+            type_g = jax.device_put(
+                type_stacked, NamedSharding(mesh, P("tp", None, None)))
+            hstep = sharded_hpv16_fn(
+                mesh, ks, cfg.tp * rps, n_lin + n_sub,
+                counter_size=(cfg.counter_size
+                              if sharded_counter is not None else None),
+                min_occ=cfg.min_kmer_occ, type_rps=rps)
+        else:
+            # replicate the set tables on the mesh ONCE (the type table
+            # is the big one); unplaced they would re-broadcast every
+            # batch
+            type_g = jax.device_put(type_table, repl)
+            hstep = sharded_hpv16_fn(
+                mesh, ks, len(type_names), n_lin + n_sub,
+                counter_size=(cfg.counter_size
+                              if sharded_counter is not None else None),
+                min_occ=cfg.min_kmer_occ)
 
         def sharded_step(codes):
             # pad rows are all-invalid reads; fmt_rows only walks the

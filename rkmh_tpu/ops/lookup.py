@@ -492,6 +492,39 @@ def build_set_table_device(hashes, mask, num_refs: int, est_entries: int | None 
         nb *= 2
 
 
+def build_sharded_set_tables_device(hashes, mask, tp: int):
+    """[R, W] window hashes/mask -> ([tp, NB, width] stacked set tables,
+    refs_per_shard) for tensor-parallel set-intersection queries
+    (parallel.mesh.sharded_hpv16_fn with type_rps).
+
+    Rows split into tp contiguous groups (R % tp == 0 — pad upstream
+    with all-masked rows; pads at the END keep the first-reference
+    tie-break exact after the tiled all_gather).  Every shard is forced
+    to one (num_buckets, slots) geometry so shard_map can stack them.
+    """
+    R = hashes.shape[0]
+    if R % tp:
+        raise ValueError(f"{R} refs not divisible by tp {tp}")
+    rps = R // tp
+    wm = max(1, (rps + 31) // 32)
+    groups = [(hashes[i * rps:(i + 1) * rps], mask[i * rps:(i + 1) * rps])
+              for i in range(tp)]
+    ns = [int(_count_unique_keys(h, m)) for h, m in groups]
+    S = pick_slots(max(max(ns), 1), wm)
+    nb = max(predicted_buckets(n, S) for n in ns)
+    while True:
+        tables = []
+        for h, m in groups:
+            t, max_rank = _device_set_table_jit(h, m, nb, rps, slots=S)
+            if int(max_rank) >= S:  # rare bucket overflow: regrow ALL
+                tables = None
+                break
+            tables.append(t)
+        if tables is not None:
+            return jnp.stack(tables), rps
+        nb *= 2
+
+
 def build_panel_table_device(ref_sk, ref_lens, num_refs: int | None = None):
     """Device-resident (hash, occ) panel table from sorted sketch matrices
     (bottom_s_sketch output) — the no-host-roundtrip equivalent of

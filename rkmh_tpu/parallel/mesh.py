@@ -259,14 +259,24 @@ def sharded_filter_depth_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
 
 
 def sharded_hpv16_fn(mesh: Mesh, ks: tuple, num_types: int, num_uniq: int,
-                     counter_size: int | None = None, min_occ: int = 0):
-    """SPMD hpv16 read step: dp-sharded reads x replicated set tables
-    (type panel + lineage/sublineage unique-kmer panel).  Matches
-    engine.hpv16_batch bit for bit; reads are embarrassingly parallel so
-    no collective is needed in the hot loop (the tables broadcast once)
-    — except with -M, where the counter shard (last input, dp-sharded,
-    parallel/ep.py) masks read hashes below min_occ depth
-    (mask_by_frequency, rkmh.cpp:2663) before the set intersections.
+                     counter_size: int | None = None, min_occ: int = 0,
+                     type_rps: int | None = None):
+    """SPMD hpv16 read step: dp-sharded reads x set tables (type panel +
+    lineage/sublineage unique-kmer panel).  Matches engine.hpv16_batch
+    bit for bit.
+
+    * Default: both tables replicated — reads are embarrassingly
+      parallel, no hot-loop collective (the tables broadcast once).
+    * type_rps set: the type table arrives tp-STACKED
+      ([tp, NB, width], lookup.build_sharded_set_tables_device) — the
+      ~600 MB PAVE panel shards across chips and the per-shard distinct
+      counts merge with a tiled all_gather before the argmax, so the
+      first-reference tie-break stays exact (num_types is then the
+      PADDED count tp*type_rps; pads sit at the end with zero counts,
+      which argmax can never prefer).
+    * counter_size set (-M): the counter shard (last input, dp-sharded,
+      parallel/ep.py) masks read hashes below min_occ depth
+      (mask_by_frequency, rkmh.cpp:2663) before the set intersections.
     """
     from rkmh_tpu.ops.lookup import lookup_intersection_counts
     import jax.numpy as jnp
@@ -288,7 +298,13 @@ def sharded_hpv16_fn(mesh: Mesh, ks: tuple, num_types: int, num_uniq: int,
                 extra[0], hashes, counter_size, shard_size)
             hashes = mask_by_frequency(hashes, depths, min_occ)
         full, lens = bottom_s_sketch(hashes, hashes.shape[-1])
-        tc = lookup_intersection_counts(full, lens, (type_table,), num_types)
+        if type_rps is not None:
+            tc = lookup_intersection_counts(
+                full, lens, (type_table[0],), type_rps)  # [B/dp, T/tp]
+            tc = jax.lax.all_gather(tc, "tp", axis=1, tiled=True)
+        else:
+            tc = lookup_intersection_counts(
+                full, lens, (type_table,), num_types)
         uc = lookup_intersection_counts(full, lens, (uniq_table,), num_uniq)
         best = jnp.argmax(tc, axis=-1)
         max_shared = jnp.max(tc, axis=-1)
@@ -299,7 +315,9 @@ def sharded_hpv16_fn(mesh: Mesh, ks: tuple, num_types: int, num_uniq: int,
             axis=1,
         )
 
-    in_specs = (P("dp", None), P(None, None), P(None, None))
+    type_spec = (P("tp", None, None) if type_rps is not None
+                 else P(None, None))
+    in_specs = (P("dp", None), type_spec, P(None, None))
     if counter_size is not None:
         in_specs = in_specs + (P("dp"),)
     fn = jax.shard_map(

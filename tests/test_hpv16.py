@@ -371,3 +371,24 @@ def test_hpv16_dist_drain_matches_single(refpath, tmp_path, monkeypatch):
         dist = io.StringIO()
         assert run_distributed_hpv16(Hpv16Config(**base), out=dist) == 0
         assert dist.getvalue() == single.getvalue(), extra
+
+
+def test_hpv16_devices_tp_parity(refpath, tmp_path, monkeypatch):
+    """--devices with --tp: the type set table shards over the tp axis
+    (padded to a tp multiple with all-masked rows when needed) and the
+    gathered distinct counts keep the exact argmax — byte-identical."""
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
+
+    td, types, subs, reads = refpath
+    monkeypatch.chdir(tmp_path)
+    base = dict(read_files=[str(td / "reads.fq")], refpath=str(td),
+                ks=(16,), batch_size=8)
+    single = io.StringIO()
+    assert run(Hpv16Config(**base), out=single) == 0
+    # the synthetic type panel has len(types) refs; tp=2 forces the
+    # padded path whenever it is odd
+    for devices, tp in ((4, 2), (8, 4)):
+        sharded = io.StringIO()
+        assert run(Hpv16Config(**base, devices=devices, tp=tp),
+                   out=sharded) == 0
+        assert sharded.getvalue() == single.getvalue(), (devices, tp)
