@@ -609,6 +609,9 @@ def run_distributed_hpv16(cfg, out=None) -> int:
             "(the counting pre-pass and the classify pass each read the "
             "input; stdin/FIFOs would be consumed by the first)")
         return 1
+    if getattr(cfg, "tp", 1) > 1:
+        log("hpv16 --dist-* ignores --tp (the set tables replicate "
+            "per host); use --tp with single-host --devices")
 
     initialize(cfg.dist_coordinator or None,
                cfg.dist_procs or None,
