@@ -10,9 +10,16 @@ width, upload once, time the device-resident step.
 Run on the TPU from /root/repo:  python scripts/bench_slots.py
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+# `python scripts/bench_slots.py` puts scripts/ (not the repo root) on
+# sys.path; bootstrap in-process rather than via PYTHONPATH, which
+# breaks axon plugin discovery (CLAUDE.md).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -27,46 +34,54 @@ def main():
     from rkmh_tpu.ops.hashing import multi_k_window_hashes
     from rkmh_tpu.utils import to_host
 
+    # `python scripts/bench_slots.py [1|2]` runs just the zika panel
+    # sweep (1) or just the hpv16 set-table sweep (2); default both.
+    parts = set(sys.argv[1:]) or {"1", "2"}
+
     DATA = "/root/reference/data"
     ks, s = (12,), 1000
 
-    reads = load_packed(f"{DATA}/z1.fq", granularity=32)
-    refs = load_packed(f"{DATA}/zika.refs.fa")
-    rh = multi_k_window_hashes(jnp.asarray(refs.codes), list(ks))
-    ref_sk, ref_lens = to_host(bottom_s_sketch(rh, s))
+    if "1" in parts:
+        reads = load_packed(f"{DATA}/z1.fq", granularity=32)
+        refs = load_packed(f"{DATA}/zika.refs.fa")
+        rh = multi_k_window_hashes(jnp.asarray(refs.codes), list(ks))
+        ref_sk, ref_lens = to_host(bottom_s_sketch(rh, s))
 
-    tile = 16 if jax.devices()[0].platform != "cpu" else 1
-    codes = jnp.asarray(np.tile(reads.codes, (tile, 1)))
-    B, L = codes.shape
-    print(f"# platform={jax.devices()[0].platform} B={B} L={L}")
+        tile = 16 if jax.devices()[0].platform != "cpu" else 1
+        codes = jnp.asarray(np.tile(reads.codes, (tile, 1)))
+        B, L = codes.shape
+        print(f"# platform={jax.devices()[0].platform} B={B} L={L}")
 
-    results = {}
-    for S in (2, 3, 4, 8):
-        pt = build_panel_table(ref_sk, ref_lens, slots=S)
-        tbl = (jnp.asarray(pt.table),)
-        mb = pt.table.nbytes / 1e6
-        def step(c, t):
-            # engine fn is already jitted (static ks/sizes)
-            return engine.classify_codes_table_packed2(
-                c, t, ks=ks, sketch_size=s, num_refs=pt.num_refs,
-                min_diff=0, min_matches=-1)
+        results = {}
+        for S in (2, 3, 4, 8):
+            pt = build_panel_table(ref_sk, ref_lens, slots=S)
+            tbl = (jnp.asarray(pt.table),)
+            mb = pt.table.nbytes / 1e6
+            def step(c, t):
+                # engine fn is already jitted (static ks/sizes)
+                return engine.classify_codes_table_packed2(
+                    c, t, ks=ks, sketch_size=s, num_refs=pt.num_refs,
+                    min_diff=0, min_matches=-1)
 
-        out = step(codes, tbl[0]).block_until_ready()  # compile
-        iters = 30
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = step(codes, tbl[0])
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
-        results[S] = out
-        print(f"S={S}: {dt*1e3:7.2f} ms/step  {B/dt:10.0f} reads/s  "
-              f"table {pt.table.shape} = {mb:7.1f} MB "
-              f"(row {4*pt.table.shape[1]} B)")
+            out = step(codes, tbl[0]).block_until_ready()  # compile
+            iters = 30
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = step(codes, tbl[0])
+            out.block_until_ready()
+            dt = (time.perf_counter() - t0) / iters
+            results[S] = out
+            print(f"S={S}: {dt*1e3:7.2f} ms/step  {B/dt:10.0f} reads/s  "
+                  f"table {pt.table.shape} = {mb:7.1f} MB "
+                  f"(row {4*pt.table.shape[1]} B)")
 
-    base = np.asarray(to_host(results[4]))
-    for S, out in results.items():
-        assert np.array_equal(np.asarray(to_host(out)), base), f"S={S} differs"
-    print("# all widths bit-identical")
+        base = np.asarray(to_host(results[4]))
+        for S, out in results.items():
+            assert np.array_equal(np.asarray(to_host(out)), base), f"S={S} differs"
+        print("# all widths bit-identical")
+
+    if "2" not in parts:
+        return
 
     # ---- part 2: hpv16-scale set table (182-genome PAVE panel) --------
     # Here the 64 MB budget forces S=8 (302 MB table, 288 B rows); S=4

@@ -13,9 +13,16 @@ stage but the D2H fetch stays negligible.  Run on the TPU from
     python scripts/profile_stages.py
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+# `python scripts/profile_stages.py` puts scripts/ (not the repo root)
+# on sys.path; bootstrap in-process rather than via PYTHONPATH, which
+# breaks axon plugin discovery (CLAUDE.md).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
