@@ -110,6 +110,7 @@ def test_full_zika_classify_vs_oracle():
 
     expected = _oracle_stream_lines(refs, reads, (12,), 1000)
     assert got == expected
+    _golden_check("zika_classify_k12_s1000.txt", got)
 
 
 # ---------------------------------------------------------------------------
@@ -190,6 +191,7 @@ def test_full_filter_minion_vs_oracle():
                 f">{rec.name}\n{rec.seq.decode()}\n+\n{(rec.qual or b'').decode()}\n"
             )
     assert got == "".join(expected)
+    _golden_check("filter_minion25_hpv16_k16_N25.fq", got)
     # the high-accuracy 2D nanopore reads survive N=25 against the HPV16
     # genome (1D template/complement reads are too noisy at k=16 — the
     # exact filtering behavior the reference was built for)
@@ -240,6 +242,7 @@ def test_full_stream_M_I_vs_oracle():
         ],
     )
     assert got == expected
+    _golden_check("stream_zika_M2_I40_k12.txt", got)
 
 
 # ---------------------------------------------------------------------------
@@ -273,3 +276,4 @@ def test_full_call_hpv16_minion_vs_oracle():
         assert f[5] == "99" and f[6] == "PASS" and f[7].startswith("KC=")
     # real variation exists between these reads and the reference genome
     assert len(body) > 0
+    _golden_check("call_hpv16_minion25_k16_w100.vcf", got)
