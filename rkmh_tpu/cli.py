@@ -148,6 +148,8 @@ def build_parser():
                    help="reads per device dispatch; 0 = auto (16384 on TPU, 2048 on CPU)")
     p.add_argument("--chunk-reads", type=int, default=0,
                    help="reads parsed per streaming window; 0 = auto (65536)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="dp-shard hashing over N local devices; 0 = single")
 
     p = sub.add_parser("count")
     p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
@@ -160,6 +162,8 @@ def build_parser():
     p.add_argument("--dump", action="store_true", help="print occupied slots")
     p.add_argument("--chunk-reads", type=int, default=0,
                    help="reads parsed per streaming window; 0 = auto (65536)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="dp-shard hashing over N local devices; 0 = single")
 
     p = sub.add_parser("search")
     p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
@@ -168,6 +172,8 @@ def build_parser():
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("--chunk-reads", type=int, default=0,
                    help="reads parsed per streaming window; 0 = auto (65536)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="dp-shard hashing over N local devices; 0 = single")
 
     p = sub.add_parser("call")
     p.add_argument("-r", "--reference", action="append", default=[], dest="refs")
@@ -344,6 +350,7 @@ def _dispatch(args) -> int:
                 out_prefix=args.out_prefix,
                 batch_size=args.batch_size,
                 chunk_reads=args.chunk_reads,
+                devices=args.devices,
             )
         )
     if args.command == "count":
@@ -358,6 +365,7 @@ def _dispatch(args) -> int:
                 out_file=args.out_file,
                 dump=args.dump,
                 chunk_reads=args.chunk_reads,
+                devices=args.devices,
             )
         )
     if args.command == "search":
@@ -365,7 +373,8 @@ def _dispatch(args) -> int:
 
         return run(
             SearchConfig(ref_files=args.refs, read_files=args.reads,
-                         ks=tuple(args.ks), chunk_reads=args.chunk_reads)
+                         ks=tuple(args.ks), chunk_reads=args.chunk_reads,
+                         devices=args.devices)
         )
     if args.command == "call":
         from rkmh_tpu.commands.call_cmd import CallConfig, run

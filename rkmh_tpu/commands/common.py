@@ -626,3 +626,44 @@ class ShardedCtx:
                 codes, lens = self.pad_rows(codes, lens)
                 table = add(table, codes, lens)
         self.counter = table
+
+
+class DpCtx:
+    """--devices surface for the panel-less per-read commands
+    (hash / count / search): a dp-only mesh plus input-sharding helpers.
+
+    The device steps stay the ordinary single-device jits — with
+    row-sharded inputs GSPMD partitions the per-read work across the
+    mesh (hashing, sketching and membership tests touch no cross-read
+    axis), and results fetch in row order, so the text output is
+    byte-identical to single-device.  `count`'s scatter-add runs on a
+    replicated table, which GSPMD reduces with a psum; integer addition
+    commutes, so the lossy table is bit-equal too.  The reference has no
+    analog (hash/count/search are single-host OpenMP loops,
+    rkmh.cpp:2058-2341); hashing throughput is a published reference
+    metric (README.md:148), which is why `hash` gets the mesh surface.
+    """
+
+    def __init__(self, devices: int):
+        import jax
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from rkmh_tpu.parallel.mesh import make_mesh
+
+        self.devices = devices
+        self.mesh = make_mesh(jax.devices()[:devices], dp=devices, tp=1)
+        self._rows = NamedSharding(self.mesh, P("dp", None))
+        self._vec = NamedSharding(self.mesh, P("dp"))
+
+    def round_batch(self, batch_size: int) -> int:
+        """packed_batches pads every batch to the fixed batch size, so a
+        dp-divisible batch size is the only padding dp needs."""
+        return -(-batch_size // self.devices) * self.devices
+
+    def put(self, codes, lens=None):
+        import jax
+
+        codes = jax.device_put(np.asarray(codes), self._rows)
+        if lens is None:
+            return codes
+        return codes, jax.device_put(np.asarray(lens), self._vec)

@@ -43,6 +43,7 @@ class CountConfig:
     out_file: str = ""              # -o: save table as npz
     dump: bool = False              # --dump: print occupied slots
     chunk_reads: int = 0            # streaming window; 0 = default
+    devices: int = 0                # --devices: dp-shard hashing; 0 = single
 
 
 def run(cfg: CountConfig, out=None) -> int:
@@ -54,6 +55,13 @@ def run(cfg: CountConfig, out=None) -> int:
     if not cfg.ks:
         log("Using default kmer size of 16.")
 
+    dpc = None
+    if cfg.devices and cfg.devices > 1:
+        from rkmh_tpu.commands.common import DpCtx
+
+        dpc = DpCtx(cfg.devices)
+        cfg.batch_size = dpc.round_batch(cfg.batch_size)
+
     hc = HashCounter(cfg.counter_size)
     total_kmers = 0
     total_reads = 0
@@ -61,6 +69,8 @@ def run(cfg: CountConfig, out=None) -> int:
     for chunk in iter_packed_chunks(cfg.read_files, resolve_chunk_reads(cfg.chunk_reads)):
         total_reads += len(chunk)
         for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
+            if dpc is not None:
+                codes, lens = dpc.put(codes, lens)
             hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
             hc.add(hashes, mask)
             # window count is a host-side function of lens — no D2H needed

@@ -55,6 +55,7 @@ class HashConfig:
     out_prefix: str = ""          # -o prefix -> prefix.rkmh.json
     batch_size: int = 2048
     chunk_reads: int = 0          # streaming window; 0 = default
+    devices: int = 0              # --devices: dp-shard hashing; 0 = single
 
 
 def _wabbit_line(name: str, mins: list[int], ks, sketch_size: int,
@@ -93,6 +94,13 @@ def run(cfg: HashConfig, out=None) -> int:
     want_json = cfg.json_out or bool(cfg.out_prefix)
     chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
 
+    dpc = None
+    if cfg.devices and cfg.devices > 1:
+        from rkmh_tpu.commands.common import DpCtx
+
+        dpc = DpCtx(cfg.devices)
+        cfg.batch_size = dpc.round_batch(cfg.batch_size)
+
     # input is consumed in bounded chunks (KSEQ_Reader semantics,
     # rkmh.cpp:2058-2073) and per-read lines are written as each batch is
     # fetched, so memory stays constant in the file size (JSON mode is the
@@ -111,6 +119,8 @@ def run(cfg: HashConfig, out=None) -> int:
         names = chunk.names
 
         for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
+            if dpc is not None:
+                codes, lens = dpc.put(codes, lens)
             if cfg.sketch_size > 0:
                 sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
                 sk_np, lens_np = to_host((sk, sk_lens))

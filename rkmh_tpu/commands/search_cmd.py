@@ -45,6 +45,7 @@ class SearchConfig:
     ks: tuple = ()
     batch_size: int = 2048
     chunk_reads: int = 0            # streaming window; 0 = default
+    devices: int = 0                # --devices: dp-shard hashing; 0 = single
 
 
 def load_ref_kmers(paths) -> np.ndarray:
@@ -75,11 +76,20 @@ def run(cfg: SearchConfig, out=None) -> int:
     log(f"Loaded {len(ref_hashes)} reference kmers.")
     ref_dev = jnp.asarray(ref_hashes)
 
+    dpc = None
+    if cfg.devices and cfg.devices > 1:
+        from rkmh_tpu.commands.common import DpCtx
+
+        dpc = DpCtx(cfg.devices)
+        cfg.batch_size = dpc.round_batch(cfg.batch_size)
+
     # bounded-memory chunked input (the reference's task-per-read streaming
     # loop, rkmh.cpp:2210-2218)
     for chunk in iter_packed_chunks(cfg.read_files, resolve_chunk_reads(cfg.chunk_reads)):
         names, seqs = chunk.names, chunk.seqs
         for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):
+            if dpc is not None:
+                codes = dpc.put(codes)
             wh = kmer_window_hashes(codes, k)                       # [B, W]
             if ref_hashes.size:
                 pos = jnp.searchsorted(ref_dev, wh)

@@ -181,3 +181,50 @@ def test_search_finds_ref_kmers(tmp_path, zika_reads):
         assert got == want
     # the read that supplied the kmers must recover them all
     assert set(ref_kmers) <= set(lines[0].split("\t")[1].split(","))
+
+
+# ---------------------------------------------------------------------------
+# --devices: dp-sharded hashing, byte-identical to single-device
+# ---------------------------------------------------------------------------
+
+def test_hash_count_search_devices_byte_identical(tmp_path, zika_reads):
+    """hash/count/search --devices N match single-device output exactly
+    (DpCtx row sharding; no cross-read op exists to perturb)."""
+    from rkmh_tpu.commands.hash_cmd import HashConfig, run as hash_run
+    from rkmh_tpu.commands.count_cmd import CountConfig, run as count_run
+    from rkmh_tpu.commands.search_cmd import SearchConfig, run as search_run
+
+    fq = tmp_path / "reads.fq"
+    with open(fq, "w") as fh:
+        for r in zika_reads[:30]:
+            fh.write(f"@{r.name}\n{r.seq.decode()}\n+\n"
+                     f"{(r.qual or b'I' * len(r.seq)).decode()}\n")
+
+    # hash: all-hashes mode and sketch mode, odd batch size to force
+    # rounding + padding
+    for kw in ({"ks": (12,)}, {"ks": (12,), "sketch_size": 64}):
+        base = run_cmd(HashConfig, hash_run, read_files=[str(fq)],
+                       batch_size=7, **kw)
+        sharded = run_cmd(HashConfig, hash_run, read_files=[str(fq)],
+                          batch_size=7, devices=8, **kw)
+        assert sharded == base
+
+    # count --dump: lossy table must be bit-equal
+    base = run_cmd(CountConfig, count_run, read_files=[str(fq)],
+                   ks=(12,), counter_size=4096, dump=True, batch_size=7)
+    sharded = run_cmd(CountConfig, count_run, read_files=[str(fq)],
+                      ks=(12,), counter_size=4096, dump=True, batch_size=7,
+                      devices=8)
+    assert sharded == base
+
+    # search: ref kmers from the first read
+    reffile = tmp_path / "kmers.txt"
+    seq = zika_reads[0].seq.decode()
+    with open(reffile, "w") as fh:
+        for i in range(0, 60, 3):
+            fh.write(seq[i:i + 12] + " extra\n")
+    base = run_cmd(SearchConfig, search_run, ref_files=[str(reffile)],
+                   read_files=[str(fq)], ks=(12,), batch_size=7)
+    sharded = run_cmd(SearchConfig, search_run, ref_files=[str(reffile)],
+                      read_files=[str(fq)], ks=(12,), batch_size=7, devices=8)
+    assert sharded == base
