@@ -294,21 +294,18 @@ def lookup_intersection_counts_masked_pair(lo, hi, qmask, occ, table_arrays,
     sel_hi = jnp.max(jnp.where(hit, hi_e, zero), axis=-1)  # [B, s]
     ok = sel_hi == hi                                      # kills hi mismatches
 
+    from rkmh_tpu.ops.popcount import vertical_popcounts
+
     counts = []
     for w in range(Wm):
         mw = rows[..., (3 + w) * S : (4 + w) * S]
         # at most one slot matches: OR-select its mask word
         sel = jnp.max(jnp.where(hit, mw, zero), axis=-1)   # [B, s]
         sel = jnp.where(ok, sel, zero)
-        hi_r = min(32 * (w + 1), num_refs)
-        for r in range(32 * w, hi_r):
-            counts.append(
-                jnp.sum(
-                    (sel >> np.uint32(r - 32 * w)) & np.uint32(1),
-                    axis=-1, dtype=jnp.int32,
-                )
-            )
-    return jnp.stack(counts, axis=-1)  # [B, R]
+        # all 32 per-ref counts of this word at once (adder tree, ~5
+        # ops/element instead of 2 ops per ref per element)
+        counts.append(vertical_popcounts(sel, min(32, num_refs - 32 * w)))
+    return jnp.concatenate(counts, axis=-1)  # [B, R]
 
 
 def lookup_intersection_counts(read_sk, read_lens, table_arrays, num_refs: int):
@@ -600,10 +597,10 @@ def sorted_panel_counts(read_sk, read_lens, keys, masks, num_refs: int):
     pos = jnp.clip(pos, 0, keys.shape[0] - 1)
     hit = (keys[pos] == read_sk) & qmask
     mw = jnp.where(hit[..., None], masks[pos], np.uint32(0))  # [B, s, Wm]
-    counts = []
-    for r in range(num_refs):
-        w, b = divmod(r, 32)
-        counts.append(
-            jnp.sum((mw[..., w] >> np.uint32(b)) & np.uint32(1), axis=-1, dtype=jnp.int32)
-        )
-    return jnp.stack(counts, axis=-1)
+    from rkmh_tpu.ops.popcount import vertical_popcounts
+
+    counts = [
+        vertical_popcounts(mw[..., w], min(32, num_refs - 32 * w))
+        for w in range((num_refs + 31) // 32)
+    ]
+    return jnp.concatenate(counts, axis=-1)

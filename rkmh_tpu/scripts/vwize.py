@@ -22,7 +22,16 @@ from collections import Counter
 MULTICLASS = {"A": "1", "B": "2", "C": "3", "D": "4", "coinfected": "5"}
 
 
-def quantify(path: str, strains, collapse: bool) -> Counter:
+def quantify(path: str, strains, collapse: bool,
+             fmt: str = "cls") -> Counter:
+    """Per-strain read counts from a classification file.
+
+    fmt="cls": the reference's filter-streaming layout — field 1 is
+    ``Result: <strain> ...`` (rkmh.cpp:1397-1399), strain = second space
+    token.  fmt="stream": native stream/classify output — field 0 is the
+    winning reference name (``ref\\tread\\tshared...``), strain = its
+    first space token (e.g. "A1" for data/new_refs.fa headers).
+    """
     counts: Counter = Counter()
     for s in strains or ():
         counts[s] = 0
@@ -30,7 +39,12 @@ def quantify(path: str, strains, collapse: bool) -> Counter:
         for line in fh:
             t = line.split("\t")
             try:
-                cls = t[1].strip().split(" ")[1]
+                if fmt == "stream":
+                    cls = t[0].strip().split(" ")[0]
+                    if not cls:
+                        raise IndexError
+                else:
+                    cls = t[1].strip().split(" ")[1]
                 if collapse:
                     cls = cls[0]
             except IndexError:
@@ -61,6 +75,10 @@ def main(argv=None, stdout=None) -> int:
     ap.add_argument("-L", "--label", default="hpv")
     ap.add_argument("-P", "--predict", default=None,
                     help="TSV strain->class mapping; implies --multiclass")
+    ap.add_argument("--format", choices=("cls", "stream"), default="cls",
+                    help="input layout: 'cls' = filter-streaming lines "
+                         "(Result: <strain>), 'stream' = native "
+                         "stream/classify lines (field 0 = ref name)")
     args = ap.parse_args(argv)
     stdout = stdout or sys.stdout
 
@@ -74,9 +92,15 @@ def main(argv=None, stdout=None) -> int:
                 class_map[k] = str(int(v))
 
     for path, coinf in zip(args.files, args.coinf):
-        counts = quantify(path, args.strains, args.collapse)
+        counts = quantify(path, args.strains, args.collapse, args.format)
         if args.multiclass:
-            key = "coinfected" if coinf else os.path.basename(path).split("_")[0][0]
+            # truth key from the filename (make_mix convention): the full
+            # first underscore token when the -P map knows it (sublineage
+            # models), else its first char (lineage models, the
+            # reference's behavior)
+            tok = os.path.basename(path).split("_")[0]
+            key = ("coinfected" if coinf
+                   else tok if tok in class_map else tok[:1])
             label = class_map[key]
         else:
             label = "1" if coinf else "-1"
