@@ -588,13 +588,16 @@ def run_distributed_filter(cfg, out=None) -> int:
 
 
 def run_distributed_hpv16(cfg, out=None) -> int:
-    """hpv16 --dist-*: the tiered classifier over a cross-host dp mesh.
+    """hpv16 --dist-*: the tiered classifier over a cross-host mesh.
 
     Same lockstep global-batch recipe as run_distributed; the set tables
-    are built identically on every host (deterministic from refpath+k)
-    and replicated, so the only collective traffic is their broadcast.
-    hpv16 emits exactly one line per read, so the same stripe files +
-    rkmh-tpu-dist-merge reassembly applies.
+    are built identically on every host (deterministic from refpath+k).
+    With --tp the ~600 MB PAVE type table shards over the tp axis of the
+    GLOBAL (dp, tp) mesh instead of replicating per host — same memory
+    class as single-host ``--devices --tp`` — with the per-shard counts
+    all_gather riding intra-host links (tp must divide the local device
+    count).  hpv16 emits exactly one line per read, so the same stripe
+    files + rkmh-tpu-dist-merge reassembly applies.
     """
     import jax
 
@@ -609,9 +612,6 @@ def run_distributed_hpv16(cfg, out=None) -> int:
             "(the counting pre-pass and the classify pass each read the "
             "input; stdin/FIFOs would be consumed by the first)")
         return 1
-    if getattr(cfg, "tp", 1) > 1:
-        log("hpv16 --dist-* ignores --tp (the set tables replicate "
-            "per host); use --tp with single-host --devices")
 
     initialize(cfg.dist_coordinator or None,
                cfg.dist_procs or None,
@@ -619,15 +619,23 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     H = jax.process_count()
     rank = jax.process_index()
     ndev = jax.device_count()
-    if cfg.min_kmer_occ > 0 and cfg.counter_size % ndev:
+    n_local = len(jax.local_devices())
+    tp = max(getattr(cfg, "tp", 1), 1)
+    if ndev % tp or n_local % tp:
+        log(f"hpv16 --dist-*: --tp {tp} must divide the {n_local} local "
+            f"devices (the type-counts all_gather must ride intra-host "
+            "links)")
+        return 1
+    dp = ndev // tp
+    if cfg.min_kmer_occ > 0 and cfg.counter_size % dp:
         log(f"hpv16 --dist-*: -M counter size {cfg.counter_size} is not "
-            f"divisible by the {ndev} dp shards")
+            f"divisible by the {dp} dp shards")
         return 1
 
     from rkmh_tpu.commands.common import resolve_batch_size
 
     B = resolve_batch_size(cfg.batch_size)
-    B = -(-B // (ndev * H)) * (ndev * H)
+    B = -(-B // (dp * H)) * (dp * H)  # % dp == 0 and % H == 0
     Bl = B // H
     chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
 
@@ -640,20 +648,42 @@ def run_distributed_hpv16(cfg, out=None) -> int:
         ks = tuple(cfg.ks)
     tb = build_tables(cfg, ks)
 
+    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from rkmh_tpu.parallel.mesh import make_mesh, sharded_hpv16_fn
 
-    mesh = make_mesh(jax.devices(), dp=ndev, tp=1)
+    mesh = make_mesh(jax.devices(), dp=dp, tp=tp)
     codes_sharding = NamedSharding(mesh, P("dp", None))
     _assert_process_contiguous(NamedSharding(mesh, P("dp")), B, Bl, rank)
-    type_g = jax.device_put(tb.type_table, NamedSharding(mesh, P()))
     uniq_g = jax.device_put(tb.uniq_table, NamedSharding(mesh, P()))
+
+    num_types = len(tb.type_names)
+    type_rps = None
+    if tp > 1:
+        # shard the type set table over the GLOBAL tp axis (same recipe
+        # as hpv16_cmd's single-host --tp: pad refs to a tp multiple
+        # with all-masked rows, per-shard tables forced to one geometry)
+        from rkmh_tpu.ops.lookup import build_sharded_set_tables_device
+
+        th, tm = tb.type_hashes, tb.type_mask
+        pad_r = (-th.shape[0]) % tp
+        if pad_r:
+            th = jnp.concatenate(
+                [th, jnp.zeros((pad_r, th.shape[1]), th.dtype)])
+            tm = jnp.concatenate(
+                [tm, jnp.zeros((pad_r, tm.shape[1]), bool)])
+        type_stacked, type_rps = build_sharded_set_tables_device(th, tm, tp)
+        type_g = jax.device_put(
+            type_stacked, NamedSharding(mesh, P("tp", None, None)))
+        num_types = tp * type_rps
+    else:
+        type_g = jax.device_put(tb.type_table, NamedSharding(mesh, P()))
 
     N, maxlen = _scan_input(cfg.read_files, chunk_reads)
     L = bucket_length(max(maxlen, 1))
     log(f"dist rank {rank}/{H}: {N} reads, pad {L}, global batch {B} "
-        f"({Bl} rows/host), mesh dp={ndev}")
+        f"({Bl} rows/host), mesh dp={dp} tp={tp}")
 
     # -M: rkmh.cpp:2513-2530 counts every read k-mer occurrence
     extra = ()
@@ -663,9 +693,9 @@ def run_distributed_hpv16(cfg, out=None) -> int:
             codes_sharding),)
 
     fn = sharded_hpv16_fn(
-        mesh, ks, len(tb.type_names), tb.n_lin + tb.n_sub,
+        mesh, ks, num_types, tb.n_lin + tb.n_sub,
         counter_size=cfg.counter_size if extra else None,
-        min_occ=cfg.min_kmer_occ)
+        min_occ=cfg.min_kmer_occ, type_rps=type_rps)
 
     out, close_out, skip = _open_rank_out(cfg, out, rank, H, B, "stream")
 
