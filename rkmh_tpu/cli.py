@@ -186,6 +186,15 @@ def build_parser():
     p.add_argument("--devices", type=int, default=0,
                    help="shard the positional scan over N local devices "
                         "(reference positions data-parallel); 0 = single")
+    p.add_argument("-o", "--output", default="", dest="out_file",
+                   help="write the VCF here (required for --resume / --dist-*)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip references whose partial aggregates are "
+                        "already checkpointed in <out>.progress")
+    p.add_argument("--dist-coordinator", default="",
+                   help="host:port of rank 0 (multi-host positional scan)")
+    p.add_argument("--dist-procs", type=int, default=0)
+    p.add_argument("--dist-rank", type=int, default=-1)
 
     p = sub.add_parser("hpv16")
     p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
@@ -387,6 +396,11 @@ def _dispatch(args) -> int:
                 window_len=args.window_len,
                 show_depth=args.show_depth,
                 devices=args.devices,
+                out_file=args.out_file,
+                resume=args.resume,
+                dist_coordinator=args.dist_coordinator,
+                dist_procs=args.dist_procs,
+                dist_rank=args.dist_rank,
             )
         )
     if args.command == "hpv16":

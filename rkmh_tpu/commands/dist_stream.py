@@ -801,6 +801,186 @@ def merge_outputs_filter(rank_files, lines_per_record: int = 4,
             fh.close()
 
 
+def run_distributed_call(cfg, out=None) -> int:
+    """call --dist-*: the positional scan sharded across a cross-host
+    mesh (reference: single-host OpenMP only, rkmh.cpp:1766-1883).
+
+    Each host builds the SAME read depth map (global state — the scan
+    probes arbitrary hashes, so it must be whole on every device; the
+    build is device-hashing-bound and deterministic), then every
+    reference's position axis shards over the global dp mesh
+    (mesh.sharded_call_scan_fn, ppermute window halos riding the mesh).
+    Rank r aggregates only its own position stripe into per-ref partial
+    sections (<out>.<rank>); `rkmh-tpu-dist-merge` merges the partials —
+    aggregation commutes (count sum, depth maxes), so the merged VCF is
+    byte-identical to single-process.  --resume: ranks re-dispatch every
+    scan (collectives need lockstep) but skip re-appending sections
+    already in their stripe.
+    """
+    import jax
+
+    from rkmh_tpu.commands.call_cmd import (
+        CallAggregator, build_depth_map, extract_records, load_partials,
+    )
+    from rkmh_tpu.parallel.distributed import initialize
+
+    if cfg.show_depth:
+        log("call --dist-* does not support -d/--show-depth (per-position "
+            "dump is a debugging surface; run it single-host)")
+        return 1
+    if not cfg.out_file:
+        log("call --dist-* requires -o <file> (per-rank partials merge "
+            "with rkmh-tpu-dist-merge)")
+        return 1
+    if not _rereadable_inputs(cfg.read_files):
+        log("call --dist-* requires re-readable -f files on every host")
+        return 1
+    if not cfg.ks:
+        log("No kmer size(s) provided. Will use a default kmer size of 16.")
+        ks = (16,)
+    elif len(cfg.ks) > 1:
+        log("Only a single kmer size may be used for calling.")
+        return 1
+    else:
+        ks = tuple(cfg.ks)
+    k = ks[0]
+
+    initialize(cfg.dist_coordinator or None,
+               cfg.dist_procs or None,
+               cfg.dist_rank if cfg.dist_rank >= 0 else None)
+    H = jax.process_count()
+    rank = jax.process_index()
+    ndev = jax.device_count()
+    n_local = len(jax.local_devices())
+
+    from rkmh_tpu.commands.common import (
+        load_packed, load_records, resolve_batch_size,
+    )
+    from rkmh_tpu.io.packing import bucket_length, encode_seqs
+    from rkmh_tpu.parallel.mesh import make_mesh, sharded_call_scan_fn
+    from rkmh_tpu.utils import to_host
+    from rkmh_tpu import call_engine
+
+    batch = resolve_batch_size(cfg.batch_size)
+    refs = load_records(cfg.ref_files)
+    reads = load_packed(cfg.read_files)
+    if not refs or not len(reads):
+        log("call requires at least one reference and one read file.")
+        return 1
+    table = build_depth_map(reads, ks, batch)
+    if len(refs) > 1:
+        log("WARNING: more than one ref provided. VCF will not be correct")
+
+    mesh = make_mesh(jax.devices(), dp=ndev, tp=1)
+    scan = sharded_call_scan_fn(mesh, k, cfg.window_len)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    slices_sh = NamedSharding(mesh, P("dp", None))
+    # stripe math below assumes process-major device enumeration
+    _assert_process_contiguous(
+        NamedSharding(mesh, P("dp")), ndev, ndev // H, rank)
+
+    path = f"{cfg.out_file}.{rank}"
+    done_refs: list[str] = []
+    if cfg.resume:
+        done_refs, _ = load_partials(path, truncate=True)
+        if done_refs:
+            log(f"dist rank {rank}: resuming, {len(done_refs)} ref "
+                f"section(s) already in {path}")
+        fh = open(path, "a")
+    else:
+        fh = open(path, "w")
+    _write_meta(cfg.out_file, 0, H, "call")
+    import json
+    import os
+
+    meta_path = f"{cfg.out_file}.dist.json"
+    with open(meta_path) as mf:
+        meta = json.load(mf)
+    meta["reference"] = cfg.ref_files[0]
+    tmp = f"{meta_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as mf:
+        json.dump(meta, mf)
+    os.replace(tmp, meta_path)
+
+    done_iter = iter(done_refs)
+    pending_done = next(done_iter, None)
+    log(f"dist rank {rank}/{H}: {len(refs)} ref(s), mesh dp={ndev} "
+        f"({n_local} local)")
+
+    try:
+        for ref in refs:
+            if len(ref.seq) < k:
+                continue
+            P_ = len(ref.seq) - k + 1
+            Pl = -(-P_ // ndev)
+            if Pl >= cfg.window_len:
+                codes, _ = encode_seqs([ref.seq], pad_to=ndev * Pl + k)
+                padded = np.concatenate([np.full(1, 4, np.uint8), codes[0]])
+                slices = np.stack([
+                    padded[d * Pl : d * Pl + Pl + k + 1] for d in range(ndev)
+                ])
+                res = scan(jax.device_put(slices, slices_sh), table)
+                # this host's contiguous stripe of the [ndev*Pl] rows
+                row_lo = rank * (ndev // H) * Pl
+                row_hi = (rank + 1) * (ndev // H) * Pl
+                mine = {}
+                for name, arr in res.items():
+                    buf = None
+                    for sh in arr.addressable_shards:
+                        sl = sh.index[0]
+                        lo = sl.start or 0
+                        data = np.asarray(sh.data)
+                        if buf is None:
+                            buf = np.zeros((row_hi - row_lo,) + data.shape[1:],
+                                           data.dtype)
+                        buf[lo - row_lo : lo - row_lo + data.shape[0]] = data
+                    mine[name] = buf
+                j_lo, j_hi, row_off = row_lo, row_hi, row_lo
+            else:
+                # short genome: identical single-device scan everywhere;
+                # rank 0 owns all positions, others emit empty sections
+                L = bucket_length(len(ref.seq))
+                codes, _ = encode_seqs([ref.seq], pad_to=L)
+                res = call_engine.call_scan_ref(
+                    codes[0], table, k, cfg.window_len)
+                mine = to_host(res)
+                j_lo, j_hi, row_off = 0, (P_ if rank == 0 else 0), 0
+
+            if pending_done is not None and pending_done == ref.name:
+                pending_done = next(done_iter, None)
+                continue  # section already checkpointed (still scanned:
+                          # the collectives above need every rank)
+            ref_agg = CallAggregator()
+            extract_records(ref.name, codes[0], mine, P_, k, ref_agg.record,
+                            j_lo=j_lo, j_hi=j_hi, row_off=row_off)
+            lines = ref_agg.dump_lines()
+            fh.writelines(lines)
+            fh.write(json.dumps({"ref_done": ref.name, "n": len(lines)}) + "\n")
+            fh.flush()
+    finally:
+        fh.close()
+    return 0
+
+
+def merge_outputs_call(rank_files, reference: str, out=None) -> int:
+    """Merge call --dist-* per-rank partial aggregates into the final
+    VCF (header + std::map-sorted records, byte-identical to
+    single-process)."""
+    from rkmh_tpu.commands.call_cmd import (
+        CallAggregator, load_partials, vcf_header,
+    )
+
+    out = out or sys.stdout
+    agg = CallAggregator()
+    for p in rank_files:
+        _, part = load_partials(p)
+        agg.merge_from(part)
+    out.write(vcf_header(reference))
+    agg.emit_vcf_records(out)
+    return 0
+
+
 def merge_main(argv=None) -> int:
     """console entry: rkmh-tpu-dist-merge out.0 out.1 ...
 
@@ -842,6 +1022,11 @@ def merge_main(argv=None) -> int:
         fmt = "filter"  # sidecar lost, but the idx files identify the format
     if fmt == "filter":
         return merge_outputs_filter(args.rank_files)
+    if fmt == "call":
+        if meta is None or "reference" not in meta:
+            ap.error(f"call merge needs the {meta_path} sidecar (it holds "
+                     "the ##reference header path)")
+        return merge_outputs_call(args.rank_files, meta["reference"])
     if not B:
         ap.error(f"no {meta_path} sidecar next to the rank files; "
                  "pass -b <global batch> explicitly")

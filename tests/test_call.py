@@ -260,3 +260,44 @@ def test_call_devices_parity(tmp_path):
     assert run(CallConfig(**base_t), out=single) == 0
     assert run(CallConfig(**base_t, devices=8), out=sharded) == 0
     assert sharded.getvalue() == single.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# --resume: per-ref partial-aggregate checkpointing
+# ---------------------------------------------------------------------------
+
+def test_call_resume_after_injected_crash(tmp_path, monkeypatch):
+    """Crash after 20 of 60 refs, resume, and the final VCF is
+    byte-identical to an uninterrupted run (aggregation commutes; the
+    .progress sidecar replays completed refs)."""
+    from rkmh_tpu.commands.call_cmd import CallConfig, run
+    from rkmh_tpu.commands.recovery import InjectedFailure
+
+    D = "/root/reference/data"
+    kw = dict(ref_files=[f"{D}/zika.refs.fa"], read_files=[f"{D}/z1.fq"],
+              ks=(12,), window_len=50)
+
+    clean = tmp_path / "clean.vcf"
+    assert run(CallConfig(out_file=str(clean), **kw)) == 0
+
+    crashed = tmp_path / "crashed.vcf"
+    monkeypatch.setenv("RKMH_TPU_FAIL_AFTER_CHUNKS", "20")
+    with pytest.raises(InjectedFailure):
+        run(CallConfig(out_file=str(crashed), **kw))
+    monkeypatch.delenv("RKMH_TPU_FAIL_AFTER_CHUNKS")
+    assert not crashed.exists()          # died before the final write
+    progress = tmp_path / "crashed.vcf.progress"
+    assert progress.exists()
+
+    assert run(CallConfig(out_file=str(crashed), resume=True, **kw)) == 0
+    assert crashed.read_text() == clean.read_text()
+    assert clean.read_text().count("\n") > 10
+
+
+def test_call_resume_requires_out_file():
+    from rkmh_tpu.commands.call_cmd import CallConfig, run
+
+    D = "/root/reference/data"
+    assert run(CallConfig(ref_files=[f"{D}/hpv_16.fa"],
+                          read_files=[f"{D}/minION25.fq"],
+                          ks=(16,), resume=True)) == 1

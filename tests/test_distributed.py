@@ -465,3 +465,62 @@ def test_dist_resume_geometry_guards(tmp_path):
     with _pytest.raises(RuntimeError, match="ended early"):
         merge_outputs_filter([str(tmp_path / "f.0"), str(tmp_path / "f.1")],
                              out=_io.StringIO())
+
+
+def test_two_process_distributed_cli_call(tmp_path):
+    """call --dist-*: the positional scan sharded over 2 processes x 4
+    virtual CPU devices; merged per-rank partial aggregates byte-equal
+    the single-process VCF (aggregation commutes across disjoint
+    position stripes)."""
+    import contextlib
+    import io as _io
+
+    from rkmh_tpu.commands.call_cmd import CallConfig, run as run_call
+
+    D = "/root/reference/data"
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out = str(tmp_path / "out.vcf")
+    args = [
+        "-m", "rkmh_tpu.cli", "call",
+        "-r", f"{D}/hpv_16.fa", "-f", f"{D}/minION25.fq", "-k", "16",
+        "--dist-coordinator", f"localhost:{port}", "--dist-procs", "2",
+        "-o", out,
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *args, "--dist-rank", str(p)],
+            cwd=str(tmp_path),
+            env={
+                "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+                "PYTHONPATH": "/root/repo",
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+                "HOME": os.environ.get("HOME", "/root"),
+            },
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for p in range(2)
+    ]
+    errs = []
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        errs.append(err)
+    assert all(p.returncode == 0 for p in procs), "\n".join(e[-1500:] for e in errs)
+
+    from rkmh_tpu.commands.dist_stream import merge_main
+
+    merged = _io.StringIO()
+    with contextlib.redirect_stdout(merged):
+        assert merge_main([f"{out}.0", f"{out}.1"]) == 0
+
+    single = _io.StringIO()
+    assert run_call(
+        CallConfig(ref_files=[f"{D}/hpv_16.fa"],
+                   read_files=[f"{D}/minION25.fq"], ks=(16,)),
+        out=single,
+    ) == 0
+    assert merged.getvalue() == single.getvalue()
+    assert merged.getvalue().count("\n") > 10
