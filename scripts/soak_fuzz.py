@@ -41,6 +41,7 @@ def main():
         ("hpv16", _hpv16),
         ("devices", fuzz.test_devices_fuzz_matches_single),
         ("call-devices", fuzz.test_call_devices_fuzz_matches_single),
+        ("dist", fuzz.test_dist_fuzz_matches_single),
     ]
     for seed in range(start, start + n):
         for name, fn in cases:

@@ -339,3 +339,151 @@ def test_call_devices_fuzz_matches_single(tmp_path, seed):
     eight = io.StringIO()
     assert run_call(CallConfig(**base, devices=8), out=eight) == 0
     assert eight.getvalue() == one.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# dist drains: randomized 2-process stripes + merge + mid-drain resume
+# ---------------------------------------------------------------------------
+
+def _launch_dist(args, env, n_procs=2):
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, *args, "--dist-coordinator",
+             f"localhost:{port}", "--dist-rank", str(p)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+        for p in range(n_procs)
+    ]
+    errs = [p.communicate(timeout=600)[1] for p in procs]
+    assert all(p.returncode == 0 for p in procs), \
+        "\n".join(e[-1500:] for e in errs)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dist_fuzz_matches_single(tmp_path, seed):
+    """Randomized 2-process --dist-* drains (stream / filter / hpv16 by
+    seed) on random panels/reads: merged stripes must byte-equal the
+    single-process run, and (stream/hpv16) a mid-drain interruption —
+    stripes truncated at random points, one with a torn tail — must
+    resume to the identical merged output."""
+    import os as _os
+
+    rng = np.random.default_rng(seed + 1009)
+    cmd = ["stream", "filter", "hpv16"][seed % 3]
+    tp = int(rng.choice([1, 2]))
+    ks = int(rng.choice([9, 11, 13]))
+    s = int(rng.integers(8, 60))
+    env = {
+        "PATH": _os.environ.get("PATH", "/usr/bin:/bin"),
+        "PYTHONPATH": "/root/repo",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "HOME": _os.environ.get("HOME", "/root"),
+    }
+    out = str(tmp_path / "out.txt")
+
+    reads = [(f"rd{i}", _rand_seq(rng, int(rng.integers(3, 160))))
+             for i in range(int(rng.integers(30, 70)))]
+    fp = tmp_path / "reads.fq"
+    fp.write_text("".join(f"@{n}\n{sq.decode()}\n+\n{'I' * len(sq)}\n"
+                          for n, sq in reads))
+
+    if cmd == "hpv16":
+        # synthetic refpath (full PAVE panel is minutes per CPU process)
+        n_types = int(rng.integers(3, 7))
+        types = [_rand_seq(rng, int(rng.integers(300, 900)), with_n=False)
+                 for _ in range(n_types)]
+        (tmp_path / "all_pave_ref.fa").write_text("".join(
+            f">TYPE{i}REF\n{t.decode()}\n" for i, t in enumerate(types)))
+        subs = {}
+        for name in ["A1", "A2", "B1", "C1"][: int(rng.integers(2, 5))]:
+            b = bytearray(types[0])
+            for p in rng.choice(len(b) - 1, size=8, replace=False):
+                b[p] = ord(rng.choice(list("ACGT")))
+            subs[name] = bytes(b)
+        (tmp_path / "new_refs.fa").write_text("".join(
+            f">{n}\n{sq.decode()}\n" for n, sq in subs.items()))
+        args = ["-m", "rkmh_tpu.cli", "hpv16", "-f", str(fp),
+                "-R", str(tmp_path), "-k", str(ks), "-s", str(s),
+                "--batch-size", "16", "--tp", str(tp),
+                "--dist-procs", "2", "-o", out]
+    else:
+        n_refs = int(rng.integers(2, 9))
+        if tp > 1:
+            n_refs += (-n_refs) % tp  # tp must divide the panel
+        refs = [(f"ref{i}", _rand_seq(rng, int(rng.integers(80, 400))))
+                for i in range(n_refs)]
+        rp = tmp_path / "refs.fa"
+        rp.write_text("".join(f">{n}\n{sq.decode()}\n" for n, sq in refs))
+        args = ["-m", "rkmh_tpu.cli", cmd, "-r", str(rp), "-f", str(fp),
+                "-k", str(ks), "-s", str(s), "--batch-size", "16",
+                "--tp", str(tp), "--dist-procs", "2", "-o", out]
+        if cmd == "filter":
+            args += ["-N", "1"]
+
+    _launch_dist(args, env)
+
+    import contextlib
+
+    from rkmh_tpu.commands.dist_stream import merge_main
+
+    def merged_text():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert merge_main([f"{out}.0", f"{out}.1"]) == 0
+        return buf.getvalue()
+
+    full = merged_text()
+
+    # single-process reference run
+    single = io.StringIO()
+    if cmd == "stream":
+        assert run(StreamConfig(ref_files=[str(tmp_path / "refs.fa")],
+                                read_files=[str(fp)], ks=(ks,),
+                                sketch_size=s, batch_size=16),
+                   out=single) == 0
+    elif cmd == "filter":
+        from rkmh_tpu.commands.filter_cmd import FilterConfig
+        from rkmh_tpu.commands.filter_cmd import run as run_filter
+
+        assert run_filter(
+            FilterConfig(ref_files=[str(tmp_path / "refs.fa")],
+                         read_files=[str(fp)], ks=(ks,), sketch_size=s,
+                         batch_size=16, min_matches=1), out=single) == 0
+    else:
+        from rkmh_tpu.commands.hpv16_cmd import Hpv16Config
+        from rkmh_tpu.commands.hpv16_cmd import run as run_hpv16
+
+        cwd = _os.getcwd()
+        _os.chdir(tmp_path)  # the .tst side-effect file
+        try:
+            assert run_hpv16(
+                Hpv16Config(read_files=[str(fp)], refpath=str(tmp_path),
+                            ks=(ks,), sketch_size=s, batch_size=16),
+                out=single) == 0
+        finally:
+            _os.chdir(cwd)
+    assert full == single.getvalue()
+
+    if cmd in ("stream", "hpv16"):
+        # mid-drain interruption: truncate each stripe at a random line
+        # count (rank 1 with a torn tail), then --resume and re-merge
+        for p in range(2):
+            with open(f"{out}.{p}") as fh:
+                lines = fh.readlines()
+            keep = int(rng.integers(0, max(1, len(lines))))
+            torn = lines[keep][: len(lines[keep]) // 2] \
+                if p == 1 and keep < len(lines) else ""
+            with open(f"{out}.{p}", "w") as fh:
+                fh.writelines(lines[:keep])
+                fh.write(torn)
+        _launch_dist(args + ["--resume"], env)
+        assert merged_text() == full
