@@ -582,6 +582,108 @@ def hpv16_batch(
     )
 
 
+# ---------------------------------------------------------------------------
+# Split-dispatch hpv16 step.  The 600 MB type-table row gather runs as
+# its OWN dispatch (own kCustom gather fusion): measured 27 -> 18.3 ms
+# per 200-read batch vs the single fused jit (round-3 probes; the fused
+# form pays a byte-proportional penalty streaming 288 B rows through the
+# compare chain).  The small uniq-table probe stays fused (split is
+# neutral there).  Bit-identical to hpv16_batch — pure reorganization.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("ks", "nb_type", "nb_uniq", "min_occ"))
+def hpv16_split_stage1(codes, ks: tuple, nb_type: int, nb_uniq: int,
+                       counter_table=None, min_occ: int = 0):
+    """hash (+ -M depth mask) -> full sorted hash array -> occ ranks +
+    bucket indices for BOTH tables.  Returns (lo, hi, occ, qmask,
+    bidx_type, bidx_uniq)."""
+    from rkmh_tpu.ops.intersect import occ_ranks
+    from rkmh_tpu.ops.lookup import bucket_indices
+    from rkmh_tpu.ops.sketch import SENTINEL
+
+    hashes = multi_k_window_hashes(codes, list(ks))
+    if counter_table is not None:
+        counts = counter_get(counter_table, hashes)
+        hashes = mask_by_frequency(hashes, counts, min_occ)
+    full, lens = bottom_s_sketch(hashes, hashes.shape[-1])
+    occ = occ_ranks(full).astype(jnp.uint32)
+    qmask = (
+        jnp.arange(full.shape[1], dtype=jnp.int32)[None, :] < lens[:, None]
+    ) & (full != SENTINEL)
+    lo = full.astype(jnp.uint32)
+    hi = (full >> np.uint64(32)).astype(jnp.uint32)
+    return (lo, hi, occ, qmask,
+            bucket_indices(lo, hi, occ, nb_type),
+            bucket_indices(lo, hi, occ, nb_uniq))
+
+
+@partial(jax.jit, static_argnames=("L", "ks", "nb_type", "nb_uniq", "min_occ"))
+def hpv16_split_stage1_packed4(packed, vbits, L: int, ks: tuple,
+                               nb_type: int, nb_uniq: int,
+                               counter_table=None, min_occ: int = 0):
+    """hpv16_split_stage1 over the 2-bit packed wire format."""
+    codes = unpack_codes4(packed, vbits, L)
+    return hpv16_split_stage1.__wrapped__(
+        codes, ks, nb_type, nb_uniq, counter_table, min_occ)
+
+
+@jax.jit
+def hpv16_split_gather(table, bidx):
+    """A bare row gather — its own dispatch so XLA compiles it as a
+    standalone kCustom gather fusion."""
+    return table[bidx]
+
+
+@partial(jax.jit, static_argnames=("num_types", "num_uniq"))
+def hpv16_split_finish(rows_t, rows_u, lo, hi, occ, qmask,
+                       num_types: int, num_uniq: int):
+    """Compare tails over both pre-gathered row sets + argmax + int64
+    packing (same layout as hpv16_batch)."""
+    from rkmh_tpu.ops.lookup import counts_from_rows
+
+    tc = counts_from_rows(rows_t, lo, hi, occ, qmask, num_types)
+    uc = counts_from_rows(rows_u, lo, hi, occ, qmask, num_uniq)
+    best = jnp.argmax(tc, axis=-1)
+    max_shared = jnp.max(tc, axis=-1)
+    return jnp.concatenate(
+        [
+            best.astype(jnp.int64)[:, None],
+            max_shared.astype(jnp.int64)[:, None],
+            uc.astype(jnp.int64),
+        ],
+        axis=1,
+    )
+
+
+def hpv16_batch_split(codes, type_table, uniq_table, ks: tuple,
+                      num_types: int, num_uniq: int,
+                      counter_table=None, min_occ: int = 0):
+    """4-dispatch hpv16 step; result-identical to hpv16_batch."""
+    lo, hi, occ, qmask, bidx_t, bidx_u = hpv16_split_stage1(
+        codes, ks=ks, nb_type=type_table.shape[0],
+        nb_uniq=uniq_table.shape[0],
+        counter_table=counter_table, min_occ=min_occ)
+    rows_t = hpv16_split_gather(type_table, bidx_t)
+    rows_u = hpv16_split_gather(uniq_table, bidx_u)
+    return hpv16_split_finish(rows_t, rows_u, lo, hi, occ, qmask,
+                              num_types=num_types, num_uniq=num_uniq)
+
+
+def hpv16_packed4_batch_split(packed, vbits, L: int, type_table, uniq_table,
+                              ks: tuple, num_types: int, num_uniq: int,
+                              counter_table=None, min_occ: int = 0):
+    """4-dispatch hpv16 step over the packed wire format."""
+    lo, hi, occ, qmask, bidx_t, bidx_u = hpv16_split_stage1_packed4(
+        packed, vbits, L=L, ks=ks, nb_type=type_table.shape[0],
+        nb_uniq=uniq_table.shape[0],
+        counter_table=counter_table, min_occ=min_occ)
+    rows_t = hpv16_split_gather(type_table, bidx_t)
+    rows_u = hpv16_split_gather(uniq_table, bidx_u)
+    return hpv16_split_finish(rows_t, rows_u, lo, hi, occ, qmask,
+                              num_types=num_types, num_uniq=num_uniq)
+
+
 @partial(jax.jit, static_argnames=("num_refs", "min_diff", "min_matches"))
 def filter_sketches_table_packed(
     sk, sk_lens, table, ref_lens,

@@ -470,13 +470,13 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
             from rkmh_tpu.io.packing import pack_codes4
 
             pk, vb = pack_codes4(codes)
-            return engine.hpv16_packed4_batch(
+            return engine.hpv16_packed4_batch_split(
                 pk, vb, codes.shape[1],
                 type_table, uniq_table,
                 ks, len(type_names), n_lin + n_sub,
                 counter_table=counter_table, min_occ=cfg.min_kmer_occ,
             )
-        return engine.hpv16_batch(
+        return engine.hpv16_batch_split(
             codes,
             type_table, uniq_table,
             ks, len(type_names), n_lin + n_sub,

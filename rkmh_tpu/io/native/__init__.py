@@ -88,8 +88,30 @@ def load():
     lib.rkmh_format_lines.restype = ctypes.c_int64
     lib.rkmh_buf_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
     lib.rkmh_buf_free.restype = None
+    _u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rkmh_pack4.argtypes = [
+        _u8p, ctypes.c_int64, ctypes.c_int64, _u8p, _u8p
+    ]
+    lib.rkmh_pack4.restype = None
     _lib = lib
     return _lib
+
+
+def pack4_native(codes: np.ndarray):
+    """Native 2-bit packing (io/packing.pack_codes4 layout); None when
+    the library is unavailable or the input is not C-contiguous u8."""
+    lib = load()
+    if lib is None:
+        return None
+    if codes.dtype != np.uint8 or not codes.flags.c_contiguous:
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    B, L = codes.shape
+    packed = np.empty((B, L // 4), np.uint8)
+    vbits = np.empty((B, L // 8), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rkmh_pack4(codes.ctypes.data_as(u8p), B, L,
+                   packed.ctypes.data_as(u8p), vbits.ctypes.data_as(u8p))
+    return packed, vbits
 
 
 def _i64_ptr(a):

@@ -75,8 +75,22 @@ ParseStatus parse_one(const std::vector<uint8_t>& buf, size_t& pos, bool eof,
         while (p < n && (buf[p] == '\n' || buf[p] == '\r')) ++p;
     };
     auto line_end = [&](size_t p) {
-        while (p < n && buf[p] != '\n' && buf[p] != '\r') ++p;
-        return p;
+        // two memchr scans (SIMD) preserve the original per-byte
+        // semantics: a line ends at the first '\n' OR '\r' (CRLF and
+        // lone-\r files both parse as before)
+        if (p >= n) return n;
+        const uint8_t* base = buf.data();
+        const void* nl = memchr(base + p, '\n', n - p);
+        size_t e = nl ? (size_t)((const uint8_t*)nl - base) : n;
+        const void* cr = memchr(base + p, '\r', e - p);
+        return cr ? (size_t)((const uint8_t*)cr - base) : e;
+    };
+    auto append_upper = [&](std::string& dst, size_t s, size_t e) {
+        size_t old = dst.size();
+        dst.resize(old + (e - s));
+        char* d = &dst[old];
+        const uint8_t* src = buf.data() + s;
+        for (size_t m = 0; m < e - s; ++m) d[m] = (char)UPPER_LUT[src[m]];
     };
 
     skip_eol(i);
@@ -109,7 +123,7 @@ ParseStatus parse_one(const std::vector<uint8_t>& buf, size_t& pos, bool eof,
     if (fastq) {
         size_t se = line_end(i);
         if (se >= n && !eof) return rollback();
-        for (size_t p = i; p < se; ++p) cb.seqs.push_back((char)UPPER_LUT[buf[p]]);
+        append_upper(cb.seqs, i, se);
         i = se; skip_eol(i);
         r.qual_off = cb.quals.size();
         if (i >= n && !eof) return rollback();  // can't tell if '+' follows
@@ -132,7 +146,7 @@ ParseStatus parse_one(const std::vector<uint8_t>& buf, size_t& pos, bool eof,
             if (buf[i] == '>' || buf[i] == '@') break;
             size_t se = line_end(i);
             if (se >= n && !eof) return rollback();
-            for (size_t p = i; p < se; ++p) cb.seqs.push_back((char)UPPER_LUT[buf[p]]);
+            append_upper(cb.seqs, i, se);
             i = se; skip_eol(i);
         }
         r.qual_off = cb.quals.size();
@@ -354,6 +368,41 @@ int64_t rkmh_format_lines(const int64_t* best, const int64_t* shared,
 }
 
 void rkmh_buf_free(char* p) { free(p); }
+
+// 2-bit-pack a [B, L] code matrix into the device wire format:
+// packed [B, L/4] (4 bases/byte, base i at bits 2i%8) + vbits [B, L/8]
+// (validity bitmask, little-endian bit order) — the exact layout of
+// io/packing.pack_codes4, which numpy produces at ~150 MB/s via strided
+// slicing; this loop runs at memory speed.  L % 8 == 0 (callers pad).
+void rkmh_pack4(const uint8_t* codes, int64_t B, int64_t L,
+                uint8_t* packed, uint8_t* vbits) {
+    for (int64_t r = 0; r < B; ++r) {
+        const uint8_t* row = codes + r * L;
+        uint8_t* po = packed + r * (L / 4);
+        uint8_t* vo = vbits + r * (L / 8);
+        for (int64_t j = 0; j < L; j += 8) {
+            uint8_t c0 = row[j],     c1 = row[j + 1],
+                    c2 = row[j + 2], c3 = row[j + 3],
+                    c4 = row[j + 4], c5 = row[j + 5],
+                    c6 = row[j + 6], c7 = row[j + 7];
+            uint8_t v = (uint8_t)((c0 < 4) | ((c1 < 4) << 1) |
+                                  ((c2 < 4) << 2) | ((c3 < 4) << 3) |
+                                  ((c4 < 4) << 4) | ((c5 < 4) << 5) |
+                                  ((c6 < 4) << 6) | ((c7 < 4) << 7));
+            // invalid bases pack as 0 (consumers only test validity)
+            po[0] = (uint8_t)(((c0 < 4) ? c0 : 0) |
+                              (((c1 < 4) ? c1 : 0) << 2) |
+                              (((c2 < 4) ? c2 : 0) << 4) |
+                              (((c3 < 4) ? c3 : 0) << 6));
+            po[1] = (uint8_t)(((c4 < 4) ? c4 : 0) |
+                              (((c5 < 4) ? c5 : 0) << 2) |
+                              (((c6 < 4) ? c6 : 0) << 4) |
+                              (((c7 < 4) ? c7 : 0) << 6));
+            po += 2;
+            *vo++ = v;
+        }
+    }
+}
 
 // Parse one whole FASTA/FASTQ file into a single packed batch.
 // Returns 0 on success, nonzero on error (1 io, 2 malformed, 3 alloc).

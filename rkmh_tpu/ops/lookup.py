@@ -97,13 +97,35 @@ def predicted_buckets(n_entries: int, slots: int) -> int:
         nb *= 2
 
 
-def pick_slots(n_entries: int, mask_words: int, forced: int | None = None) -> int:
-    """Smallest slot width whose predicted table fits the size budget."""
+def pick_slots(n_entries: int, mask_words: int, forced: int | None = None,
+               policy: str = "narrow") -> int:
+    """Slot width for a new table.
+
+    policy="narrow" (classify panels): smallest S whose predicted table
+    fits the size budget — the classify probe fuses the gather with its
+    consumers, where cost tracks ROW BYTES (measured S=2 10.5 ms vs S=8
+    18.6 ms on the zika step).
+
+    policy="compact" (set tables, split-gather probes): the S in
+    {2, 3, 4} with the fewest predicted table BYTES — standalone
+    gathers cost ~fixed per row until the table outgrows locality, so
+    total size wins (hpv16 uniq sweep: S=3/4 at 4-6 MB beat S=2 at
+    34 MB by ~25%; S=4 at 2.4 GB lost to S=8 at 604 MB on the type
+    panel).  Falls back to 8 when even the best candidate busts the
+    budget (the 604 MB type panel)."""
     if forced:
         return forced
     if _FORCED_SLOTS:
         return SLOTS
     budget = _BUDGET_MB * (1 << 20)
+    if policy == "compact":
+        best, best_bytes = None, None
+        for s in (2, 3, 4):
+            nb = predicted_buckets(n_entries, s)
+            size = 4 * s * (3 + mask_words) * nb
+            if best_bytes is None or size < best_bytes:
+                best, best_bytes = s, size
+        return best if best_bytes <= budget else 8
     for s in (2, 4):
         nb = predicted_buckets(n_entries, s)
         if 4 * s * (3 + mask_words) * nb <= budget:
@@ -187,7 +209,8 @@ def _bucket_of(lo: np.ndarray, hi: np.ndarray, occ: np.ndarray, nb: int):
 
 def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = None,
                       num_buckets: int | None = None,
-                      slots: int | None = None) -> PanelTable:
+                      slots: int | None = None,
+                      policy: str = "narrow") -> PanelTable:
     """Build the bucket table from a sorted sketch matrix [R, t] uint64
     (SENTINEL-padded rows, as produced by bottom_s_sketch).
 
@@ -201,14 +224,14 @@ def build_panel_table(ref_sk: np.ndarray, ref_lens=None, num_refs: int | None = 
 
     ents = _collect_entries(ref_sk, ref_lens, R, Wm)
     if ents is None:
-        S = pick_slots(0, Wm, slots)
+        S = pick_slots(0, Wm, slots, policy)
         nb0 = num_buckets or 1
         empty = np.zeros((nb0, S * (3 + Wm)), dtype=np.uint32)
         empty[:, 2 * S : 3 * S] = _EMPTY_OCC
         return PanelTable(empty, R, Wm)
     h, occ, masks = ents
     n = len(h)
-    S = pick_slots(n, Wm, slots)
+    S = pick_slots(n, Wm, slots, policy)
     lo = h.astype(np.uint32)
     hi = (h >> np.uint64(32)).astype(np.uint32)
 
@@ -262,23 +285,38 @@ def lookup_intersection_counts_masked(read_sk, qmask, occ, table_arrays,
     )
 
 
+def bucket_indices(lo, hi, occ, nb: int):
+    """The (lo, hi, occ) -> bucket mult-shift mix, device side — must
+    match _bucket_of."""
+    occ = occ.astype(jnp.uint32)
+    shift = np.uint32(32 - int(np.log2(nb)))
+    x = (lo ^ (hi * np.uint32(_MIX)) ^ (occ * np.uint32(_MIX))) * np.uint32(_MUL)
+    return (x >> shift).astype(jnp.int32)
+
+
 def lookup_intersection_counts_masked_pair(lo, hi, qmask, occ, table_arrays,
                                            num_refs: int):
     """lookup_intersection_counts_masked with the hash halves supplied as
     u32 arrays — the all-u32 query path (no u64 anywhere; XLA:TPU
     emulates 64-bit ops expensively, so pair-producing hashers feed this
-    directly)."""
+    directly).  Composition of bucket_indices -> gather ->
+    counts_from_rows, fused in one program (right for the small classify
+    panels; the hpv16-scale tables split the gather into its own
+    dispatch — classify/engine.hpv16_split_*)."""
     (table,) = table_arrays
-    nb = table.shape[0]
-    S = table_slots(table.shape[1], num_refs)
-    Wm = table.shape[1] // S - 3
-    shift = np.uint32(32 - int(np.log2(nb)))
-
-    occ = occ.astype(jnp.uint32)
-    x = (lo ^ (hi * np.uint32(_MIX)) ^ (occ * np.uint32(_MIX))) * np.uint32(_MUL)
-    bidx = (x >> shift).astype(jnp.int32)
-
+    bidx = bucket_indices(lo, hi, occ, table.shape[0])
     rows = table[bidx]                                     # [B, s, width]
+    return counts_from_rows(rows, lo, hi, occ, qmask, num_refs)
+
+
+def counts_from_rows(rows, lo, hi, occ, qmask, num_refs: int):
+    """The probe's compare + mask-popcount tail over PRE-GATHERED bucket
+    rows — split out so callers can run the gather in its own dispatch
+    (its own kCustom fusion; measured 1.5x faster than the fused form on
+    the 600 MB hpv16 table, scripts in ROUND3.md)."""
+    S = table_slots(rows.shape[-1], num_refs)
+    Wm = rows.shape[-1] // S - 3
+    occ = occ.astype(jnp.uint32)
     hi_e = rows[..., 0:S]
     lo_e = rows[..., S : 2 * S]
     occ_e = rows[..., 2 * S : 3 * S]
@@ -345,7 +383,7 @@ def build_set_table(ref_hash_rows: list, num_refs: int | None = None) -> PanelTa
     for i, row in enumerate(cleaned):
         mat[i, : len(row)] = row
         lens[i] = len(row)
-    return build_panel_table(mat, lens, num_refs=R)
+    return build_panel_table(mat, lens, num_refs=R, policy="compact")
 
 
 # ---------------------------------------------------------------------------
@@ -479,7 +517,7 @@ def build_set_table_device(hashes, mask, num_refs: int, est_entries: int | None 
     device u32 array compatible with lookup_intersection_counts.
     """
     n = est_entries or int(_count_unique_keys(hashes, mask))
-    S = pick_slots(n, max(1, (num_refs + 31) // 32))
+    S = pick_slots(n, max(1, (num_refs + 31) // 32), policy="compact")
     nb = predicted_buckets(n, S)
     while True:
         table, max_rank = _device_set_table_jit(hashes, mask, nb, num_refs,
@@ -507,7 +545,7 @@ def build_sharded_set_tables_device(hashes, mask, tp: int):
     groups = [(hashes[i * rps:(i + 1) * rps], mask[i * rps:(i + 1) * rps])
               for i in range(tp)]
     ns = [int(_count_unique_keys(h, m)) for h, m in groups]
-    S = pick_slots(max(max(ns), 1), wm)
+    S = pick_slots(max(max(ns), 1), wm, policy="compact")
     nb = max(predicted_buckets(n, S) for n in ns)
     while True:
         tables = []

@@ -112,9 +112,14 @@ def main():
     def f_full(c, tt, ut):
         return engine.hpv16_batch(c, tt, ut, ks, len(pave), len(subs)).sum()
 
+    def f_split(c):
+        return engine.hpv16_batch_split(
+            c, type_table, uniq_table, ks, len(pave), len(subs))
+
     for name, f in [("hash", f_hash), ("sort", f_sort), ("typep", f_typep),
                     ("uniqp", f_uniqp),
-                    ("full", lambda c: f_full(c, type_table, uniq_table))]:
+                    ("full", lambda c: f_full(c, type_table, uniq_table)),
+                    ("split", f_split)]:
         dt = timeit(f, codes)
         print(f"{name:6s} {dt*1e3:9.2f} ms/batch  {B/dt:8.0f} reads/s  "
               f"{bp/dt/1e6:8.1f} Mbp/s")

@@ -211,6 +211,72 @@ def test_packed4_sketch_and_hpv16_variants_identical():
     assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_hpv16_split_dispatch_identical_to_fused():
+    """hpv16_batch_split / hpv16_packed4_batch_split (the 4-dispatch
+    production path: stage1 -> two bare gathers -> finish) must be
+    bit-identical to the single-jit hpv16_batch, with and without the
+    -M depth filter."""
+    import numpy as np
+    from rkmh_tpu.classify import engine
+    from rkmh_tpu.io.packing import pack_codes4
+    from rkmh_tpu.ops.counter import HashCounter
+    from rkmh_tpu.ops.lookup import build_set_table_device
+    from rkmh_tpu.utils import to_host
+
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, size=(12, 96)).astype(np.uint8)
+    codes[3, 72:] = 255
+    ks = (14, 16)
+
+    ref_codes = rng.integers(0, 4, size=(4, 220)).astype(np.uint8)
+    rh, rm = engine.hash_batch_with_mask(
+        ref_codes, np.full(4, 220, np.int32), ks
+    )
+    tt = build_set_table_device(rh, rm, num_refs=4)
+    ut = build_set_table_device(rh[:3], rm[:3], num_refs=3)
+
+    hc = HashCounter(4096)
+    h, m = engine.hash_batch_with_mask(codes, np.full(12, 96, np.int32), ks)
+    hc.add(h, m)
+
+    pk, vb = pack_codes4(codes)
+    for ctr, mo in [(None, 0), (hc.table, 1)]:
+        want = to_host(engine.hpv16_batch(
+            codes, tt, ut, ks, 4, 3, counter_table=ctr, min_occ=mo))
+        got = to_host(engine.hpv16_batch_split(
+            codes, tt, ut, ks, 4, 3, counter_table=ctr, min_occ=mo))
+        assert np.array_equal(np.asarray(want), np.asarray(got))
+        got_p = to_host(engine.hpv16_packed4_batch_split(
+            pk, vb, 96, tt, ut, ks, 4, 3, counter_table=ctr, min_occ=mo))
+        assert np.array_equal(np.asarray(want), np.asarray(got_p))
+
+
+def test_pack4_native_matches_numpy():
+    """The C packer (io/native rkmh_pack4) must reproduce the numpy
+    layout byte for byte, including invalid-base zeroing and the
+    little-endian validity bit order."""
+    import numpy as np
+    import pytest
+    from rkmh_tpu.io.native import pack4_native
+    from rkmh_tpu.io.packing import _pack_codes4_numpy
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 6, size=(37, 168)).astype(np.uint8)  # 4,5 invalid
+    codes[0, :] = 255
+    codes[1, :] = 3
+    native = pack4_native(codes)
+    if native is None:
+        pytest.skip("native IO library unavailable")
+    pk_n, vb_n = native
+    pk, vb = _pack_codes4_numpy(codes)
+    assert np.array_equal(pk, pk_n)
+    assert np.array_equal(vb, vb_n)
+    # non-contiguous input goes through the ascontiguousarray path
+    pk2, vb2 = pack4_native(codes[::2])
+    pkr, vbr = _pack_codes4_numpy(codes[::2])
+    assert np.array_equal(pk2, pkr) and np.array_equal(vb2, vbr)
+
+
 def test_slot_width_auto_pick_and_cross_width_parity():
     """Tables built at any slot width must answer queries identically,
     and the auto-picker must respect forcing and the size budget."""
