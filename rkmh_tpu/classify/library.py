@@ -20,10 +20,14 @@ Semantics notes vs the reference:
 from __future__ import annotations
 
 from collections import Counter
+from functools import partial
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from rkmh_tpu import oracle
+from rkmh_tpu.ops.sketch import SENTINEL, sort_u64_rows
 
 
 def merge_sketches(mins: list[list[int]], sketch_size: int) -> list[int]:
@@ -94,4 +98,100 @@ def all_hash_compare(
     sh = sorted(hashes)
     return [
         oracle.intersection_size(sh, sorted(rh)) for _, rh in ref_hashes
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Device-batch forms of the same exports.  The scalar functions above are
+# the executable spec (oracle-backed); these run whole row batches on the
+# accelerator and are bit-tested against them (tests/test_library.py).
+# Rows use the package's device hash-row convention: uint64, 0 = invalid
+# (mkmh's canonical-hash sentinel), any order unless noted.
+# ---------------------------------------------------------------------------
+
+
+def _sort_flat(rows):
+    """All valid values of [..., W] rows, ascending, SENTINEL-padded."""
+    flat = rows.reshape(1, -1)
+    x = jnp.where(flat == np.uint64(0), SENTINEL, flat)
+    return sort_u64_rows(x)[0]
+
+
+@partial(jax.jit, static_argnames=("sketch_size",))
+def merge_sketches_batch(rows, sketch_size: int):
+    """Device merge/2 (equiv.hpp:88-111): bottom-`sketch_size` of the
+    DEDUPED union of all rows.  Returns (sorted [sketch_size] uint64,
+    SENTINEL-padded, count)."""
+    xs = _sort_flat(rows)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), xs[1:] != xs[:-1]])
+    keep = first & (xs != SENTINEL)
+    rank = jnp.cumsum(keep) - 1
+    idx = jnp.where(keep & (rank < sketch_size), rank, sketch_size)
+    out = jnp.full((sketch_size + 1,), SENTINEL, dtype=jnp.uint64)
+    out = out.at[idx].set(xs, mode="drop")[:sketch_size]
+    n = jnp.minimum(jnp.sum(keep), sketch_size).astype(jnp.int32)
+    return out, n
+
+
+@partial(jax.jit, static_argnames=("sketch_size",))
+def merge_sketches_with_counts_batch(rows, sketch_size: int):
+    """Device merge/3 (equiv.hpp:59-83): bottom-(2*sketch_size) union
+    sketch plus exact multiset occurrence counts per selected hash
+    (the counter_size=None flavor of merge_sketches_with_counts)."""
+    sketch, n = merge_sketches_batch.__wrapped__(rows, 2 * sketch_size)
+    xs = _sort_flat(rows)
+    left = jnp.searchsorted(xs, sketch, side="left")
+    right = jnp.searchsorted(xs, sketch, side="right")
+    counts = jnp.where(sketch != SENTINEL, right - left, 0).astype(jnp.int32)
+    return sketch, counts, n
+
+
+@jax.jit
+def informative_mask_batch(rows, sample_counts_max):
+    """Device only_informative_kmers (equiv.hpp:171-199): per-element
+    keep mask for hashes occurring in fewer than `sample_counts_max`
+    DISTINCT rows (invalid 0s are never kept).
+
+    Counting: row-sort -> per-row first-occurrence flags -> one global
+    sort of the distinct stream -> run lengths = samples per hash ->
+    searchsorted lookup back onto every original element."""
+    x = jnp.where(rows == np.uint64(0), SENTINEL, rows)
+    xs = sort_u64_rows(x)                          # [N, W] row-sorted
+    row_first = jnp.concatenate(
+        [jnp.ones_like(xs[:, :1], bool), xs[:, 1:] != xs[:, :-1]], axis=1)
+    distinct = jnp.where(row_first & (xs != SENTINEL), xs, SENTINEL)
+    ds = _sort_flat(jnp.where(distinct == SENTINEL, 0, distinct))
+    # samples-per-value for each original element, via run bounds in ds
+    left = jnp.searchsorted(ds, x, side="left")
+    right = jnp.searchsorted(ds, x, side="right")
+    n_samples = (right - left).astype(jnp.int32)
+    return (rows != np.uint64(0)) & (n_samples < sample_counts_max)
+
+
+@jax.jit
+def all_hash_compare_batch(read_sorted, read_lens, ref_sorted, ref_lens):
+    """Device all_hash_compare (equiv.hpp:447-456): multiset
+    intersection sizes [B, R] of sorted hash rows (SENTINEL-padded,
+    as produced by ops.intersect.sort_hashes_padded)."""
+    from rkmh_tpu.ops.intersect import intersection_counts
+
+    return intersection_counts(read_sorted, read_lens, ref_sorted, ref_lens)
+
+
+def classify_batch(read_sorted, read_lens, ref_sorted, ref_lens,
+                   ref_names: list[str]) -> list[str]:
+    """Device classify (equiv.hpp:459-472) over a read batch: best
+    NAME-SORTED reference per read by multiset intersection, "" when
+    nothing matches (the reference iterates a std::map, i.e. sorted
+    names, with a strict > scan)."""
+    order = np.argsort(ref_names, kind="stable")
+    counts = np.asarray(all_hash_compare_batch(
+        read_sorted, read_lens, ref_sorted[order],
+        jnp.asarray(np.asarray(ref_lens)[order])))
+    best = counts.argmax(axis=1)
+    names_sorted = [ref_names[i] for i in order]
+    return [
+        names_sorted[b] if counts[i, b] > 0 else ""
+        for i, b in enumerate(best)
     ]
