@@ -116,6 +116,23 @@ def main():
         "note": "poster claims 1.5 Mbp/s sustained classify",
     })
 
+    # 6. hash throughput on minION25 (reference publishes >400 reads/s,
+    # 2.5 Mbp/s hashing on this data, README.md:148)
+    from rkmh_tpu.commands.hash_cmd import HashConfig, run as hash_run
+    mbp = sum(len(l.strip()) for i, l in
+              enumerate(open(f"{DATA}/minION25.fq")) if i % 4 == 1) / 1e6
+    dt = timed(lambda: hash_run(
+        HashConfig(read_files=[f"{DATA}/minION25.fq"], ks=(16,)),
+        out=io.StringIO()))
+    rows.append({
+        "config": "hash minION25 k=16 (full hash dump)",
+        "seconds": round(dt, 3),
+        "reads_per_sec": round(25 / dt, 1),
+        "mbp_per_sec": round(mbp / dt, 1),
+        "platform": platform,
+        "note": "ref claims >400 reads/s, 2.5 Mbp/s (README.md:148)",
+    })
+
     # 5. call on hpv_16.fa + minION reads (BASELINE config 5)
     dt = timed(lambda: call_run(
         CallConfig(ref_files=[f"{DATA}/hpv_16.fa"],
