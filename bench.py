@@ -173,6 +173,44 @@ def main():
         dev_best = min(dev_best, time.perf_counter() - t0)
     dev_reads_per_sec = batch * dev_iters / dev_best
 
+    # hpv16 device step (the OTHER hot kernel: full-window multiset
+    # probe of the 604 MB 182-type PAVE panel + uniq panel, split
+    # dispatch).  Guarded: a failure here must not cost the headline
+    # metric (the tunnel stalls randomly; CLAUDE.md).
+    hpv16_mbp = None
+    if platform == "tpu":
+        try:
+            from rkmh_tpu.ops.lookup import build_set_table_device
+
+            ks2 = (18,)
+            pave = load_packed(f"{DATA}/all_pave_ref.fa")
+            subs = load_packed(f"{DATA}/new_refs.fa")
+            ph, pm = engine.hash_batch_with_mask(pave.codes, pave.lens, ks2)
+            sh, sm = engine.hash_batch_with_mask(subs.codes, subs.lens, ks2)
+            tt = build_set_table_device(ph, pm, num_refs=len(pave.lens))
+            ut = build_set_table_device(sh, sm, num_refs=len(subs.lens))
+            mreads = load_packed(f"{DATA}/minION25.fq")
+            hcodes = jnp.asarray(np.tile(mreads.codes, (8, 1)))
+            hbp = int(np.asarray(mreads.lens).sum()) * 8
+            nt, nu = len(pave.lens), len(subs.lens)
+
+            def hstep(c):
+                return engine.hpv16_batch_split(c, tt, ut, ks2, nt, nu)
+
+            hstep(hcodes).block_until_ready()
+            hbest = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                y = None
+                for _ in range(8):
+                    y = hstep(hcodes)
+                y.block_until_ready()
+                hbest = min(hbest, (time.perf_counter() - t0) / 8)
+            hpv16_mbp = round(hbp / hbest / 1e6, 1)
+        except Exception as e:  # pragma: no cover - tunnel flake guard
+            print(f"# hpv16 device-step bench skipped: {e!r}",
+                  file=sys.stderr)
+
     reads_per_sec = batch * iters / dt
     bp_per_sec = total_bp * iters / dt
     baseline = 16667.0  # see module docstring
@@ -190,6 +228,8 @@ def main():
     }
     if pallas_parity is not None:
         result["pallas_parity"] = pallas_parity
+    if hpv16_mbp is not None:
+        result["hpv16_device_mbp_per_sec"] = hpv16_mbp
     print(json.dumps(result))
     print(
         f"# platform={platform} batch={batch} iters={iters} "
