@@ -613,6 +613,9 @@ def hpv16_split_stage1(codes, ks: tuple, nb_type: int, nb_uniq: int,
     ) & (full != SENTINEL)
     lo = full.astype(jnp.uint32)
     hi = (full >> np.uint64(32)).astype(jnp.uint32)
+    # raw bucket indices even for invalid slots: pinning them to a fixed
+    # bucket measured 22% SLOWER (duplicate indices stall the gather
+    # engine; ROUND3.md "rejected")
     return (lo, hi, occ, qmask,
             bucket_indices(lo, hi, occ, nb_type),
             bucket_indices(lo, hi, occ, nb_uniq))

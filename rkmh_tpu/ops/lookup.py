@@ -305,6 +305,11 @@ def lookup_intersection_counts_masked_pair(lo, hi, qmask, occ, table_arrays,
     dispatch — classify/engine.hpv16_split_*)."""
     (table,) = table_arrays
     bidx = bucket_indices(lo, hi, occ, table.shape[0])
+    # NOTE: do NOT redirect invalid slots to a fixed bucket hoping for a
+    # cached fetch — duplicate indices SLOW the gather engine (measured
+    # 12.7 -> 18.0 ms on the 604 MB table with 40% slots pinned to
+    # bucket 0; ROUND3.md "rejected").  Random garbage rows are free;
+    # `hit` requires qmask so they never contribute.
     rows = table[bidx]                                     # [B, s, width]
     return counts_from_rows(rows, lo, hi, occ, qmask, num_refs)
 

@@ -277,6 +277,15 @@ def sharded_hpv16_fn(mesh: Mesh, ks: tuple, num_types: int, num_uniq: int,
     * counter_size set (-M): the counter shard (last input, dp-sharded,
       parallel/ep.py) masks read hashes below min_occ depth
       (mask_by_frequency, rkmh.cpp:2663) before the set intersections.
+
+    Perf note (round 3): the single-device step runs SPLIT-dispatch
+    (engine.hpv16_batch_split — the bare table-shard row gather in its
+    own dispatch measured 1.4x the fused form on chip; ROUND3.md).
+    This sharded step stays single-dispatch: the same split (three
+    jitted shard_maps: stage1 / per-shard gather / finish+all_gather)
+    is mechanical, but its win can't be measured on 1 real chip and the
+    virtual CPU mesh says nothing about the TPU gather engine — apply
+    and measure it when multi-chip hardware exists.
     """
     from rkmh_tpu.ops.lookup import lookup_intersection_counts
     import jax.numpy as jnp
