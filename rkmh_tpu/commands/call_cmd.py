@@ -312,7 +312,9 @@ def run(cfg: CallConfig, out=None) -> int:
 
     import json
 
-    _scanned = [0]
+    from rkmh_tpu.commands.recovery import InjectedFailure, fail_after_chunks
+
+    scanned = 0
     for ref in refs:
         if len(ref.seq) < k:
             continue
@@ -359,12 +361,9 @@ def run(cfg: CallConfig, out=None) -> int:
         agg.merge_from(ref_agg)
         # fault injection: RKMH_TPU_FAIL_AFTER_CHUNKS here counts
         # scanned refs (the call checkpoint granularity)
-        from rkmh_tpu.commands.recovery import InjectedFailure, fail_after_chunks
-
-        _scanned[0] += 1
-        if fail_after_chunks() and _scanned[0] >= fail_after_chunks():
-            raise InjectedFailure(
-                f"injected failure after {_scanned[0]} refs")
+        scanned += 1
+        if fail_after_chunks() and scanned >= fail_after_chunks():
+            raise InjectedFailure(f"injected failure after {scanned} refs")
 
     if progress_fh is not None:
         progress_fh.close()

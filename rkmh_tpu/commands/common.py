@@ -655,6 +655,23 @@ class DpCtx:
         self._rows = NamedSharding(self.mesh, P("dp", None))
         self._vec = NamedSharding(self.mesh, P("dp"))
 
+    @classmethod
+    def maybe(cls, devices: int):
+        """DpCtx when the geometry applies, None (with the same logged
+        fallback as the classify-family drivers) when it can't — so
+        `hash --devices 16` on an 8-device host degrades gracefully
+        instead of crashing in make_mesh."""
+        if not devices or devices <= 1:
+            return None
+        import jax
+
+        reason = sharded_geometry_reason(
+            devices, 1, 1, len(jax.devices()))
+        if reason is not None:
+            log(f"--devices ignored ({reason}); running single-device")
+            return None
+        return cls(devices)
+
     def round_batch(self, batch_size: int) -> int:
         """packed_batches pads every batch to the fixed batch size, so a
         dp-divisible batch size is the only padding dp needs."""

@@ -55,11 +55,10 @@ def run(cfg: CountConfig, out=None) -> int:
     if not cfg.ks:
         log("Using default kmer size of 16.")
 
-    dpc = None
-    if cfg.devices and cfg.devices > 1:
-        from rkmh_tpu.commands.common import DpCtx
+    from rkmh_tpu.commands.common import DpCtx
 
-        dpc = DpCtx(cfg.devices)
+    dpc = DpCtx.maybe(cfg.devices)
+    if dpc is not None:
         cfg.batch_size = dpc.round_batch(cfg.batch_size)
 
     hc = HashCounter(cfg.counter_size)

@@ -174,19 +174,23 @@ def put_local(local_rows, shape, sharding):
         sharding, local_rows, shape)
 
 
-def _write_meta(out_file: str, B: int, H: int, fmt: str = "stream"):
+def _write_meta(out_file: str, B: int, H: int, fmt: str = "stream",
+                extra: dict | None = None):
     """Record the stripe geometry next to the rank files so
     rkmh-tpu-dist-merge never has to be handed the (internally rounded)
     global batch size by hand.  fmt 'stream' = fixed one-line-per-read
     stripes; 'filter' = variable records with per-batch counts in the
-    rank .idx sidecars."""
+    rank .idx sidecars; 'call' adds devices/refs_total/reference via
+    `extra`.  Every rank writes identical content, so the same-host
+    last-writer race is benign."""
     import json
     import os
 
     path = f"{out_file}.dist.json"
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
-        json.dump({"global_batch": B, "procs": H, "format": fmt}, fh)
+        json.dump({"global_batch": B, "procs": H, "format": fmt,
+                   **(extra or {})}, fh)
     os.replace(tmp, path)  # atomic: a killed rank never leaves torn JSON
 
 
@@ -661,21 +665,13 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     num_types = len(tb.type_names)
     type_rps = None
     if tp > 1:
-        # shard the type set table over the GLOBAL tp axis (same recipe
-        # as hpv16_cmd's single-host --tp: pad refs to a tp multiple
-        # with all-masked rows, per-shard tables forced to one geometry)
-        from rkmh_tpu.ops.lookup import build_sharded_set_tables_device
+        # shard the type set table over the GLOBAL tp axis (the same
+        # mesh.place_tp_type_table recipe as hpv16_cmd's single-host
+        # --tp, so the padding/tie-break rules can never diverge)
+        from rkmh_tpu.parallel.mesh import place_tp_type_table
 
-        th, tm = tb.type_hashes, tb.type_mask
-        pad_r = (-th.shape[0]) % tp
-        if pad_r:
-            th = jnp.concatenate(
-                [th, jnp.zeros((pad_r, th.shape[1]), th.dtype)])
-            tm = jnp.concatenate(
-                [tm, jnp.zeros((pad_r, tm.shape[1]), bool)])
-        type_stacked, type_rps = build_sharded_set_tables_device(th, tm, tp)
-        type_g = jax.device_put(
-            type_stacked, NamedSharding(mesh, P("tp", None, None)))
+        type_g, type_rps = place_tp_type_table(
+            mesh, tb.type_hashes, tb.type_mask, tp)
         num_types = tp * type_rps
     else:
         type_g = jax.device_put(tb.type_table, NamedSharding(mesh, P()))
@@ -880,9 +876,33 @@ def run_distributed_call(cfg, out=None) -> int:
     _assert_process_contiguous(
         NamedSharding(mesh, P("dp")), ndev, ndev // H, rank)
 
+    import json
+    import os
+
     path = f"{cfg.out_file}.{rank}"
     done_refs: list[str] = []
+    refs_total = sum(1 for r in refs if len(r.seq) >= k)
     if cfg.resume:
+        # validate BEFORE load_partials truncates the stripe or the
+        # sidecar is overwritten: the stripe's position ownership
+        # depends on (procs, total devices) — a changed geometry would
+        # silently remap rows and the merged VCF would double-count or
+        # drop positions
+        meta = _load_meta(cfg.out_file)
+        if meta is None:
+            if os.path.exists(path):
+                raise RuntimeError(
+                    f"--resume needs the {cfg.out_file}.dist.json sidecar "
+                    "of the interrupted run to verify the stripe geometry, "
+                    "and it is missing or unreadable — rerun without "
+                    "--resume")
+        elif (meta.get("procs"), meta.get("devices")) != (H, ndev):
+            raise RuntimeError(
+                f"--resume geometry mismatch: {cfg.out_file}.dist.json "
+                f"records procs={meta.get('procs')} devices="
+                f"{meta.get('devices')} but this run would use {H}/{ndev} "
+                "— rerun with the original process/device layout or "
+                "without --resume")
         done_refs, _ = load_partials(path, truncate=True)
         if done_refs:
             log(f"dist rank {rank}: resuming, {len(done_refs)} ref "
@@ -890,18 +910,9 @@ def run_distributed_call(cfg, out=None) -> int:
         fh = open(path, "a")
     else:
         fh = open(path, "w")
-    _write_meta(cfg.out_file, 0, H, "call")
-    import json
-    import os
-
-    meta_path = f"{cfg.out_file}.dist.json"
-    with open(meta_path) as mf:
-        meta = json.load(mf)
-    meta["reference"] = cfg.ref_files[0]
-    tmp = f"{meta_path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as mf:
-        json.dump(meta, mf)
-    os.replace(tmp, meta_path)
+    _write_meta(cfg.out_file, 0, H, "call",
+                extra={"reference": cfg.ref_files[0], "devices": ndev,
+                       "refs_total": refs_total})
 
     done_iter = iter(done_refs)
     pending_done = next(done_iter, None)
@@ -963,18 +974,38 @@ def run_distributed_call(cfg, out=None) -> int:
     return 0
 
 
-def merge_outputs_call(rank_files, reference: str, out=None) -> int:
+def merge_outputs_call(rank_files, reference: str, out=None,
+                       refs_total: int | None = None) -> int:
     """Merge call --dist-* per-rank partial aggregates into the final
     VCF (header + std::map-sorted records, byte-identical to
-    single-process)."""
+    single-process).
+
+    Refuses incomplete inputs instead of silently emitting a VCF with
+    missing position stripes: every rank must hold the SAME ref-section
+    sequence (a rank killed mid-drain holds a prefix), and when the
+    sidecar recorded refs_total (it does since round 3), each rank must
+    hold exactly that many sections."""
     from rkmh_tpu.commands.call_cmd import (
         CallAggregator, load_partials, vcf_header,
     )
 
     out = out or sys.stdout
     agg = CallAggregator()
+    first: tuple[str, list] | None = None
     for p in rank_files:
-        _, part = load_partials(p)
+        done, part = load_partials(p)
+        if refs_total is not None and len(done) != refs_total:
+            raise RuntimeError(
+                f"{p} holds {len(done)}/{refs_total} complete ref "
+                "section(s) — that rank's drain ended early; rerun it "
+                "with --resume before merging")
+        if first is None:
+            first = (p, done)
+        elif done != first[1]:
+            raise RuntimeError(
+                f"rank stripes disagree: {p} holds {len(done)} complete "
+                f"ref section(s) vs {len(first[1])} in {first[0]} — a "
+                "rank ended early; rerun it with --resume before merging")
         agg.merge_from(part)
     out.write(vcf_header(reference))
     agg.emit_vcf_records(out)
@@ -1026,7 +1057,8 @@ def merge_main(argv=None) -> int:
         if meta is None or "reference" not in meta:
             ap.error(f"call merge needs the {meta_path} sidecar (it holds "
                      "the ##reference header path)")
-        return merge_outputs_call(args.rank_files, meta["reference"])
+        return merge_outputs_call(args.rank_files, meta["reference"],
+                                  refs_total=meta.get("refs_total"))
     if not B:
         ap.error(f"no {meta_path} sidecar next to the rank files; "
                  "pass -b <global batch> explicitly")

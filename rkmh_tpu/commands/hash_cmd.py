@@ -94,11 +94,10 @@ def run(cfg: HashConfig, out=None) -> int:
     want_json = cfg.json_out or bool(cfg.out_prefix)
     chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
 
-    dpc = None
-    if cfg.devices and cfg.devices > 1:
-        from rkmh_tpu.commands.common import DpCtx
+    from rkmh_tpu.commands.common import DpCtx
 
-        dpc = DpCtx(cfg.devices)
+    dpc = DpCtx.maybe(cfg.devices)
+    if dpc is not None:
         cfg.batch_size = dpc.round_batch(cfg.batch_size)
 
     # input is consumed in bounded chunks (KSEQ_Reader semantics,

@@ -426,21 +426,11 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
         if cfg.tp > 1:
             # --tp: the ~600 MB type set table shards across the tp axis
             # (per-shard distinct counts all_gather before the argmax —
-            # bit-identical first-ref tie-break); refs pad to a tp
-            # multiple with all-masked rows whose zero counts argmax can
-            # never prefer
-            from rkmh_tpu.ops.lookup import build_sharded_set_tables_device
+            # bit-identical first-ref tie-break; mesh.place_tp_type_table)
+            from rkmh_tpu.parallel.mesh import place_tp_type_table
 
-            th, tm = tb.type_hashes, tb.type_mask
-            pad_r = (-th.shape[0]) % cfg.tp
-            if pad_r:
-                th = jnp.concatenate(
-                    [th, jnp.zeros((pad_r, th.shape[1]), th.dtype)])
-                tm = jnp.concatenate(
-                    [tm, jnp.zeros((pad_r, tm.shape[1]), bool)])
-            type_stacked, rps = build_sharded_set_tables_device(th, tm, cfg.tp)
-            type_g = jax.device_put(
-                type_stacked, NamedSharding(mesh, P("tp", None, None)))
+            type_g, rps = place_tp_type_table(
+                mesh, tb.type_hashes, tb.type_mask, cfg.tp)
             hstep = sharded_hpv16_fn(
                 mesh, ks, cfg.tp * rps, n_lin + n_sub,
                 counter_size=(cfg.counter_size

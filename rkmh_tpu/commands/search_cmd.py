@@ -76,11 +76,10 @@ def run(cfg: SearchConfig, out=None) -> int:
     log(f"Loaded {len(ref_hashes)} reference kmers.")
     ref_dev = jnp.asarray(ref_hashes)
 
-    dpc = None
-    if cfg.devices and cfg.devices > 1:
-        from rkmh_tpu.commands.common import DpCtx
+    from rkmh_tpu.commands.common import DpCtx
 
-        dpc = DpCtx(cfg.devices)
+    dpc = DpCtx.maybe(cfg.devices)
+    if dpc is not None:
         cfg.batch_size = dpc.round_batch(cfg.batch_size)
 
     # bounded-memory chunked input (the reference's task-per-read streaming

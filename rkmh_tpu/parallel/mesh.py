@@ -339,6 +339,33 @@ def sharded_hpv16_fn(mesh: Mesh, ks: tuple, num_types: int, num_uniq: int,
     return jax.jit(fn)
 
 
+def place_tp_type_table(mesh: Mesh, type_hashes, type_mask, tp: int):
+    """Shard the hpv16 type set table over the mesh's tp axis (the one
+    recipe for single-host `--devices --tp` AND `--dist-* --tp`): pad
+    refs to a tp multiple with all-masked rows, build one
+    forced-geometry set table per shard
+    (lookup.build_sharded_set_tables_device) and place the stack
+    P("tp", None, None).  Returns (placed table, refs_per_shard); the
+    padded type count is tp*rps — pads sit at the END with zero counts,
+    which argmax can never prefer, so the first-reference tie-break
+    stays exact after the tiled all_gather (sharded_hpv16_fn)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rkmh_tpu.ops.lookup import build_sharded_set_tables_device
+
+    th, tm = type_hashes, type_mask
+    pad_r = (-th.shape[0]) % tp
+    if pad_r:
+        th = jnp.concatenate(
+            [th, jnp.zeros((pad_r, th.shape[1]), th.dtype)])
+        tm = jnp.concatenate(
+            [tm, jnp.zeros((pad_r, tm.shape[1]), bool)])
+    stacked, rps = build_sharded_set_tables_device(th, tm, tp)
+    placed = jax.device_put(
+        stacked, NamedSharding(mesh, P("tp", None, None)))
+    return placed, rps
+
+
 def sharded_call_enum_fn(mesh: Mesh, k: int):
     """SPMD `call` mutation-enumeration: positions sharded over dp.
 

@@ -467,6 +467,39 @@ def test_dist_resume_geometry_guards(tmp_path):
                              out=_io.StringIO())
 
 
+def test_call_merge_refuses_incomplete_stripes(tmp_path):
+    """merge_outputs_call must raise (not silently drop position
+    stripes) when a rank's drain ended early — detected either against
+    the sidecar's refs_total or by cross-rank section disagreement."""
+    import io as _io
+
+    import pytest as _pytest
+
+    from rkmh_tpu.commands.dist_stream import merge_outputs_call
+
+    full = tmp_path / "c.0"
+    short = tmp_path / "c.1"
+    full.write_text('{"ref_done": "r1", "n": 0}\n'
+                    '{"ref_done": "r2", "n": 0}\n')
+    short.write_text('{"ref_done": "r1", "n": 0}\n')
+
+    # refs_total check catches the truncated rank directly
+    with _pytest.raises(RuntimeError, match="ended early"):
+        merge_outputs_call([str(full), str(short)], "ref.fa",
+                           out=_io.StringIO(), refs_total=2)
+    # without refs_total (old sidecar), cross-rank disagreement catches it
+    with _pytest.raises(RuntimeError, match="disagree"):
+        merge_outputs_call([str(full), str(short)], "ref.fa",
+                           out=_io.StringIO())
+    # and ALL ranks short of refs_total is caught too
+    with _pytest.raises(RuntimeError, match="ended early"):
+        merge_outputs_call([str(short), str(short)], "ref.fa",
+                           out=_io.StringIO(), refs_total=2)
+    # complete stripes merge fine
+    assert merge_outputs_call([str(full), str(full)], "ref.fa",
+                              out=_io.StringIO(), refs_total=2) == 0
+
+
 def test_two_process_distributed_cli_call(tmp_path):
     """call --dist-*: the positional scan sharded over 2 processes x 4
     virtual CPU devices; merged per-rank partial aggregates byte-equal

@@ -187,6 +187,27 @@ def test_search_finds_ref_kmers(tmp_path, zika_reads):
 # --devices: dp-sharded hashing, byte-identical to single-device
 # ---------------------------------------------------------------------------
 
+def test_dpctx_maybe_falls_back_gracefully():
+    """--devices beyond the visible device count must degrade to
+    single-device with a logged reason (common.DpCtx.maybe), not crash
+    in make_mesh — and the output stays identical."""
+    from rkmh_tpu.commands.common import DpCtx
+    from rkmh_tpu.commands.count_cmd import CountConfig, run as count_run
+
+    assert DpCtx.maybe(0) is None
+    assert DpCtx.maybe(1) is None
+    assert DpCtx.maybe(999) is None  # > visible -> logged fallback
+    assert DpCtx.maybe(2) is not None  # virtual 8-device mesh
+
+    a, b = io.StringIO(), io.StringIO()
+    assert count_run(CountConfig(read_files=[f"{DATA}/z1.fq"], ks=(12,),
+                                 counter_size=1 << 14, dump=True,
+                                 devices=999), out=a) == 0
+    assert count_run(CountConfig(read_files=[f"{DATA}/z1.fq"], ks=(12,),
+                                 counter_size=1 << 14, dump=True), out=b) == 0
+    assert a.getvalue() == b.getvalue()
+
+
 def test_hash_count_search_devices_byte_identical(tmp_path, zika_reads):
     """hash/count/search --devices N match single-device output exactly
     (DpCtx row sharding; no cross-read op exists to perturb)."""
