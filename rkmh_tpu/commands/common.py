@@ -461,8 +461,13 @@ class ChunkedPipeline:
 
 
 def packed_batches(packed, batch_size: int):
-    """Yield (start, stop, codes [B, L], lens [B]) row slices with a fixed
-    batch shape (last chunk zero-padded) — at most 2 compiled shapes."""
+    """Yield (start, stop, codes [B, L], lens [B]) row slices with fixed
+    batch shapes.  Short batches pad rows to the next power of two
+    (capped at batch_size, same rule as bucketed_batches): the pad ships
+    over the wire as raw codes and comes back in per-read outputs, so a
+    25-read file padded to a 16384-row auto batch uploaded ~120 MB of
+    nothing (measured: warm `hash minION25` 5.2 s -> ~0.2 s).  Compiled
+    shapes stay logarithmic in batch_size."""
     from rkmh_tpu.observability import count
 
     N = len(packed)
@@ -472,14 +477,35 @@ def packed_batches(packed, batch_size: int):
         lens = packed.lens[s:e]
         count("reads", e - s)
         count("bp", int(lens.sum()))
-        if e - s < batch_size:
+        target = 8
+        while target < e - s:
+            target *= 2
+        target = min(target, batch_size)
+        if e - s < target:
+            pad = target - (e - s)
             codes = np.concatenate(
-                [codes, np.full((batch_size - (e - s), codes.shape[1]), 255, np.uint8)]
+                [codes, np.full((pad, codes.shape[1]), 255, np.uint8)]
             )
-            lens = np.concatenate(
-                [lens, np.zeros(batch_size - (e - s), np.int32)]
-            )
+            lens = np.concatenate([lens, np.zeros(pad, np.int32)])
         yield s, e, codes, lens
+
+
+def fetch_rows(arrs, n: int, grid: int = 256):
+    """to_host of the first ~n rows of per-read batch outputs.
+
+    packed_batches pads the LAST batch to the fixed batch shape, so
+    fetching whole outputs ships the pad too — for wide per-read arrays
+    that dwarfs the real data (a 25-read `hash` batch padded to 16384
+    rows fetched ~1 GB of padding through the tunnel; measured 5.2 s ->
+    0.04 s with the slice).  n rounds up to a 256 grid so at most a
+    handful of tiny slice programs ever compile."""
+    from rkmh_tpu.utils import to_host
+
+    B = arrs[0].shape[0]
+    m = min(B, -(-n // grid) * grid)
+    if m >= B:
+        return to_host(tuple(arrs))
+    return to_host(tuple(a[:m] for a in arrs))
 
 
 def bucketed_batches(packed, batch_size: int, max_buckets: int = 4):
@@ -678,9 +704,20 @@ class DpCtx:
         return -(-batch_size // self.devices) * self.devices
 
     def put(self, codes, lens=None):
+        """Place a batch row-sharded; rows pad to a dp multiple (all-
+        invalid reads, which hash to nothing) — packed_batches shrinks
+        small batches to powers of two, which dp=3/5/6/7 can't split."""
         import jax
 
-        codes = jax.device_put(np.asarray(codes), self._rows)
+        codes = np.asarray(codes)
+        pad = (-codes.shape[0]) % self.devices
+        if pad:
+            codes = np.concatenate(
+                [codes, np.full((pad, codes.shape[1]), 255, np.uint8)])
+        codes = jax.device_put(codes, self._rows)
         if lens is None:
             return codes
-        return codes, jax.device_put(np.asarray(lens), self._vec)
+        lens = np.asarray(lens, np.int32)
+        if pad:
+            lens = np.concatenate([lens, np.zeros(pad, np.int32)])
+        return codes, jax.device_put(lens, self._vec)

@@ -121,8 +121,10 @@ def run(cfg: HashConfig, out=None) -> int:
             if dpc is not None:
                 codes, lens = dpc.put(codes, lens)
             if cfg.sketch_size > 0:
+                from rkmh_tpu.commands.common import fetch_rows
+
                 sk, sk_lens = engine.sketch_batch(codes, ks, cfg.sketch_size)
-                sk_np, lens_np = to_host((sk, sk_lens))
+                sk_np, lens_np = fetch_rows((sk, sk_lens), e - s)
                 for i in range(e - s):
                     name, seq_len = names[s + i], int(chunk.lens[s + i])
                     mins = sk_np[i, : lens_np[i]].tolist()
@@ -136,8 +138,21 @@ def run(cfg: HashConfig, out=None) -> int:
                     else:
                         out.write(f"{name}\t{' '.join(map(str, mins))}\n")
             else:
+                from rkmh_tpu.commands.common import fetch_rows
+
                 hashes, mask = engine.hash_batch_with_mask(codes, lens, ks)
-                h_np, m_np = to_host((hashes, mask))
+                h_np, m_np = fetch_rows((hashes, mask), e - s)
+                if not cfg.wabbitize and not want_json:
+                    # default dump: native block formatter (the python
+                    # str join capped the published hashing metric)
+                    from rkmh_tpu.io.native import format_hash_lines_block
+
+                    blk = format_hash_lines_block(
+                        np.asarray(h_np)[: e - s],
+                        np.asarray(m_np)[: e - s], names[s:e])
+                    if blk is not None:
+                        out.write(blk.decode())
+                        continue
                 for i in range(e - s):
                     name, seq_len = names[s + i], int(chunk.lens[s + i])
                     vals = h_np[i][m_np[i]].tolist()

@@ -96,9 +96,9 @@ def run(cfg: SearchConfig, out=None) -> int:
                 found = (ref_dev[pos] == wh) & (wh != np.uint64(0))
             else:
                 found = jnp.zeros(wh.shape, dtype=bool)
-            from rkmh_tpu.utils import to_host
+            from rkmh_tpu.commands.common import fetch_rows
 
-            found_np = to_host(found)
+            (found_np,) = fetch_rows((found,), e - s)
             for i in range(e - s):
                 seq = seqs[s + i]
                 nwin = len(seq) - k + 1

@@ -93,8 +93,44 @@ def load():
         _u8p, ctypes.c_int64, ctypes.c_int64, _u8p, _u8p
     ]
     lib.rkmh_pack4.restype = None
+    _u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.rkmh_format_hash_lines.argtypes = [
+        _u64p, _u8p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p, _i64p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+    ]
+    lib.rkmh_format_hash_lines.restype = ctypes.c_int64
     _lib = lib
     return _lib
+
+
+def format_hash_lines_block(vals: np.ndarray, mask: np.ndarray,
+                            names: list) -> bytes | None:
+    """Format a hash-dump batch ("name\\tv v v...\\n" per row) natively;
+    None when the library is unavailable (callers fall back to the
+    python join).  vals [n, W] uint64, mask [n, W] bool, one name per
+    row."""
+    lib = load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    n, W = vals.shape
+    blobs = [s.encode() if isinstance(s, str) else bytes(s) for s in names]
+    name_offs = np.zeros(n + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=name_offs[1:])
+    names_blob = b"".join(blobs)
+    out = ctypes.POINTER(ctypes.c_char)()
+    ln = lib.rkmh_format_hash_lines(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, W, names_blob, _i64_ptr(name_offs), ctypes.byref(out))
+    if ln < 0:
+        return None
+    try:
+        return ctypes.string_at(out, ln)
+    finally:
+        lib.rkmh_buf_free(out)
 
 
 def pack4_native(codes: np.ndarray):

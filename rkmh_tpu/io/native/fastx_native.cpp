@@ -369,6 +369,48 @@ int64_t rkmh_format_lines(const int64_t* best, const int64_t* shared,
 
 void rkmh_buf_free(char* p) { free(p); }
 
+// Format a hash-dump batch: one "name\tv v v ...\n" line per row, the
+// `hash` command's default output (space-joined masked u64 decimals —
+// python's str() join was the throughput ceiling at ~5e5 values/s;
+// this runs at ~5e7).  Returns byte length, mallocs *out (caller frees
+// via rkmh_buf_free); -1 on allocation failure.
+int64_t rkmh_format_hash_lines(const uint64_t* vals, const uint8_t* mask,
+                               int64_t n_rows, int64_t width,
+                               const char* names_blob,
+                               const int64_t* name_offs,
+                               char** out) {
+    *out = nullptr;
+    int64_t names_total = name_offs[n_rows] - name_offs[0];
+    // per value: up to 20 digits + 1 separator; per row: name + tab + nl
+    size_t cap = size_t(n_rows) * (size_t(width) * 21 + 2)
+               + size_t(names_total) + 1;
+    char* buf = (char*)malloc(cap);
+    if (!buf) return -1;
+    char* p = buf;
+    char tmp[24];
+    for (int64_t r = 0; r < n_rows; ++r) {
+        int64_t nl = name_offs[r + 1] - name_offs[r];
+        memcpy(p, names_blob + name_offs[r], (size_t)nl); p += nl;
+        *p++ = '\t';
+        const uint64_t* row = vals + r * width;
+        const uint8_t* mrow = mask + r * width;
+        bool first = true;
+        for (int64_t j = 0; j < width; ++j) {
+            if (!mrow[j]) continue;
+            if (!first) *p++ = ' ';
+            first = false;
+            uint64_t v = row[j];
+            char* t = tmp + sizeof(tmp);
+            do { *--t = (char)('0' + v % 10); v /= 10; } while (v);
+            size_t dl = (size_t)(tmp + sizeof(tmp) - t);
+            memcpy(p, t, dl); p += dl;
+        }
+        *p++ = '\n';
+    }
+    *out = buf;
+    return (int64_t)(p - buf);
+}
+
 // 2-bit-pack a [B, L] code matrix into the device wire format:
 // packed [B, L/4] (4 bases/byte, base i at bits 2i%8) + vbits [B, L/8]
 // (validity bitmask, little-endian bit order) — the exact layout of
