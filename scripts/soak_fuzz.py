@@ -42,6 +42,7 @@ def main():
         ("devices", fuzz.test_devices_fuzz_matches_single),
         ("call-devices", fuzz.test_call_devices_fuzz_matches_single),
         ("dist", fuzz.test_dist_fuzz_matches_single),
+        ("dist-call", fuzz.test_dist_call_fuzz_matches_single),
     ]
     for seed in range(start, start + n):
         for name, fn in cases:

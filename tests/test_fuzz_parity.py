@@ -487,3 +487,69 @@ def test_dist_fuzz_matches_single(tmp_path, seed):
                 fh.write(torn)
         _launch_dist(args + ["--resume"], env)
         assert merged_text() == full
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_dist_call_fuzz_matches_single(tmp_path, seed):
+    """Randomized 2-process `call --dist-*` scans (random genome, reads
+    = mutated slices): merged partials byte-equal single-process; a
+    truncated rank stripe REFUSES to merge (completeness check); then
+    --resume reconverges to the identical VCF."""
+    import contextlib
+    import os as _os
+
+    from rkmh_tpu.commands.call_cmd import CallConfig, run as run_call
+    from rkmh_tpu.commands.dist_stream import merge_main
+
+    rng = np.random.default_rng(seed + 4242)
+    k = int(rng.choice([9, 11, 13]))
+    genome = _rand_seq(rng, int(rng.integers(600, 1600)), with_n=False)
+    ref = tmp_path / "ref.fa"
+    ref.write_text(f">g\n{genome.decode()}\n")
+    reads = []
+    for i in range(int(rng.integers(20, 50))):
+        ln = int(rng.integers(k + 5, 120))
+        st = int(rng.integers(0, max(1, len(genome) - ln)))
+        b = bytearray(genome[st : st + ln])
+        for p in rng.choice(len(b), size=min(3, len(b)), replace=False):
+            b[p] = ord(rng.choice(list("ACGT")))
+        reads.append((f"rd{i}", bytes(b)))
+    fp = tmp_path / "reads.fq"
+    fp.write_text("".join(f"@{n}\n{sq.decode()}\n+\n{'I' * len(sq)}\n"
+                          for n, sq in reads))
+
+    env = {
+        "PATH": _os.environ.get("PATH", "/usr/bin:/bin"),
+        "PYTHONPATH": "/root/repo",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "HOME": _os.environ.get("HOME", "/root"),
+    }
+    out = str(tmp_path / "out.vcf")
+    args = ["-m", "rkmh_tpu.cli", "call", "-r", str(ref), "-f", str(fp),
+            "-k", str(k), "--dist-procs", "2", "-o", out]
+    _launch_dist(args, env)
+
+    def merged_text():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert merge_main([f"{out}.0", f"{out}.1"]) == 0
+        return buf.getvalue()
+
+    full = merged_text()
+    single = io.StringIO()
+    assert run_call(CallConfig(ref_files=[str(ref)], read_files=[str(fp)],
+                               ks=(k,)), out=single) == 0
+    assert full == single.getvalue()
+
+    # truncate rank 1's stripe (drop its last line + add a torn tail):
+    # the merge must refuse, and --resume must reconverge
+    with open(f"{out}.1") as fh:
+        lines = fh.readlines()
+    with open(f"{out}.1", "w") as fh:
+        fh.writelines(lines[:-1])
+        fh.write(lines[-1][: len(lines[-1]) // 2])
+    with pytest.raises(RuntimeError, match="ended early|disagree"):
+        merge_main([f"{out}.0", f"{out}.1"])
+    _launch_dist(args + ["--resume"], env)
+    assert merged_text() == full
