@@ -2,9 +2,10 @@
 (BASELINE.json config 1: -r data/zika.refs.fa -f data/z1.fq -k 12 -s 1000).
 
 Measures the production per-batch pipeline (the same code path
-`rkmh-tpu stream` runs): device hashing -> bottom-s sketch -> cuckoo
-panel-table intersection counts vs all 60 refs -> argmax/filters ->
-device-to-host transfer -> output-line formatting.  Reference parsing
+`rkmh-tpu stream` runs): device hashing -> bottom-s sketch -> bucket
+panel-table intersection counts vs all 60 refs (one row gather per
+element, ops/lookup.py) -> argmax/filters -> device-to-host transfer ->
+output-line formatting.  Reference parsing
 and panel building are one-time setup (as in rkmh) and excluded,
 matching how rkmh's README throughput numbers are quoted.
 

@@ -687,6 +687,198 @@ def hpv16_packed4_batch_split(packed, vbits, L: int, type_table, uniq_table,
                               num_types=num_types, num_uniq=num_uniq)
 
 
+# ---------------------------------------------------------------------------
+# Combined-table hpv16 step (round 4).  The split step above pays for TWO
+# set-table row gathers per element (type 9.0 ms + uniq 7.1 ms of the
+# 23.4 ms/200-read batch, docs/ROOFLINE.md) — and the gather engine's
+# measured cost is ~flat per ROW, with NARROW rows (the Wm=1 uniq table)
+# 3-4x slower per row than 64 B rows.  Merging both tables into ONE
+# bucket table whose mask spans types + uniq groups (Wm=7 at 182+14
+# refs) halves the gather-row count for ~11% more row bytes: one
+# 320 B-row gather replaces a 288 B-row and a narrow one.  tc/uc split
+# back by bit range in the finish (type bits 0..T-1, group bits T..).
+# Result-identical to hpv16_batch over separate tables.
+#
+# The probe is also COMPACTED (round-4 item 2): stage1's full-row sort
+# leaves every valid element in the prefix [0, lens_i), so slicing to a
+# host-computed bound Wc >= max_i(valid windows of read i) drops the
+# all-pad tail columns that padded-to-bucket-max short reads would
+# otherwise probe (only occ==0 distinct valid elements can hit a set
+# table; pad slots never do).  Wc is static (grid-rounded by the caller
+# to bound recompiles); correctness needs only Wc >= max row valid
+# count, which the window-count formula guarantees (zeros/-M masking
+# only shrink a row's valid prefix).
+# ---------------------------------------------------------------------------
+
+
+def hpv16_compact_width(lens, L: int, ks: tuple, grid: int = 8) -> int:
+    """Host-side compact probe width for a batch: max over reads of the
+    multi-k window count sum_k max(len-k+1, 0), rounded UP to W/grid
+    quanta (<= `grid` compiled shapes per padded length L).  Every row's
+    valid-hash count is <= its window count, so slicing the sorted rows
+    to this width loses nothing."""
+    W = sum(max(L - k + 1, 0) for k in ks)
+    lens = np.asarray(lens)
+    need = 0
+    for k in ks:
+        need += int(np.max(np.maximum(lens - (k - 1), 0), initial=0))
+    if need >= W:
+        return W
+    q = max(1, -(-W // grid))
+    return min(W, max(q, -(-need // q) * q))
+
+
+@partial(jax.jit, static_argnames=("ks", "nb", "Wc", "min_occ"))
+def hpv16_comb_stage1(codes, ks: tuple, nb: int, Wc: int,
+                      counter_table=None, min_occ: int = 0):
+    """hash (+ -M depth mask) -> full sorted hash array, compacted to the
+    first Wc columns -> occ ranks + combined-table bucket indices.
+    Returns (lo, hi, occ, qmask, bidx) of width Wc."""
+    from rkmh_tpu.ops.intersect import occ_ranks
+    from rkmh_tpu.ops.lookup import bucket_indices
+    from rkmh_tpu.ops.sketch import SENTINEL
+
+    hashes = multi_k_window_hashes(codes, list(ks))
+    if counter_table is not None:
+        counts = counter_get(counter_table, hashes)
+        hashes = mask_by_frequency(hashes, counts, min_occ)
+    full, lens = bottom_s_sketch(hashes, hashes.shape[-1])
+    full = full[:, :Wc]  # sorted rows: valid prefix [0, lens_i) <= Wc
+    occ = occ_ranks(full).astype(jnp.uint32)
+    qmask = (
+        jnp.arange(Wc, dtype=jnp.int32)[None, :] < lens[:, None]
+    ) & (full != SENTINEL)
+    lo = full.astype(jnp.uint32)
+    hi = (full >> np.uint64(32)).astype(jnp.uint32)
+    # raw bucket indices even for invalid slots (see hpv16_split_stage1)
+    return lo, hi, occ, qmask, bucket_indices(lo, hi, occ, nb)
+
+
+@partial(jax.jit, static_argnames=("L", "ks", "nb", "Wc", "min_occ"))
+def hpv16_comb_stage1_packed4(packed, vbits, L: int, ks: tuple,
+                              nb: int, Wc: int,
+                              counter_table=None, min_occ: int = 0):
+    """hpv16_comb_stage1 over the 2-bit packed wire format."""
+    codes = unpack_codes4(packed, vbits, L)
+    return hpv16_comb_stage1.__wrapped__(
+        codes, ks, nb, Wc, counter_table, min_occ)
+
+
+@partial(jax.jit, static_argnames=("num_types", "num_uniq"))
+def hpv16_comb_finish(rows, lo, hi, occ, qmask,
+                      num_types: int, num_uniq: int):
+    """Compare tail over the pre-gathered combined rows; counts split
+    back into type/uniq ranges by bit position, then the same argmax +
+    int64 packing as hpv16_batch."""
+    from rkmh_tpu.ops.lookup import counts_from_rows
+
+    counts = counts_from_rows(rows, lo, hi, occ, qmask, num_types + num_uniq)
+    tc = counts[:, :num_types]
+    uc = counts[:, num_types:]
+    best = jnp.argmax(tc, axis=-1)
+    max_shared = jnp.max(tc, axis=-1)
+    return jnp.concatenate(
+        [
+            best.astype(jnp.int64)[:, None],
+            max_shared.astype(jnp.int64)[:, None],
+            uc.astype(jnp.int64),
+        ],
+        axis=1,
+    )
+
+
+def hpv16_batch_comb(codes, comb_table, ks: tuple,
+                     num_types: int, num_uniq: int, Wc: int,
+                     counter_table=None, min_occ: int = 0):
+    """3-dispatch combined-table hpv16 step; result-identical to
+    hpv16_batch over separate type/uniq tables."""
+    lo, hi, occ, qmask, bidx = hpv16_comb_stage1(
+        codes, ks=ks, nb=comb_table.shape[0], Wc=Wc,
+        counter_table=counter_table, min_occ=min_occ)
+    rows = hpv16_split_gather(comb_table, bidx)
+    return hpv16_comb_finish(rows, lo, hi, occ, qmask,
+                             num_types=num_types, num_uniq=num_uniq)
+
+
+def hpv16_packed4_batch_comb(packed, vbits, L: int, comb_table, ks: tuple,
+                             num_types: int, num_uniq: int, Wc: int,
+                             counter_table=None, min_occ: int = 0):
+    """3-dispatch combined-table hpv16 step over the packed wire format."""
+    lo, hi, occ, qmask, bidx = hpv16_comb_stage1_packed4(
+        packed, vbits, L=L, ks=ks, nb=comb_table.shape[0], Wc=Wc,
+        counter_table=counter_table, min_occ=min_occ)
+    rows = hpv16_split_gather(comb_table, bidx)
+    return hpv16_comb_finish(rows, lo, hi, occ, qmask,
+                             num_types=num_types, num_uniq=num_uniq)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-panel hpv16 step: the over-budget fallback.  When the combined
+# panel would produce a bucket table past RKMH_TPU_SET_TABLE_MAX_MB
+# (a refpath override with a much larger genome panel), the driver
+# builds ops.lookup.build_sorted_panel's ~10x-smaller (keys, masks)
+# pair instead and probes it here by searchsorted (log2 U steps per
+# element vs the bucket table's one gather).  Result-identical.
+# ---------------------------------------------------------------------------
+
+
+def _hpv16_sorted_core(hashes, keys, masks, Wc: int,
+                       num_types: int, num_uniq: int,
+                       counter_table, min_occ: int):
+    from rkmh_tpu.ops.intersect import occ_ranks
+    from rkmh_tpu.ops.lookup import sorted_panel_counts_masked
+    from rkmh_tpu.ops.sketch import SENTINEL
+
+    if counter_table is not None:
+        counts = counter_get(counter_table, hashes)
+        hashes = mask_by_frequency(hashes, counts, min_occ)
+    full, lens = bottom_s_sketch(hashes, hashes.shape[-1])
+    full = full[:, :Wc]
+    occ = occ_ranks(full)
+    qmask = (
+        (jnp.arange(Wc, dtype=jnp.int32)[None, :] < lens[:, None])
+        & (full != SENTINEL)
+        & (occ == 0)          # set semantics: first occurrence only
+    )
+    counts = sorted_panel_counts_masked(
+        full, qmask, keys, masks, num_types + num_uniq)
+    tc = counts[:, :num_types]
+    uc = counts[:, num_types:]
+    best = jnp.argmax(tc, axis=-1)
+    max_shared = jnp.max(tc, axis=-1)
+    return jnp.concatenate(
+        [
+            best.astype(jnp.int64)[:, None],
+            max_shared.astype(jnp.int64)[:, None],
+            uc.astype(jnp.int64),
+        ],
+        axis=1,
+    )
+
+
+@partial(jax.jit, static_argnames=("ks", "num_types", "num_uniq", "Wc",
+                                   "min_occ"))
+def hpv16_sorted_batch(codes, keys, masks, ks: tuple,
+                       num_types: int, num_uniq: int, Wc: int,
+                       counter_table=None, min_occ: int = 0):
+    """Combined-panel hpv16 step over a sorted-key panel (see above)."""
+    hashes = multi_k_window_hashes(codes, list(ks))
+    return _hpv16_sorted_core(hashes, keys, masks, Wc, num_types, num_uniq,
+                              counter_table, min_occ)
+
+
+@partial(jax.jit, static_argnames=("L", "ks", "num_types", "num_uniq", "Wc",
+                                   "min_occ"))
+def hpv16_sorted_packed4_batch(packed, vbits, L: int, keys, masks, ks: tuple,
+                               num_types: int, num_uniq: int, Wc: int,
+                               counter_table=None, min_occ: int = 0):
+    """hpv16_sorted_batch over the 2-bit packed wire format."""
+    codes = unpack_codes4(packed, vbits, L)
+    hashes = multi_k_window_hashes(codes, list(ks))
+    return _hpv16_sorted_core(hashes, keys, masks, Wc, num_types, num_uniq,
+                              counter_table, min_occ)
+
+
 @partial(jax.jit, static_argnames=("num_refs", "min_diff", "min_matches"))
 def filter_sketches_table_packed(
     sk, sk_lens, table, ref_lens,

@@ -165,8 +165,9 @@ class Hpv16Tables:
     Deterministic for a given (refpath, k) — multi-host runs build it
     identically on every host."""
 
-    __slots__ = ("type_names", "type_table", "uniq_table",
-                 "lin_names", "sublin_names", "type_hashes", "type_mask")
+    __slots__ = ("type_names", "type_table", "uniq_table", "comb_table",
+                 "comb_sorted", "lin_names", "sublin_names",
+                 "type_hashes", "type_mask")
 
     @property
     def n_lin(self):
@@ -177,10 +178,19 @@ class Hpv16Tables:
         return len(self.sublin_names)
 
 
-def build_tables(cfg: Hpv16Config, ks: tuple) -> Hpv16Tables:
+def build_tables(cfg: Hpv16Config, ks: tuple,
+                 combined: bool = False) -> Hpv16Tables:
     """Type panel + lineage/sublineage unique-kmer set tables (device
     built; rkmh.cpp:2544-2653), with the .tst side-effect file and the
-    stderr stats."""
+    stderr stats.
+
+    combined=True (the single-device split-dispatch path) builds ONE
+    bucket table whose mask spans types + uniq groups instead of the two
+    separate tables — the probe then runs one wide row gather per element
+    instead of a 288 B-row and a narrow one (docs/ROOFLINE.md round-4
+    measurements); tb.type_table/uniq_table stay unset.  The sharded/dist
+    paths keep the separate tables (the type table tp-shards on its own).
+    """
     k0 = ks[0]
     tb = Hpv16Tables()
 
@@ -196,7 +206,9 @@ def build_tables(cfg: Hpv16Config, ks: tuple) -> Hpv16Tables:
     th, tm = engine.hash_batch_with_mask(
         type_recs.codes, jnp.asarray(type_recs.lens), (k0,)
     )
-    type_table = build_set_table_device(th, tm, num_refs=len(type_names))
+    type_table = None
+    if not combined:
+        type_table = build_set_table_device(th, tm, num_refs=len(type_names))
 
     # sublineage hash sets at kmer_sizes[0] (rkmh.cpp:2553) and the
     # lineage/sublineage unique-kmer tables (iterated set_difference,
@@ -230,7 +242,51 @@ def build_tables(cfg: Hpv16Config, ks: tuple) -> Hpv16Tables:
 
     comb_h = jnp.concatenate([_pad(lin_h, 0), _pad(sub_h, 0)])
     comb_m = jnp.concatenate([_pad(lin_keep, False), _pad(sub_keep, False)])
-    uniq_table = _bstd(comb_h, comb_m, num_refs=n_lin + n_sub)
+    uniq_table = None
+    comb_table = None
+    comb_sorted = None
+    if combined:
+        # ONE table over all 182+14 "refs": rows = type hash sets then
+        # uniq-group rows, padded to a common window width.  Ref bit r is
+        # a type for r < len(type_names) and uniq group r-182 after —
+        # counts split back by column range in engine.hpv16_comb_finish.
+        Wall = max(th.shape[1], comb_h.shape[1])
+
+        def _padw(a, fill):
+            return jnp.pad(a, ((0, 0), (0, Wall - a.shape[1])),
+                           constant_values=fill)
+
+        all_h = jnp.concatenate([_padw(th, 0), _padw(comb_h, 0)])
+        all_m = jnp.concatenate([_padw(tm, False), _padw(comb_m, False)])
+        n_all = len(type_names) + n_lin + n_sub
+
+        # memory guard: a refpath override with a much larger panel can
+        # outgrow the bucket table's HBM appetite — fall back to the
+        # ~10x-smaller sorted-key panel (ops.lookup.build_sorted_panel,
+        # probed by engine.hpv16_sorted_batch, result-identical)
+        import os as _os
+
+        from rkmh_tpu.ops.lookup import (
+            _count_unique_keys, build_sorted_panel, projected_table_bytes,
+        )
+
+        cap_mb = int(_os.environ.get("RKMH_TPU_SET_TABLE_MAX_MB", "2048"))
+        n_entries = int(_count_unique_keys(all_h, all_m))
+        if projected_table_bytes(n_entries, n_all) > cap_mb << 20:
+            from rkmh_tpu.utils import to_host
+
+            ah, am = to_host((all_h, all_m))
+            rows = [ah[i][am[i]] for i in range(n_all)]
+            keys, masks = build_sorted_panel(rows, num_refs=n_all)
+            comb_sorted = (jnp.asarray(keys), jnp.asarray(masks))
+            log(f"hpv16 panel: projected bucket table exceeds "
+                f"RKMH_TPU_SET_TABLE_MAX_MB={cap_mb}; using the sorted-key "
+                f"panel ({keys.nbytes + masks.nbytes >> 20} MB)")
+        else:
+            comb_table = _bstd(all_h, all_m, num_refs=n_all,
+                               est_entries=n_entries)
+    else:
+        uniq_table = _bstd(comb_h, comb_m, num_refs=n_lin + n_sub)
 
     # the .tst side-effect file + stderr stats need the distinct values on
     # host — ONE grouped fetch (int64 fast path), then per-row np.unique
@@ -255,6 +311,8 @@ def build_tables(cfg: Hpv16Config, ks: tuple) -> Hpv16Tables:
     tb.type_table = type_table
     tb.type_hashes, tb.type_mask = th, tm  # kept for tp-sharded rebuilds
     tb.uniq_table = uniq_table
+    tb.comb_table = comb_table
+    tb.comb_sorted = comb_sorted
     tb.lin_names = lin_names
     tb.sublin_names = sublin_names
     return tb
@@ -305,12 +363,6 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
     else:
         ks = tuple(cfg.ks)
 
-    tb = build_tables(cfg, ks)
-    type_names, lin_names, sublin_names = (
-        tb.type_names, tb.lin_names, tb.sublin_names)
-    type_table, uniq_table = tb.type_table, tb.uniq_table
-    n_lin, n_sub = tb.n_lin, tb.n_sub
-
     from rkmh_tpu.commands.common import (
         ChunkState,
         ChunkedPipeline,
@@ -322,7 +374,9 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
     chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
 
     # --devices decision first: with -M the counter itself shards over
-    # the dp axis (parallel/ep.py), so the counting pass needs the mesh
+    # the dp axis (parallel/ep.py), so the counting pass needs the mesh —
+    # and the table builder needs to know (single-device builds ONE
+    # combined type+uniq table; the sharded step keeps separate tables)
     use_sharded = False
     mesh = None
     dp = max(cfg.devices // max(cfg.tp, 1), 1)
@@ -344,6 +398,12 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
             mesh = make_mesh(jax.devices()[: cfg.devices],
                              dp=dp, tp=cfg.tp)
             use_sharded = True
+
+    tb = build_tables(cfg, ks, combined=not use_sharded)
+    type_names, lin_names, sublin_names = (
+        tb.type_names, tb.lin_names, tb.sublin_names)
+    type_table, uniq_table = tb.type_table, tb.uniq_table
+    n_lin, n_sub = tb.n_lin, tb.n_sub
 
     def _pad_dp(codes, lens=None):
         pad = (-codes.shape[0]) % dp
@@ -453,23 +513,41 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
             codes, _ = _pad_dp(codes)
             return hstep(codes, type_g, uniq_g, *extra)
 
-    def device_step(codes):
+    def device_step(codes, lens):
         if sharded_step is not None:
             return sharded_step(codes)
+        # single-device: ONE combined type+uniq table, probe compacted to
+        # the batch's max valid-window count (engine.hpv16_compact_width)
+        Wc = engine.hpv16_compact_width(lens, codes.shape[1], ks)
+        if tb.comb_sorted is not None:
+            # over-budget fallback: sorted-key panel, searchsorted probe
+            keys, masks = tb.comb_sorted
+            if engine.pack4_ok(codes.shape[1]):
+                from rkmh_tpu.io.packing import pack_codes4
+
+                pk, vb = pack_codes4(codes)
+                return engine.hpv16_sorted_packed4_batch(
+                    pk, vb, codes.shape[1], keys, masks,
+                    ks, len(type_names), n_lin + n_sub, Wc,
+                    counter_table=counter_table, min_occ=cfg.min_kmer_occ,
+                )
+            return engine.hpv16_sorted_batch(
+                codes, keys, masks,
+                ks, len(type_names), n_lin + n_sub, Wc,
+                counter_table=counter_table, min_occ=cfg.min_kmer_occ,
+            )
         if engine.pack4_ok(codes.shape[1]):
             from rkmh_tpu.io.packing import pack_codes4
 
             pk, vb = pack_codes4(codes)
-            return engine.hpv16_packed4_batch_split(
-                pk, vb, codes.shape[1],
-                type_table, uniq_table,
-                ks, len(type_names), n_lin + n_sub,
+            return engine.hpv16_packed4_batch_comb(
+                pk, vb, codes.shape[1], tb.comb_table,
+                ks, len(type_names), n_lin + n_sub, Wc,
                 counter_table=counter_table, min_occ=cfg.min_kmer_occ,
             )
-        return engine.hpv16_batch_split(
-            codes,
-            type_table, uniq_table,
-            ks, len(type_names), n_lin + n_sub,
+        return engine.hpv16_batch_comb(
+            codes, tb.comb_table,
+            ks, len(type_names), n_lin + n_sub, Wc,
             counter_table=counter_table, min_occ=cfg.min_kmer_occ,
         )
 
@@ -483,7 +561,8 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
     pipeline.run(
         classify_chunks,
         make_state=lambda chunk: _Chunk(chunk.names),
-        dispatch=lambda st, rows, codes, lens: ((rows, lens), device_step(codes)),
+        dispatch=lambda st, rows, codes, lens: (
+            (rows, lens), device_step(codes, lens)),
         batch_size=cfg.batch_size,
     )
     return 0

@@ -133,6 +133,17 @@ def pick_slots(n_entries: int, mask_words: int, forced: int | None = None,
     return 8
 
 
+def projected_table_bytes(n_entries: int, num_refs: int,
+                          policy: str = "compact") -> int:
+    """Predicted byte size of a bucket table for n entries over num_refs
+    — what the auto-picked (slots, buckets) geometry will allocate.
+    Drivers use it to decide bucket table vs the sorted-panel fallback
+    BEFORE paying for the device build."""
+    wm = max(1, (num_refs + 31) // 32)
+    s = pick_slots(n_entries, wm, policy=policy)
+    return 4 * s * (3 + wm) * predicted_buckets(max(n_entries, 1), s)
+
+
 def table_slots(width: int, num_refs: int) -> int:
     """Slot width of a table row, derived from its lane count.
 
@@ -595,6 +606,16 @@ def build_panel_table_device(ref_sk, ref_lens, num_refs: int | None = None):
 # deduplicated, so occ disambiguation is unnecessary: a sorted unique-key
 # array + bitmask matrix builds in O(n log n) numpy and queries with one
 # searchsorted (log2 U ~ 20 steps) per element.
+#
+# Production role: the OVER-BUDGET FALLBACK for hpv16-style set panels.
+# The bucket table trades memory for one-gather probes (~600 MB at 182
+# refs); its size grows with the bucket count, so a refpath override
+# with a much larger panel can outgrow HBM.  The sorted panel is
+# ~10x smaller (keys + masks only, no slot padding) at log2(U)
+# searchsorted steps per element; commands/hpv16_cmd.build_tables
+# switches to it when the projected bucket-table bytes exceed
+# RKMH_TPU_SET_TABLE_MAX_MB (engine.hpv16_sorted_batch is the matching
+# probe step, result-identical).
 
 
 def build_sorted_panel(ref_hash_rows: list, num_refs: int | None = None):
@@ -621,6 +642,24 @@ def build_sorted_panel(ref_hash_rows: list, num_refs: int | None = None):
     return uniq, masks
 
 
+def sorted_panel_counts_masked(read_sk, qmask, keys, masks, num_refs: int):
+    """The searchsorted probe core over a pre-built query mask: [B, s]
+    hash arrays + bool mask (True = query this element) -> [B, R]
+    distinct shared counts.  Callers enforce set semantics by masking
+    duplicate occurrences out (occ > 0)."""
+    pos = jnp.searchsorted(keys, read_sk)
+    pos = jnp.clip(pos, 0, keys.shape[0] - 1)
+    hit = (keys[pos] == read_sk) & qmask
+    mw = jnp.where(hit[..., None], masks[pos], np.uint32(0))  # [B, s, Wm]
+    from rkmh_tpu.ops.popcount import vertical_popcounts
+
+    counts = [
+        vertical_popcounts(mw[..., w], min(32, num_refs - 32 * w))
+        for w in range((num_refs + 31) // 32)
+    ]
+    return jnp.concatenate(counts, axis=-1)
+
+
 def sorted_panel_counts(read_sk, read_lens, keys, masks, num_refs: int):
     """[B, s] sorted read hash arrays -> [B, R] *distinct* shared counts.
 
@@ -636,14 +675,4 @@ def sorted_panel_counts(read_sk, read_lens, keys, masks, num_refs: int):
         & (read_sk != SENTINEL)
         & (occ == 0)
     )
-    pos = jnp.searchsorted(keys, read_sk)
-    pos = jnp.clip(pos, 0, keys.shape[0] - 1)
-    hit = (keys[pos] == read_sk) & qmask
-    mw = jnp.where(hit[..., None], masks[pos], np.uint32(0))  # [B, s, Wm]
-    from rkmh_tpu.ops.popcount import vertical_popcounts
-
-    counts = [
-        vertical_popcounts(mw[..., w], min(32, num_refs - 32 * w))
-        for w in range((num_refs + 31) // 32)
-    ]
-    return jnp.concatenate(counts, axis=-1)
+    return sorted_panel_counts_masked(read_sk, qmask, keys, masks, num_refs)

@@ -210,12 +210,26 @@ def main():
     ukeys, umasks = split_tables(uniq_table, Su, Wmu)
     tsent, usent = tmasks.shape[0] - 1, umasks.shape[0] - 1
 
+    # round-4 combined table: ONE table spanning type bits + uniq bits
+    # (one wide gather replaces the 288 B-row + narrow-row pair)
+    Wall = max(ph.shape[1], sh.shape[1])
+
+    def _padw(a, fill):
+        return jnp.pad(a, ((0, 0), (0, Wall - a.shape[1])),
+                       constant_values=fill)
+
+    comb_table = build_set_table_device(
+        jnp.concatenate([_padw(ph, 0), _padw(sh, 0)]),
+        jnp.concatenate([_padw(pm, False), _padw(sm, False)]),
+        num_refs=nt + nu)
+
     mreads = load_packed(f"{DATA}/minION25.fq")
     hcodes = jnp.asarray(np.tile(mreads.codes, (8, 1)))
     HB = hcodes.shape[0]
     bp = int(np.asarray(mreads.lens).sum()) * 8
     print(f"# hpv16 B={HB} type={tuple(type_table.shape)} S={St} "
-          f"uniq={tuple(uniq_table.shape)} S={Su}", flush=True)
+          f"uniq={tuple(uniq_table.shape)} S={Su} "
+          f"comb={tuple(comb_table.shape)}", flush=True)
 
     @partial(jax.jit, static_argnames=("num_types", "num_uniq"))
     def h_pfinish(selt, selu, num_types, num_uniq):
@@ -259,8 +273,19 @@ def main():
         selu = mask_gather(umasks, flat_u, usent)
         return h_pfinish(selt, selu, nt, nu)
 
+    HW = sum(hcodes.shape[1] - k + 1 for k in ks2)
+    hlens_tiled = np.tile(np.asarray(mreads.lens), 8)
+    HWc = engine.hpv16_compact_width(hlens_tiled, hcodes.shape[1], ks2)
+
+    def h_comb(c):
+        return engine.hpv16_batch_comb(c, comb_table, ks2, nt, nu, HW)
+
+    def h_combc(c):
+        return engine.hpv16_batch_comb(c, comb_table, ks2, nt, nu, HWc)
+
     href = np.asarray(h_fused(hcodes))
     for nm, f in [("fused", h_fused), ("split", h_split),
+                  ("comb", h_comb), ("combc", h_combc),
                   ("gsel", h_gsel), ("keys2", h_keys2)]:
         got = np.asarray(f(hcodes))
         dt = timeit(f, hcodes, iters=5)

@@ -116,10 +116,35 @@ def main():
         return engine.hpv16_batch_split(
             c, type_table, uniq_table, ks, len(pave), len(subs))
 
+    # round-4 combined table over the SAME ref rows (type sets + sub
+    # sets): one wide gather instead of two (engine.hpv16_batch_comb)
+    Wall = max(ph.shape[1], sh.shape[1])
+
+    def _padw(a, fill):
+        return jnp.pad(a, ((0, 0), (0, Wall - a.shape[1])),
+                       constant_values=fill)
+
+    comb_table = build_set_table_device(
+        jnp.concatenate([_padw(ph, 0), _padw(sh, 0)]),
+        jnp.concatenate([_padw(pm, False), _padw(sm, False)]),
+        num_refs=len(pave) + len(subs))
+    Wc = engine.hpv16_compact_width(
+        np.tile(np.asarray(reads.lens), tile), L, ks)
+    print(f"# comb_table={tuple(comb_table.shape)} "
+          f"row={4*comb_table.shape[1]}B Wc={Wc}/{W}")
+
+    def f_comb(c):
+        return engine.hpv16_batch_comb(
+            c, comb_table, ks, len(pave), len(subs), W)
+
+    def f_combc(c):
+        return engine.hpv16_batch_comb(
+            c, comb_table, ks, len(pave), len(subs), Wc)
+
     for name, f in [("hash", f_hash), ("sort", f_sort), ("typep", f_typep),
                     ("uniqp", f_uniqp),
                     ("full", lambda c: f_full(c, type_table, uniq_table)),
-                    ("split", f_split)]:
+                    ("split", f_split), ("comb", f_comb), ("combc", f_combc)]:
         dt = timeit(f, codes)
         print(f"{name:6s} {dt*1e3:9.2f} ms/batch  {B/dt:8.0f} reads/s  "
               f"{bp/dt/1e6:8.1f} Mbp/s")
@@ -128,7 +153,8 @@ def main():
     rng = np.random.default_rng(0)
     NQ = B * W
     for nb, width, tag in [(type_table.shape[0], type_table.shape[1], "type"),
-                           (uniq_table.shape[0], uniq_table.shape[1], "uniq")]:
+                           (uniq_table.shape[0], uniq_table.shape[1], "uniq"),
+                           (comb_table.shape[0], comb_table.shape[1], "comb")]:
         tbl = jnp.asarray(rng.integers(0, 2**31, (nb, width), np.int32))
         idx = jnp.asarray(
             rng.integers(0, nb, (B, W), np.int64).astype(np.int32))

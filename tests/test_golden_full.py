@@ -250,6 +250,32 @@ def test_full_stream_M_I_vs_oracle():
 # ---------------------------------------------------------------------------
 
 
+def test_hpv16_sorted_panel_fallback_matches_golden(tmp_path, monkeypatch):
+    """Force the over-budget sorted-panel fallback
+    (RKMH_TPU_SET_TABLE_MAX_MB=1) on a minION25 subset: per-read output
+    must be byte-identical to the bucket-table golden.  hpv16 lines are
+    per-read independent (no -M), so the first-6-reads slice of the
+    golden is the exact expectation."""
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
+
+    reads = read_fastx(f"{DATA}/minION25.fq")[:6]
+    sub = tmp_path / "m6.fq"
+    with open(sub, "w") as fh:
+        for r in reads:
+            fh.write(f"@{r.name}\n{r.seq.decode()}\n+\n"
+                     f"{(r.qual or b'I' * len(r.seq)).decode()}\n")
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("RKMH_TPU_SET_TABLE_MAX_MB", "1")
+    buf = io.StringIO()
+    rc = run(Hpv16Config(read_files=[str(sub)], refpath=DATA,
+                         ks=(18,), sketch_size=4000), out=buf)
+    assert rc == 0
+    with open(os.path.join(GOLDEN, "hpv16_minion25_k18.txt")) as fh:
+        want = "".join([next(fh) for _ in range(6)])
+    assert buf.getvalue() == want
+
+
 def test_full_call_hpv16_minion_vs_oracle():
     from rkmh_tpu.commands.call_cmd import CallConfig, run
 

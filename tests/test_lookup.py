@@ -251,6 +251,97 @@ def test_hpv16_split_dispatch_identical_to_fused():
         assert np.array_equal(np.asarray(want), np.asarray(got_p))
 
 
+def test_hpv16_combined_table_identical_to_split():
+    """The round-4 combined-table step (ONE table spanning type bits +
+    uniq-group bits, probe compacted to the host width bound) must be
+    bit-identical to hpv16_batch over separate tables — for every legal
+    compact width, with and without -M, raw and packed wire formats."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rkmh_tpu.classify import engine
+    from rkmh_tpu.io.packing import pack_codes4
+    from rkmh_tpu.ops.counter import HashCounter
+    from rkmh_tpu.ops.lookup import build_set_table_device
+    from rkmh_tpu.utils import to_host
+
+    rng = np.random.default_rng(33)
+    codes = rng.integers(0, 4, size=(12, 96)).astype(np.uint8)
+    codes[3, 72:] = 255                      # short read -> pad tail
+    codes[5, :] = codes[4, :]                # duplicate read (occ>0 dups)
+    lens = np.full(12, 96, np.int32)
+    lens[3] = 72
+    ks = (14, 16)
+
+    ref_codes = rng.integers(0, 4, size=(7, 220)).astype(np.uint8)
+    rh, rm = engine.hash_batch_with_mask(
+        ref_codes, np.full(7, 220, np.int32), ks
+    )
+    tt = build_set_table_device(rh[:4], rm[:4], num_refs=4)
+    ut = build_set_table_device(rh[4:], rm[4:], num_refs=3)
+    ct = build_set_table_device(rh, rm, num_refs=7)  # combined: 4 types + 3
+
+    hc = HashCounter(4096)
+    h, m = engine.hash_batch_with_mask(codes, lens, ks)
+    hc.add(h, m)
+
+    W = sum(96 - k + 1 for k in ks)
+    wc_host = engine.hpv16_compact_width(lens, 96, ks)
+    assert wc_host >= int(jnp.max(engine.bottom_s_sketch(h, h.shape[-1])[1]))
+    # the over-budget fallback: sorted-key panel over the SAME combined
+    # refs (engine.hpv16_sorted_batch) must also be result-identical
+    from rkmh_tpu.ops.lookup import build_sorted_panel
+
+    rh_np, rm_np = to_host((rh, rm))
+    keys, masks = build_sorted_panel(
+        [rh_np[i][rm_np[i]] for i in range(7)], num_refs=7)
+    keys, masks = jnp.asarray(keys), jnp.asarray(masks)
+
+    pk, vb = pack_codes4(codes)
+    for ctr, mo in [(None, 0), (hc.table, 1)]:
+        want = np.asarray(to_host(engine.hpv16_batch(
+            codes, tt, ut, ks, 4, 3, counter_table=ctr, min_occ=mo)))
+        for Wc in (W, wc_host):
+            got = to_host(engine.hpv16_batch_comb(
+                codes, ct, ks, 4, 3, Wc, counter_table=ctr, min_occ=mo))
+            assert np.array_equal(want, np.asarray(got)), (Wc, mo)
+            got_p = to_host(engine.hpv16_packed4_batch_comb(
+                pk, vb, 96, ct, ks, 4, 3, Wc,
+                counter_table=ctr, min_occ=mo))
+            assert np.array_equal(want, np.asarray(got_p)), (Wc, mo)
+            got_s = to_host(engine.hpv16_sorted_batch(
+                codes, keys, masks, ks, 4, 3, Wc,
+                counter_table=ctr, min_occ=mo))
+            assert np.array_equal(want, np.asarray(got_s)), (Wc, mo)
+            got_sp = to_host(engine.hpv16_sorted_packed4_batch(
+                pk, vb, 96, keys, masks, ks, 4, 3, Wc,
+                counter_table=ctr, min_occ=mo))
+            assert np.array_equal(want, np.asarray(got_sp)), (Wc, mo)
+
+
+def test_hpv16_compact_width_bounds():
+    """hpv16_compact_width: always >= every row's window count, <= W,
+    and quantized to at most `grid` distinct values per padded length."""
+    import numpy as np
+    from rkmh_tpu.classify import engine
+
+    ks = (16, 18)
+    L = 4096
+    W = sum(L - k + 1 for k in ks)
+    seen = set()
+    rng = np.random.default_rng(2)
+    for _ in range(40):
+        lens = rng.integers(0, L + 1, size=17).astype(np.int32)
+        wc = engine.hpv16_compact_width(lens, L, ks)
+        need = sum(int(np.max(np.maximum(lens - (k - 1), 0))) for k in ks)
+        assert need <= wc <= W
+        seen.add(wc)
+    assert len(seen) <= 8
+    # degenerate: all-pad batch still yields a positive static width
+    assert engine.hpv16_compact_width(np.zeros(4, np.int32), L, ks) >= 1
+    # full-length batch costs nothing: exactly W
+    assert engine.hpv16_compact_width(np.full(4, L, np.int32), L, ks) == W
+
+
 def test_pack4_native_matches_numpy():
     """The C packer (io/native rkmh_pack4) must reproduce the numpy
     layout byte for byte, including invalid-base zeroing and the

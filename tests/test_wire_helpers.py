@@ -15,7 +15,7 @@ which would not change output bytes — only wire cost.
 import numpy as np
 import pytest
 
-from rkmh_tpu.commands.common import DpCtx, PyPacked, fetch_rows, packed_batches
+from rkmh_tpu.commands.common import DpCtx, fetch_rows, packed_batches
 
 
 class _FakePacked:
