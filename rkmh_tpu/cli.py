@@ -150,6 +150,16 @@ def build_parser():
                    help="reads parsed per streaming window; 0 = auto (65536)")
     p.add_argument("--devices", type=int, default=0,
                    help="dp-shard hashing over N local devices; 0 = single")
+    p.add_argument("--out", default="", dest="out_file",
+                   help="write hash/sketch lines here (per-rank stripes "
+                        "with --dist-*; -o stays the JSON prefix)")
+    p.add_argument("--dist-coordinator", default="", dest="dist_coordinator",
+                   help="multi-host: coordinator host:port")
+    p.add_argument("--dist-procs", type=int, default=0, dest="dist_procs",
+                   help="multi-host: total process count")
+    p.add_argument("--dist-rank", type=int, default=-1, dest="dist_rank",
+                   help="multi-host: this process's id; each rank writes "
+                        "<out>.<rank>, merge with rkmh-tpu-dist-merge")
 
     p = sub.add_parser("count")
     p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
@@ -164,6 +174,13 @@ def build_parser():
                    help="reads parsed per streaming window; 0 = auto (65536)")
     p.add_argument("--devices", type=int, default=0,
                    help="dp-shard hashing over N local devices; 0 = single")
+    p.add_argument("--dist-coordinator", default="", dest="dist_coordinator",
+                   help="multi-host: coordinator host:port")
+    p.add_argument("--dist-procs", type=int, default=0, dest="dist_procs",
+                   help="multi-host: total process count")
+    p.add_argument("--dist-rank", type=int, default=-1, dest="dist_rank",
+                   help="multi-host: this process's id; the global counter "
+                        "table spans hosts, rank 0 emits")
 
     p = sub.add_parser("search")
     p.add_argument("-f", "--fasta", action="append", default=[], dest="reads")
@@ -174,6 +191,16 @@ def build_parser():
                    help="reads parsed per streaming window; 0 = auto (65536)")
     p.add_argument("--devices", type=int, default=0,
                    help="dp-shard hashing over N local devices; 0 = single")
+    p.add_argument("-o", "--output", default="", dest="out_file",
+                   help="write match lines here (per-rank stripes with "
+                        "--dist-*)")
+    p.add_argument("--dist-coordinator", default="", dest="dist_coordinator",
+                   help="multi-host: coordinator host:port")
+    p.add_argument("--dist-procs", type=int, default=0, dest="dist_procs",
+                   help="multi-host: total process count")
+    p.add_argument("--dist-rank", type=int, default=-1, dest="dist_rank",
+                   help="multi-host: this process's id; each rank writes "
+                        "<out>.<rank> + .idx, merge with rkmh-tpu-dist-merge")
 
     p = sub.add_parser("call")
     p.add_argument("-r", "--reference", action="append", default=[], dest="refs")
@@ -360,6 +387,10 @@ def _dispatch(args) -> int:
                 batch_size=args.batch_size,
                 chunk_reads=args.chunk_reads,
                 devices=args.devices,
+                out_file=args.out_file,
+                dist_coordinator=args.dist_coordinator,
+                dist_procs=args.dist_procs,
+                dist_rank=args.dist_rank,
             )
         )
     if args.command == "count":
@@ -375,6 +406,9 @@ def _dispatch(args) -> int:
                 dump=args.dump,
                 chunk_reads=args.chunk_reads,
                 devices=args.devices,
+                dist_coordinator=args.dist_coordinator,
+                dist_procs=args.dist_procs,
+                dist_rank=args.dist_rank,
             )
         )
     if args.command == "search":
@@ -383,7 +417,10 @@ def _dispatch(args) -> int:
         return run(
             SearchConfig(ref_files=args.refs, read_files=args.reads,
                          ks=tuple(args.ks), chunk_reads=args.chunk_reads,
-                         devices=args.devices)
+                         devices=args.devices, out_file=args.out_file,
+                         dist_coordinator=args.dist_coordinator,
+                         dist_procs=args.dist_procs,
+                         dist_rank=args.dist_rank)
         )
     if args.command == "call":
         from rkmh_tpu.commands.call_cmd import CallConfig, run

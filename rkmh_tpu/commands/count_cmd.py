@@ -44,9 +44,20 @@ class CountConfig:
     dump: bool = False              # --dump: print occupied slots
     chunk_reads: int = 0            # streaming window; 0 = default
     devices: int = 0                # --devices: dp-shard hashing; 0 = single
+    dist_coordinator: str = ""      # --dist-coordinator host:port (multi-host)
+    dist_procs: int = 0             # --dist-procs: process count (multi-host)
+    dist_rank: int = -1             # --dist-rank: this process's id
 
 
 def run(cfg: CountConfig, out=None) -> int:
+    import os
+
+    if (cfg.dist_procs > 1 or cfg.dist_coordinator
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        from rkmh_tpu.commands.dist_stream import run_distributed_count
+
+        return run_distributed_count(cfg, out)
+
     out = out or sys.stdout
     from rkmh_tpu.commands.common import resolve_batch_size
 

@@ -738,6 +738,327 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# hash / count / search --dist-* (round 4): the last cells of the
+# {command x dist} matrix.  None of these needs a collective in the hot
+# step (hash/search are per-read maps; count's collective lives in
+# parallel/ep.py), so the drains are the lockstep skeleton with a plain
+# jit over the dp-sharded global batch.
+# ---------------------------------------------------------------------------
+
+
+class _MapDistCtx:
+    """Geometry of a lockstep map-style drain (no panel, no tp)."""
+
+    __slots__ = ("H", "rank", "mesh", "codes_sharding", "lens_sharding",
+                 "B", "Bl", "L", "N", "ks", "chunk_reads")
+
+
+def _setup_map_dist(cfg, cmd: str, default_k: int = 16):
+    """Init + geometry + input scan for the hash/count/search drains.
+    Returns a _MapDistCtx, or None after logging the refusal reason."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rkmh_tpu.parallel.distributed import initialize
+    from rkmh_tpu.parallel.mesh import make_mesh
+
+    if not _rereadable_inputs(cfg.read_files):
+        log(f"{cmd} --dist-* requires re-readable -f files on every host "
+            "(the counting pre-pass and the work pass each read the input; "
+            "stdin/FIFOs would be consumed by the first)")
+        return None
+
+    initialize(cfg.dist_coordinator or None,
+               cfg.dist_procs or None,
+               cfg.dist_rank if cfg.dist_rank >= 0 else None)
+    ctx = _MapDistCtx()
+    ctx.H = jax.process_count()
+    ctx.rank = jax.process_index()
+    dp = jax.device_count()
+
+    from rkmh_tpu.commands.common import resolve_batch_size
+
+    B = resolve_batch_size(cfg.batch_size)
+    ctx.B = B = -(-B // (dp * ctx.H)) * (dp * ctx.H)
+    ctx.Bl = B // ctx.H
+    ctx.chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
+    ctx.ks = tuple(cfg.ks) if cfg.ks else (default_k,)
+    if not cfg.ks:
+        log(f"Using default kmer size of {default_k}.")
+
+    ctx.mesh = make_mesh(jax.devices(), dp=dp, tp=1)
+    ctx.codes_sharding = NamedSharding(ctx.mesh, P("dp", None))
+    ctx.lens_sharding = NamedSharding(ctx.mesh, P("dp"))
+    _assert_process_contiguous(
+        NamedSharding(ctx.mesh, P("dp")), B, ctx.Bl, ctx.rank)
+
+    ctx.N, maxlen = _scan_input(cfg.read_files, ctx.chunk_reads)
+    ctx.L = bucket_length(max(maxlen, 1))
+    log(f"dist rank {ctx.rank}/{ctx.H}: {ctx.N} reads, pad {ctx.L}, "
+        f"global batch {B} ({ctx.Bl} rows/host), mesh dp={dp}")
+    return ctx
+
+
+def _fetch_mine_rows(res, B: int, Bl: int, rank: int):
+    """This host's [Bl, ...] rows of a [B, ...] result sharded P('dp', ...)."""
+    rows = np.empty((Bl,) + res.shape[1:], res.dtype)
+    for sh in res.addressable_shards:
+        sl = sh.index[0]
+        lo = sl.start or 0
+        rows[lo - rank * Bl : (sl.stop or B) - rank * Bl] = np.asarray(sh.data)
+    return rows
+
+
+def run_distributed_hash(cfg, out=None) -> int:
+    """hash --dist-*: per-read hash/sketch/wabbit lines over a cross-host
+    mesh.  The step is a pure per-read map (no collective), so the drain
+    is the lockstep skeleton + a jit over the dp-sharded batch; exactly
+    one output line per read, so the fixed 'stream' stripes apply.
+
+    -K is refused (kmerize is host-only — nothing to distribute; run it
+    single-host) and so is --json/-o-prefix (the dump schema collects
+    every record globally; hash the stripes to JSON per rank instead)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from rkmh_tpu.classify import engine
+    from rkmh_tpu.commands.hash_cmd import _multiset_counts, _wabbit_line
+
+    if cfg.output_kmers:
+        log("hash --dist-* cannot combine with -K (kmerize is host-only; "
+            "run it single-host)")
+        return 1
+    if cfg.json_out or cfg.out_prefix:
+        log("hash --dist-* cannot combine with --json/-o (the JSON dump "
+            "collects every record; dump per-rank stripes instead)")
+        return 1
+
+    ctx = _setup_map_dist(cfg, "hash")
+    if ctx is None:
+        return 1
+    B, Bl, rank, ks = ctx.B, ctx.Bl, ctx.rank, ctx.ks
+
+    # i64 bitcasts: u64 leaves the device on the fast wire path
+    @partial(jax.jit, static_argnames=("ks", "s"))
+    def sketch_step(codes, ks, s):
+        sk, sk_lens = engine.sketch_batch.__wrapped__(codes, ks, s)
+        return jax.lax.bitcast_convert_type(sk, jnp.int64), sk_lens
+
+    @partial(jax.jit, static_argnames=("ks",))
+    def hash_step(codes, lens, ks):
+        h, m = engine.hash_batch_with_mask.__wrapped__(codes, lens, ks)
+        return jax.lax.bitcast_convert_type(h, jnp.int64), m
+
+    out, close_out, skip = _open_rank_out(cfg, out, rank, ctx.H, B, "stream")
+
+    def emit(names, res):
+        nonlocal skip
+        a, b = res
+        va = _fetch_mine_rows(a, B, Bl, rank).view(np.uint64)
+        vb = _fetch_mine_rows(b, B, Bl, rank)
+        real = [i for i, nm in enumerate(names) if nm is not None]
+        if skip:  # --resume: these rows' lines already landed
+            drop = min(skip, len(real))
+            real = real[drop:]
+            skip -= drop
+        if not real:
+            return
+        if cfg.sketch_size > 0:
+            for i in real:
+                mins = va[i, : vb[i]].tolist()
+                if cfg.wabbitize:
+                    counts = (_multiset_counts(mins)
+                              if cfg.output_counts else None)
+                    out.write(_wabbit_line(names[i], mins, ks,
+                                           cfg.sketch_size, counts))
+                else:
+                    out.write(f"{names[i]}\t{' '.join(map(str, mins))}\n")
+            return
+        if not cfg.wabbitize:
+            from rkmh_tpu.io.native import format_hash_lines_block
+
+            blk = format_hash_lines_block(
+                va[real], vb[real], [names[i] for i in real])
+            if blk is not None:
+                out.write(blk.decode())
+                return
+        for i in real:
+            vals = va[i][vb[i]].tolist()
+            if cfg.wabbitize:
+                mins = sorted(v for v in vals if v != 0)
+                counts = _multiset_counts(mins) if cfg.output_counts else None
+                out.write(_wabbit_line(names[i], mins, ks,
+                                       cfg.sketch_size, counts))
+            else:
+                out.write(f"{names[i]}\t{' '.join(map(str, vals))}\n")
+
+    pending: deque = deque()
+    try:
+        for b, codes, lens, names in _iter_owned_batches(
+                cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L):
+            cg = put_local(codes, (B, ctx.L), ctx.codes_sharding)
+            if cfg.sketch_size > 0:
+                res = sketch_step(cg, ks, cfg.sketch_size)
+            else:
+                lg = put_local(lens, (B,), ctx.lens_sharding)
+                res = hash_step(cg, lg, ks)
+            pending.append((names, res))
+            if len(pending) > 3:
+                emit(*pending.popleft())
+        while pending:
+            emit(*pending.popleft())
+    finally:
+        if close_out:
+            out.close()
+    return 0
+
+
+def run_distributed_count(cfg, out=None) -> int:
+    """count --dist-*: the lossy depth counter built dp-sharded across
+    hosts (parallel/ep.py psum_scatter — the one genuinely collective
+    step of the map family), then all_gathered so every rank holds the
+    full table; scatter-adds commute, so the table is bit-identical to
+    a single-process run.  Only rank 0 emits (-o npz / --dump lines) —
+    the output is one global table, not per-read stripes."""
+    import sys as _sys
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ctx = _setup_map_dist(cfg, "count")
+    if ctx is None:
+        return 1
+    B, Bl, rank, ks = ctx.B, ctx.Bl, ctx.rank, ctx.ks
+
+    dp = ctx.mesh.shape["dp"]
+    if cfg.counter_size % dp:
+        log(f"count --dist-*: counter size {cfg.counter_size} is not "
+            f"divisible by the {dp} dp shards")
+        return 1
+
+    from rkmh_tpu.parallel.ep import (
+        sharded_counter_add_codes_fn, sharded_counter_init,
+    )
+
+    counter = sharded_counter_init(ctx.mesh, cfg.counter_size)
+    add = sharded_counter_add_codes_fn(ctx.mesh, cfg.counter_size, ks)
+    total_kmers = 0
+    total_reads = 0
+    for b, codes, lens, names in _iter_owned_batches(
+            cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L):
+        counter = add(counter,
+                      put_local(codes, (B, ctx.L), ctx.codes_sharding),
+                      put_local(lens, (B,), ctx.lens_sharding))
+        # summary totals over the GLOBAL batch: lens of unowned rows are 0
+        # here, so every rank sums its own block and the log line uses the
+        # global window-count formula on owned rows only; reads counted
+        # from owned names
+        total_reads += sum(1 for nm in names if nm is not None)
+        total_kmers += int(
+            sum(np.maximum(lens.astype(np.int64) - (k - 1), 0).sum()
+                for k in ks))
+
+    gather = jax.jit(lambda t: t,
+                     out_shardings=NamedSharding(ctx.mesh, P()))
+    table = np.asarray(gather(counter))
+    occupied = int((table > 0).sum())
+    log(f"dist rank {rank}: counted {total_kmers} kmers from "
+        f"{total_reads} owned reads; global {cfg.counter_size}-slot table "
+        f"has {occupied} slots occupied.")
+
+    if rank == 0:
+        out = out or _sys.stdout
+        if cfg.out_file:
+            np.savez_compressed(cfg.out_file, table=table,
+                                size=cfg.counter_size, ks=np.asarray(ks))
+            log(f"Saved counter table to {cfg.out_file}")
+        if cfg.dump:
+            (nz,) = np.nonzero(table)
+            for slot in nz:
+                out.write(f"{slot}\t{int(table[slot])}\n")
+    return 0
+
+
+def run_distributed_search(cfg, out=None) -> int:
+    """search --dist-*: reference-kmer membership over a cross-host mesh.
+    Every rank hashes the same reference token files (host-side, tiny);
+    the read step is a per-read map (searchsorted vs the replicated key
+    array).  Reads shorter than k emit NOTHING (reference behavior), so
+    stripes are variable-length: each rank writes a `<out>.<rank>.idx`
+    per-batch line-count sidecar, merged like filter's (fmt 'search',
+    one line per record)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rkmh_tpu.commands.search_cmd import load_ref_kmers
+    from rkmh_tpu.ops.hashing import kmer_window_hashes
+
+    ctx = _setup_map_dist(cfg, "search")
+    if ctx is None:
+        return 1
+    B, Bl, rank = ctx.B, ctx.Bl, ctx.rank
+    k = ctx.ks[0]  # reference kmerizes with kmer[0] only (rkmh.cpp:2228)
+
+    ref_hashes = load_ref_kmers(cfg.ref_files)
+    log(f"Loaded {len(ref_hashes)} reference kmers.")
+    ref_g = jax.device_put(ref_hashes, NamedSharding(ctx.mesh, P()))
+
+    @partial(jax.jit, static_argnames=("k", "have_refs"))
+    def step(codes, refs, k, have_refs):
+        wh = kmer_window_hashes(codes, k)
+        if have_refs:
+            pos = jnp.clip(jnp.searchsorted(refs, wh), 0, refs.shape[0] - 1)
+            return (refs[pos] == wh) & (wh != np.uint64(0))
+        return jnp.zeros(wh.shape, dtype=bool)
+
+    out, close_out, _skip0 = _open_rank_out(cfg, out, rank, ctx.H, B, "search")
+    path = (f"{cfg.out_file}.{rank}" if ctx.H > 1 else cfg.out_file) \
+        if cfg.out_file else None
+    idx_fh = open(f"{path}.idx", "w") if path else None
+
+    def emit(recs, res):
+        found = _fetch_mine_rows(res, B, Bl, rank)
+        wrote = 0
+        for i, rec in enumerate(recs):
+            if rec is None:
+                continue
+            name, seq, _qual = rec
+            nwin = len(seq) - k + 1
+            if nwin <= 0:
+                continue  # reference emits nothing for reads shorter than k
+            idx = np.nonzero(found[i, :nwin])[0]
+            mers = ",".join(seq[j : j + k].decode() for j in idx)
+            out.write(f"{name}\t{mers}\n")
+            wrote += 1
+        if idx_fh is not None:
+            out.flush()  # the idx line must never point past the stripe
+            idx_fh.write(f"{wrote}\n")
+            idx_fh.flush()
+
+    pending: deque = deque()
+    try:
+        for b, codes, lens, names, recs in _iter_owned_batches(
+                cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L,
+                with_records=True):
+            pending.append(
+                (recs, step(put_local(codes, (B, ctx.L), ctx.codes_sharding),
+                            ref_g, k, bool(ref_hashes.size))))
+            if len(pending) > 3:
+                emit(*pending.popleft())
+        while pending:
+            emit(*pending.popleft())
+    finally:
+        if idx_fh is not None:
+            idx_fh.close()
+        if close_out:
+            out.close()
+    return 0
+
+
 def merge_outputs(rank_files, batch_size: int, out=None) -> int:
     """Interleave per-rank stripe files back into single-process order.
 
@@ -1051,6 +1372,8 @@ def merge_main(argv=None) -> int:
     if meta is None and all(os.path.exists(f"{p}.idx")
                             for p in args.rank_files):
         fmt = "filter"  # sidecar lost, but the idx files identify the format
+    if fmt == "search":  # variable 1-line records with idx sidecars
+        return merge_outputs_filter(args.rank_files, lines_per_record=1)
     if fmt == "filter":
         return merge_outputs_filter(args.rank_files)
     if fmt == "call":

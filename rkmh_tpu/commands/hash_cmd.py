@@ -56,6 +56,11 @@ class HashConfig:
     batch_size: int = 2048
     chunk_reads: int = 0          # streaming window; 0 = default
     devices: int = 0              # --devices: dp-shard hashing; 0 = single
+    out_file: str = ""            # --out: hash lines here (dist rank stripes)
+    resume: bool = False          # reserved for the dist stripe machinery
+    dist_coordinator: str = ""    # --dist-coordinator host:port (multi-host)
+    dist_procs: int = 0           # --dist-procs: process count (multi-host)
+    dist_rank: int = -1           # --dist-rank: this process's id
 
 
 def _wabbit_line(name: str, mins: list[int], ks, sketch_size: int,
@@ -80,6 +85,17 @@ def _multiset_counts(sorted_vals: list[int]) -> list[int]:
 
 
 def run(cfg: HashConfig, out=None) -> int:
+    import os
+
+    if (cfg.dist_procs > 1 or cfg.dist_coordinator
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        from rkmh_tpu.commands.dist_stream import run_distributed_hash
+
+        return run_distributed_hash(cfg, out)
+
+    if out is None and cfg.out_file:
+        with open(cfg.out_file, "w") as fh:
+            return run(cfg, fh)
     out = out or sys.stdout
     from rkmh_tpu.commands.common import resolve_batch_size
 

@@ -46,6 +46,11 @@ class SearchConfig:
     batch_size: int = 2048
     chunk_reads: int = 0            # streaming window; 0 = default
     devices: int = 0                # --devices: dp-shard hashing; 0 = single
+    out_file: str = ""              # -o: lines here (dist rank stripes)
+    resume: bool = False            # reserved for the dist stripe machinery
+    dist_coordinator: str = ""      # --dist-coordinator host:port (multi-host)
+    dist_procs: int = 0             # --dist-procs: process count (multi-host)
+    dist_rank: int = -1             # --dist-rank: this process's id
 
 
 def load_ref_kmers(paths) -> np.ndarray:
@@ -63,6 +68,17 @@ def load_ref_kmers(paths) -> np.ndarray:
 
 
 def run(cfg: SearchConfig, out=None) -> int:
+    import os
+
+    if (cfg.dist_procs > 1 or cfg.dist_coordinator
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        from rkmh_tpu.commands.dist_stream import run_distributed_search
+
+        return run_distributed_search(cfg, out)
+
+    if out is None and cfg.out_file:
+        with open(cfg.out_file, "w") as fh:
+            return run(cfg, fh)
     out = out or sys.stdout
     from rkmh_tpu.commands.common import resolve_batch_size
 

@@ -557,3 +557,167 @@ def test_two_process_distributed_cli_call(tmp_path):
     ) == 0
     assert merged.getvalue() == single.getvalue()
     assert merged.getvalue().count("\n") > 10
+
+
+def _spawn_two(args, tmp_path=None):
+    """Launch the 2-process CLI pair and assert both exit 0."""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *args, "--dist-rank", str(p)],
+            cwd=str(tmp_path) if tmp_path else None,
+            env={
+                "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+                "PYTHONPATH": "/root/repo",
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+                "HOME": os.environ.get("HOME", "/root"),
+            },
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for p in range(2)
+    ]
+    outs, errs = [], []
+    for p in procs:
+        o, e = p.communicate(timeout=600)
+        outs.append(o)
+        errs.append(e)
+    assert all(p.returncode == 0 for p in procs), \
+        "\n".join(e[-1500:] for e in errs)
+    return outs
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_cli_hash(tmp_path):
+    """hash --dist-*: two processes x 4 virtual CPU devices; merged
+    stripes must be byte-identical to a single-process run (per-read
+    hash lines, the published hashing-throughput surface)."""
+    import contextlib
+    import io as _io
+
+    from rkmh_tpu.commands.hash_cmd import HashConfig, run as run_hash
+
+    D = "/root/reference/data"
+    out = str(tmp_path / "hashes.txt")
+    args = [
+        "-m", "rkmh_tpu.cli", "hash",
+        "-f", f"{D}/minION25.fq", "-k", "16", "--batch-size", "16",
+        "--dist-coordinator", f"localhost:{_free_port()}",
+        "--dist-procs", "2", "--out", out,
+    ]
+    _spawn_two(args)
+
+    from rkmh_tpu.commands.dist_stream import merge_main
+
+    merged = _io.StringIO()
+    with contextlib.redirect_stdout(merged):
+        assert merge_main([f"{out}.0", f"{out}.1"]) == 0
+
+    single = _io.StringIO()
+    assert run_hash(
+        HashConfig(read_files=[f"{D}/minION25.fq"], ks=(16,),
+                   batch_size=16),
+        out=single,
+    ) == 0
+    assert merged.getvalue() == single.getvalue()
+    assert merged.getvalue().count("\n") == 25
+
+
+def test_two_process_distributed_cli_count(tmp_path):
+    """count --dist-*: the dp-sharded global counter spans both
+    processes; rank 0's --dump lines and the saved npz table must equal
+    the single-process run exactly (scatter-adds commute)."""
+    import io as _io
+
+    from rkmh_tpu.commands.count_cmd import CountConfig, run as run_count
+
+    D = "/root/reference/data"
+    npz = str(tmp_path / "table.npz")
+    args = [
+        "-m", "rkmh_tpu.cli", "count",
+        "-f", f"{D}/z1.fq", "-k", "12", "--counter-size", "64000",
+        "--batch-size", "64", "--dump", "-o", npz,
+        "--dist-coordinator", f"localhost:{_free_port()}",
+        "--dist-procs", "2",
+    ]
+    outs = _spawn_two(args)
+
+    def dump_lines(s):
+        # Gloo prints connection chatter to stdout; keep only "slot\tcount"
+        return "".join(
+            ln + "\n" for ln in s.splitlines()
+            if "\t" in ln and ln.split("\t")[0].isdigit())
+
+    assert dump_lines(outs[1]) == ""  # only rank 0 emits
+
+    single = _io.StringIO()
+    snpz = str(tmp_path / "single.npz")
+    assert run_count(
+        CountConfig(read_files=[f"{D}/z1.fq"], ks=(12,),
+                    counter_size=64000, batch_size=64, dump=True,
+                    out_file=snpz),
+        out=single,
+    ) == 0
+    assert dump_lines(outs[0]) == single.getvalue()
+    with np.load(npz + ".npz" if not os.path.exists(npz) else npz) as da, \
+            np.load(snpz + ".npz" if not os.path.exists(snpz) else snpz) as db:
+        assert np.array_equal(da["table"], db["table"])
+        assert int(da["size"]) == int(db["size"])
+
+
+def test_two_process_distributed_cli_search(tmp_path):
+    """search --dist-*: variable-length stripes (reads shorter than k
+    emit nothing) reassembled via the .idx sidecars; merged output must
+    be byte-identical to a single-process run."""
+    import contextlib
+    import io as _io
+
+    from rkmh_tpu.commands.search_cmd import SearchConfig, run as run_search
+    from rkmh_tpu.io.fastx import read_fastx
+
+    D = "/root/reference/data"
+    reads = read_fastx(f"{D}/z1.fq")[:40]
+    fq = tmp_path / "mix.fq"
+    with open(fq, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@{r.name}\n{r.seq.decode()}\n+\n"
+                     f"{(r.qual or b'I' * len(r.seq)).decode()}\n")
+            if i % 7 == 0:  # interleave reads SHORTER than k (emit nothing)
+                fh.write(f"@short{i}\nACGTACG\n+\nIIIIIII\n")
+
+    # reference kmer token file: k-mers of the first read + some misses
+    k = 12
+    seq = reads[0].seq.decode()
+    ref_txt = tmp_path / "kmers.txt"
+    with open(ref_txt, "w") as fh:
+        for j in range(0, 60, 3):
+            fh.write(f"{seq[j:j + k]}\textra tokens ignored\n")
+        fh.write("A" * k + "\n")
+
+    out = str(tmp_path / "search.out")
+    args = [
+        "-m", "rkmh_tpu.cli", "search",
+        "-r", str(ref_txt), "-f", str(fq), "-k", str(k),
+        "--dist-coordinator", f"localhost:{_free_port()}",
+        "--dist-procs", "2", "-o", out,
+    ]
+    _spawn_two(args)
+
+    from rkmh_tpu.commands.dist_stream import merge_main
+
+    merged = _io.StringIO()
+    with contextlib.redirect_stdout(merged):
+        assert merge_main([f"{out}.0", f"{out}.1"]) == 0
+
+    single = _io.StringIO()
+    assert run_search(
+        SearchConfig(ref_files=[str(ref_txt)], read_files=[str(fq)],
+                     ks=(k,)),
+        out=single,
+    ) == 0
+    assert merged.getvalue() == single.getvalue()
+    assert merged.getvalue().count("\n") == 40  # short reads emit nothing
