@@ -228,6 +228,7 @@ class PyPacked:
         self.names = [r.name for r in records]
         self.seqs = [r.seq for r in records]
         self.quals = [r.qual for r in records]
+        self.rec_offs = None  # no byte offsets: python path can't index
 
     def __len__(self):
         return len(self.names)

@@ -65,18 +65,20 @@ def _rereadable_inputs(read_files) -> bool:
 
 
 def _scan_input(read_files, chunk_reads):
-    """Host-local counting pre-pass: (total records, max read length).
-    Parse only — no device work; every host sees the same files, so all
-    hosts agree without a collective.  This rides the native C parser
-    (GB/s), so the extra pass costs far less than the classify pass it
-    enables; a parse-free count would need an index sidecar format."""
-    n, maxlen = 0, 0
-    for chunk in iter_packed_chunks(read_files, chunk_reads):
-        n += len(chunk)
-        lens = np.asarray(chunk.lens)
-        if lens.size:
-            maxlen = max(maxlen, int(lens.max()))
-    return n, maxlen
+    """Host-local counting pre-pass: (total records, max read length,
+    per-file input index).  Parse only — no device work; every host sees
+    the same files, so all hosts agree without a collective.  The first
+    run parses (native C parser, GB/s) and writes cached index entries
+    (io/input_index.py); later runs — and the -M/classify passes via
+    `_iter_owned_batches(index=...)` — answer from the index instead
+    of reparsing.  index is None when any file is unindexable (gzip,
+    python parser fallback, RKMH_TPU_INPUT_INDEX=0)."""
+    from rkmh_tpu.io.input_index import scan_or_index
+
+    n, maxlen, index = scan_or_index(read_files, chunk_reads)
+    if any(e is None for e in index):
+        index = None
+    return n, maxlen, index
 
 
 def _owned_block(b: int, B: int, Bl: int, rank: int) -> tuple[int, int]:
@@ -86,13 +88,26 @@ def _owned_block(b: int, B: int, Bl: int, rank: int) -> tuple[int, int]:
 
 
 def _iter_owned_batches(read_files, chunk_reads, N, B, Bl, rank, L,
-                        with_records: bool = False):
+                        with_records: bool = False, index=None,
+                        start_batch: int = 0):
     """Yield (batch_index, codes [Bl, L], lens [Bl], names [Bl]) for every
     global batch, in order — including trailing batches with no owned
     real rows (lockstep requires dispatching them anyway).  Rows this
     host does not own are never encoded; unfilled rows are all-PAD.
     with_records adds a 5th element: per-row (name, seq, qual) tuples
-    (None for unowned rows) — the filter drain re-emits passing reads."""
+    (None for unowned rows) — the filter drain re-emits passing reads.
+
+    With a complete input index (per-file (offs, lens) from _scan_input)
+    the iterator SEEKS to each batch's owned block and parses only the
+    ~Bl records this rank owns — O(N/H) parse work per pass instead of
+    the full-reparse fallback below.  start_batch skips the first
+    batches entirely (the --resume watermark path); it requires index."""
+    if index is not None:
+        yield from _iter_owned_batches_indexed(
+            read_files, index, N, B, Bl, rank, L, with_records, start_batch)
+        return
+    if start_batch:
+        raise ValueError("start_batch requires an input index")
     n_batches = -(-N // B) if N else 0
 
     def fresh():
@@ -140,6 +155,77 @@ def _iter_owned_batches(read_files, chunk_reads, N, B, Bl, rank, L,
         yield (b, *bufs)
         b += 1
         bufs = fresh()
+
+
+def _iter_owned_batches_indexed(read_files, index, N, B, Bl, rank, L,
+                                with_records: bool = False,
+                                start_batch: int = 0):
+    """The `_iter_owned_batches` fast path: with a complete `.idx` input
+    index, each global batch's owned block is a known (file, record
+    range), so this host SEEKS the native stream to its block start and
+    parses exactly the ~Bl records it owns — O(N/H) parse bytes per
+    pass instead of O(N), and start_batch>0 (the --resume watermark)
+    skips straight past completed batches without touching their bytes.
+    Yields exactly what the full-reparse path yields (tests pin
+    equality batch by batch)."""
+    from rkmh_tpu.io.native import FastxStream
+
+    if isinstance(read_files, (str, bytes)) or not isinstance(
+            read_files, (list, tuple)):
+        read_files = [read_files]
+    n_batches = -(-N // B) if N else 0
+    bases = [0]  # global record index of each file's first record
+    for offs, flens in index:
+        bases.append(bases[-1] + len(flens))
+    streams: list = [None] * len(read_files)
+    at_rec = [0] * len(read_files)  # record index each stream is parked at
+    try:
+        for b in range(start_batch, n_batches):
+            codes = np.full((Bl, L), PAD_CODE, np.uint8)
+            lens = np.zeros(Bl, np.int32)
+            names: list = [None] * Bl
+            recs: list = [None] * Bl
+            lo, hi = _owned_block(b, B, Bl, rank)
+            hi = min(hi, N)
+            for f, (offs, _flens) in enumerate(index):
+                s, e = max(lo, bases[f]), min(hi, bases[f + 1])
+                if s >= e:
+                    continue
+                ls, le = s - bases[f], e - bases[f]
+                if streams[f] is None:
+                    streams[f] = FastxStream(read_files[f])
+                    at_rec[f] = 0
+                if at_rec[f] != ls:  # already parked there when sequential
+                    streams[f].seek(int(offs[ls]))
+                chunk = streams[f].next_chunk(le - ls)
+                if chunk is None or len(chunk) != le - ls:
+                    from rkmh_tpu.io.input_index import index_path
+
+                    raise RuntimeError(
+                        f"{read_files[f]} changed under its input index "
+                        f"(wanted records [{ls}, {le}) at offset "
+                        f"{int(offs[ls])}, got "
+                        f"{0 if chunk is None else len(chunk)}) — delete "
+                        f"{index_path(read_files[f])} and rerun")
+                at_rec[f] = le
+                w = chunk.codes.shape[1]
+                codes[s - lo : e - lo, :w] = chunk.codes
+                lens[s - lo : e - lo] = chunk.lens
+                cnames = chunk.names
+                names[s - lo : e - lo] = cnames
+                if with_records:
+                    recs[s - lo : e - lo] = [
+                        (nm, sq, ql) for nm, sq, ql in
+                        zip(cnames, chunk.seqs, chunk.quals)
+                    ]
+            if with_records:
+                yield b, codes, lens, names, recs
+            else:
+                yield b, codes, lens, names
+    finally:
+        for st in streams:
+            if st is not None:
+                st.close()
 
 
 def _assert_process_contiguous(sharding, B: int, Bl: int, rank: int):
@@ -195,7 +281,7 @@ def _write_meta(out_file: str, B: int, H: int, fmt: str = "stream",
 
 
 def _dist_counter_pass(mesh, cfg, ks, chunk_reads, N, B, Bl, rank, L,
-                       codes_sharding):
+                       codes_sharding, index=None):
     """-M lockstep global counter pass (dp-sharded, spans hosts;
     rkmh counts every read k-mer occurrence before classifying).
     Shared by the stream/filter setup and the hpv16 drain."""
@@ -209,7 +295,7 @@ def _dist_counter_pass(mesh, cfg, ks, chunk_reads, N, B, Bl, rank, L,
     add = sharded_counter_add_codes_fn(mesh, cfg.counter_size, ks)
     lens_sharding = NamedSharding(mesh, P("dp"))
     for b, codes, lens, names in _iter_owned_batches(
-            cfg.read_files, chunk_reads, N, B, Bl, rank, L):
+            cfg.read_files, chunk_reads, N, B, Bl, rank, L, index=index):
         counter = add(counter,
                       put_local(codes, (B, L), codes_sharding),
                       put_local(lens, (B,), lens_sharding))
@@ -221,7 +307,7 @@ class _DistCtx:
 
     __slots__ = ("H", "rank", "mesh", "codes_sharding", "tables_g",
                  "ref_lens_g", "rps", "B", "Bl", "L", "N", "ks",
-                 "counter", "chunk_reads", "panel")
+                 "counter", "chunk_reads", "panel", "index")
 
 
 def _setup_classify_dist(cfg, cmd: str):
@@ -318,16 +404,17 @@ def _setup_classify_dist(cfg, cmd: str):
     ctx.ref_lens_g = jax.device_put(
         np.asarray(lens_np), NamedSharding(ctx.mesh, P()))
 
-    ctx.N, maxlen = _scan_input(cfg.read_files, ctx.chunk_reads)
+    ctx.N, maxlen, ctx.index = _scan_input(cfg.read_files, ctx.chunk_reads)
     ctx.L = bucket_length(max(maxlen, 1))
     log(f"dist rank {rank}/{H}: {ctx.N} reads, pad {ctx.L}, global batch "
-        f"{B} ({ctx.Bl} rows/host), mesh dp={dp} tp={tp}")
+        f"{B} ({ctx.Bl} rows/host), mesh dp={dp} tp={tp}"
+        f"{', indexed' if ctx.index is not None else ''}")
 
     ctx.counter = None
     if cfg.min_kmer_occ >= 0:
         ctx.counter = _dist_counter_pass(
             ctx.mesh, cfg, ctx.ks, ctx.chunk_reads, ctx.N, B, ctx.Bl,
-            rank, ctx.L, ctx.codes_sharding)
+            rank, ctx.L, ctx.codes_sharding, index=ctx.index)
     return ctx
 
 
@@ -464,7 +551,8 @@ def run_distributed(cfg, out=None) -> int:
     pending: deque = deque()
     try:
         for b, codes, lens, names in _iter_owned_batches(
-                cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L):
+                cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L,
+                index=ctx.index):
             pending.append(
                 (names, packed(put_local(codes, (B, ctx.L),
                                          ctx.codes_sharding),
@@ -575,7 +663,7 @@ def run_distributed_filter(cfg, out=None) -> int:
     try:
         for b, codes, lens, names, recs in _iter_owned_batches(
                 cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L,
-                with_records=True):
+                with_records=True, index=ctx.index):
             pending.append(
                 (recs, sfn(put_local(codes, (B, ctx.L), ctx.codes_sharding),
                            ctx.tables_g, ctx.ref_lens_g, *extra)))
@@ -676,17 +764,18 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     else:
         type_g = jax.device_put(tb.type_table, NamedSharding(mesh, P()))
 
-    N, maxlen = _scan_input(cfg.read_files, chunk_reads)
+    N, maxlen, index = _scan_input(cfg.read_files, chunk_reads)
     L = bucket_length(max(maxlen, 1))
     log(f"dist rank {rank}/{H}: {N} reads, pad {L}, global batch {B} "
-        f"({Bl} rows/host), mesh dp={dp} tp={tp}")
+        f"({Bl} rows/host), mesh dp={dp} tp={tp}"
+        f"{', indexed' if index is not None else ''}")
 
     # -M: rkmh.cpp:2513-2530 counts every read k-mer occurrence
     extra = ()
     if cfg.min_kmer_occ > 0:
         extra = (_dist_counter_pass(
             mesh, cfg, ks, chunk_reads, N, B, Bl, rank, L,
-            codes_sharding),)
+            codes_sharding, index=index),)
 
     fn = sharded_hpv16_fn(
         mesh, ks, num_types, tb.n_lin + tb.n_sub,
@@ -723,7 +812,8 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     pending: deque = deque()
     try:
         for b, codes, lens, names in _iter_owned_batches(
-                cfg.read_files, chunk_reads, N, B, Bl, rank, L):
+                cfg.read_files, chunk_reads, N, B, Bl, rank, L,
+                index=index):
             pending.append(
                 (names, lens.copy(),
                  fn(put_local(codes, (B, L), codes_sharding),
@@ -751,7 +841,7 @@ class _MapDistCtx:
     """Geometry of a lockstep map-style drain (no panel, no tp)."""
 
     __slots__ = ("H", "rank", "mesh", "codes_sharding", "lens_sharding",
-                 "B", "Bl", "L", "N", "ks", "chunk_reads")
+                 "B", "Bl", "L", "N", "ks", "chunk_reads", "index")
 
 
 def _setup_map_dist(cfg, cmd: str, default_k: int = 16):
@@ -793,10 +883,11 @@ def _setup_map_dist(cfg, cmd: str, default_k: int = 16):
     _assert_process_contiguous(
         NamedSharding(ctx.mesh, P("dp")), B, ctx.Bl, ctx.rank)
 
-    ctx.N, maxlen = _scan_input(cfg.read_files, ctx.chunk_reads)
+    ctx.N, maxlen, ctx.index = _scan_input(cfg.read_files, ctx.chunk_reads)
     ctx.L = bucket_length(max(maxlen, 1))
     log(f"dist rank {ctx.rank}/{ctx.H}: {ctx.N} reads, pad {ctx.L}, "
-        f"global batch {B} ({ctx.Bl} rows/host), mesh dp={dp}")
+        f"global batch {B} ({ctx.Bl} rows/host), mesh dp={dp}"
+        f"{', indexed' if ctx.index is not None else ''}")
     return ctx
 
 
@@ -897,7 +988,8 @@ def run_distributed_hash(cfg, out=None) -> int:
     pending: deque = deque()
     try:
         for b, codes, lens, names in _iter_owned_batches(
-                cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L):
+                cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L,
+                index=ctx.index):
             cg = put_local(codes, (B, ctx.L), ctx.codes_sharding)
             if cfg.sketch_size > 0:
                 res = sketch_step(cg, ks, cfg.sketch_size)
@@ -947,7 +1039,8 @@ def run_distributed_count(cfg, out=None) -> int:
     total_kmers = 0
     total_reads = 0
     for b, codes, lens, names in _iter_owned_batches(
-            cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L):
+            cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L,
+            index=ctx.index):
         counter = add(counter,
                       put_local(codes, (B, ctx.L), ctx.codes_sharding),
                       put_local(lens, (B,), ctx.lens_sharding))
@@ -1043,7 +1136,7 @@ def run_distributed_search(cfg, out=None) -> int:
     try:
         for b, codes, lens, names, recs in _iter_owned_batches(
                 cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L,
-                with_records=True):
+                with_records=True, index=ctx.index):
             pending.append(
                 (recs, step(put_local(codes, (B, ctx.L), ctx.codes_sharding),
                             ref_g, k, bool(ref_hashes.size))))

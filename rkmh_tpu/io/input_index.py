@@ -1,0 +1,162 @@
+"""Input-index cache for the distributed drains.
+
+The reference buffers its whole input in memory and never re-reads it
+(rkmh.cpp:783-788); the multi-host drains instead re-parse the input up
+to 3x per host (counting pre-pass, optional -M pass, classify pass) to
+keep memory bounded.  The index removes that wart: it records every
+record's start byte offset (uncompressed stream) and sequence length,
+so
+
+* the counting pre-pass is answered from the index (O(1) instead of a
+  full parse) on every run after the first, and
+* each rank **seeks** to the records it owns per global batch instead
+  of parsing the whole file — O(N/H) parse work per pass per host.
+
+Index entries are content-addressed into ``~/.cache/rkmh_tpu/idx/`` by
+the input's absolute path (same recipe as the panel cache,
+commands/common._panel_cache_path) — NEVER written next to the input,
+so read-only data directories stay pristine.  Entries are fingerprinted
+against (file size, mtime_ns) and rebuilt on any mismatch; a
+missing/stale/unwritable entry only costs the old full-parse behavior,
+never correctness.  Gzip inputs are never indexed (gzseek decompresses
+forward, erasing the win) and neither is the pure-python parser path
+(no byte offsets) — both fall back to the full parse.  Set
+``RKMH_TPU_INPUT_INDEX=0`` to disable, or to a directory to relocate
+the cache.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_VERSION = 1
+
+
+def enabled() -> bool:
+    return os.environ.get("RKMH_TPU_INPUT_INDEX", "1") != "0"
+
+
+def index_path(path) -> str:
+    """Cache entry for this input, keyed by its absolute path."""
+    import hashlib
+
+    env = os.environ.get("RKMH_TPU_INPUT_INDEX", "")
+    cache_dir = env if env not in ("", "0", "1") else os.path.join(
+        os.path.expanduser("~"), ".cache", "rkmh_tpu", "idx")
+    key = hashlib.sha256(
+        os.path.abspath(os.fspath(path)).encode()).hexdigest()[:32]
+    return os.path.join(cache_dir, f"{key}.idx.npz")
+
+
+def _fingerprint(path):
+    st = os.stat(path)
+    return int(st.st_size), int(st.st_mtime_ns)
+
+
+def is_indexable(path) -> bool:
+    """Plain (non-gzip) regular file readable by the native parser."""
+    if not isinstance(path, (str, bytes)) or path in ("-", b"-"):
+        return False
+    from rkmh_tpu.io.native import load
+
+    if load() is None:
+        return False
+    try:
+        with open(path, "rb") as fh:
+            magic = fh.read(2)
+    except OSError:
+        return False
+    return magic != b"\x1f\x8b"
+
+
+def save_index(path, offs: np.ndarray, lens: np.ndarray) -> bool:
+    """Write the cache entry atomically (tmp + rename: concurrent hosts
+    sharing a home write identical content, so last-writer wins is
+    benign and a killed writer never leaves a torn file).  Best-effort:
+    an unwritable cache dir just skips the entry."""
+    idx = index_path(path)
+    tmp = f"{idx}.tmp.{os.getpid()}"
+    try:
+        os.makedirs(os.path.dirname(idx), exist_ok=True)
+        size, mtime_ns = _fingerprint(path)
+        with open(tmp, "wb") as fh:
+            np.savez(fh,
+                     version=np.int64(_VERSION),
+                     size=np.int64(size), mtime_ns=np.int64(mtime_ns),
+                     offs=np.asarray(offs, np.int64),
+                     lens=np.asarray(lens, np.int32))
+        os.replace(tmp, idx)
+        return True
+    except OSError:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        return False
+
+
+def load_index(path):
+    """(offs, lens) from a fresh cache entry, else None (missing,
+    unreadable, version bump, or the input changed since it was
+    written)."""
+    try:
+        size, mtime_ns = _fingerprint(path)
+        with np.load(index_path(path)) as z:
+            if int(z["version"]) != _VERSION:
+                return None
+            if (int(z["size"]), int(z["mtime_ns"])) != (size, mtime_ns):
+                return None
+            return z["offs"].astype(np.int64), z["lens"].astype(np.int32)
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def scan_or_index(read_files, chunk_reads: int):
+    """The distributed counting pre-pass: (N, maxlen, per-file index).
+
+    Per file: load a fresh cache entry, else parse it (bounded chunks) —
+    collecting offsets when the native parser provides them — and save
+    the entry for every later pass/run.  The per-file index list holds
+    (offs, lens) or None (unindexable file); callers use it only when
+    every entry is present.
+    """
+    from rkmh_tpu.commands.common import iter_packed_chunks
+
+    if isinstance(read_files, (str, bytes)) or not isinstance(
+            read_files, (list, tuple)):
+        read_files = [read_files]
+    index = []
+    n_total, maxlen = 0, 0
+    for p in read_files:
+        indexable = enabled() and is_indexable(p)
+        entry = load_index(p) if indexable else None
+        if entry is None:
+            offs_parts, lens_parts = [], []
+            have_offs = indexable
+            for chunk in iter_packed_chunks([p], chunk_reads):
+                lens_parts.append(np.asarray(chunk.lens, np.int32))
+                ro = getattr(chunk, "rec_offs", None)
+                if ro is None:
+                    have_offs = False
+                elif have_offs:
+                    offs_parts.append(np.asarray(ro, np.int64))
+            lens = (np.concatenate(lens_parts) if lens_parts
+                    else np.zeros(0, np.int32))
+            if have_offs:
+                offs = (np.concatenate(offs_parts) if offs_parts
+                        else np.zeros(0, np.int64))
+                entry = (offs, lens)
+                save_index(p, offs, lens)
+            else:
+                entry = None
+            n_total += len(lens)
+            if len(lens):
+                maxlen = max(maxlen, int(lens.max()))
+        else:
+            n_total += len(entry[1])
+            if len(entry[1]):
+                maxlen = max(maxlen, int(entry[1].max()))
+        index.append(entry)
+    return n_total, maxlen, index

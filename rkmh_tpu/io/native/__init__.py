@@ -34,6 +34,7 @@ class _RkmhBatch(ctypes.Structure):
         ("seq_offs", ctypes.POINTER(ctypes.c_int64)),
         ("quals", ctypes.c_char_p),
         ("qual_offs", ctypes.POINTER(ctypes.c_int64)),
+        ("rec_offs", ctypes.POINTER(ctypes.c_int64)),
     ]
 
 
@@ -77,6 +78,8 @@ def load():
     lib.rkmh_stream_next.restype = ctypes.c_int64
     lib.rkmh_stream_close.argtypes = [ctypes.c_void_p]
     lib.rkmh_stream_close.restype = None
+    lib.rkmh_stream_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.rkmh_stream_seek.restype = ctypes.c_int
     _i64p = ctypes.POINTER(ctypes.c_int64)
     lib.rkmh_format_lines.argtypes = [
         _i64p, _i64p, _i64p, ctypes.c_int64, _i64p,
@@ -201,13 +204,14 @@ class PackedReads:
     """
 
     __slots__ = (
-        "codes", "lens",
+        "codes", "lens", "rec_offs",
         "_names_blob", "_name_offs", "_seqs_blob", "_seq_offs",
         "_quals_blob", "_qual_offs", "_names", "_seqs", "_quals",
     )
 
     def __init__(self, codes, lens, names_blob, name_offs, seqs_blob,
-                 seq_offs, quals_blob, qual_offs):
+                 seq_offs, quals_blob, qual_offs, rec_offs=None):
+        self.rec_offs = rec_offs  # record-start byte offsets (input index)
         self.codes = codes
         self.lens = lens
         self._names_blob = names_blob
@@ -255,13 +259,15 @@ def _batch_to_packed(lib, batch: _RkmhBatch) -> PackedReads:
         name_offs = np.ctypeslib.as_array(batch.name_offs, shape=(n + 1,)).copy()
         seq_offs = np.ctypeslib.as_array(batch.seq_offs, shape=(n + 1,)).copy()
         qual_offs = np.ctypeslib.as_array(batch.qual_offs, shape=(n + 1,)).copy()
+        rec_offs = (np.ctypeslib.as_array(batch.rec_offs, shape=(n,)).copy()
+                    if n else np.zeros((0,), np.int64))
         names_blob = ctypes.string_at(batch.names, int(name_offs[n])) if n else b""
         seqs_blob = ctypes.string_at(batch.seqs, int(seq_offs[n])) if n else b""
         quals_blob = ctypes.string_at(batch.quals, int(qual_offs[n])) if n else b""
     finally:
         lib.rkmh_free(ctypes.byref(batch))
     return PackedReads(codes, lens, names_blob, name_offs, seqs_blob,
-                       seq_offs, quals_blob, qual_offs)
+                       seq_offs, quals_blob, qual_offs, rec_offs)
 
 
 def read_fastx_packed(path: str, granularity: int = 128) -> PackedReads | None:
@@ -310,6 +316,16 @@ class FastxStream:
             self._lib.rkmh_free(ctypes.byref(batch))
             return None
         return _batch_to_packed(self._lib, batch)
+
+    def seek(self, offset: int) -> None:
+        """Reposition to an absolute uncompressed-stream byte offset (a
+        record start from the .idx input index).  Raw lseek on plain
+        files; callers gate on non-gzip inputs (gzseek decompresses
+        forward, erasing the win)."""
+        if self._h is None:
+            raise OSError("stream closed")
+        if self._lib.rkmh_stream_seek(self._h, int(offset)) != 0:
+            raise OSError(f"seek({offset}) failed for {self._path}")
 
     def close(self):
         if self._h is not None:

@@ -37,6 +37,11 @@ struct Record {
     size_t name_off, name_len;
     size_t seq_off, seq_len;    // offsets into the uppercased seq blob
     size_t qual_off, qual_len;
+    uint64_t src_off;           // record start ('>'/'@') in the
+                                // UNCOMPRESSED input stream — the unit of
+                                // the .idx input-index sidecar that lets
+                                // distributed ranks seek to owned records
+                                // instead of reparsing the whole input
 };
 
 // byte -> 2-bit code (case-insensitive); 4 = invalid base
@@ -68,7 +73,7 @@ struct ChunkBuild {
 // end and !eof), pos and cb are left untouched so the caller can refill and
 // retry. P_DONE = only EOL/empty bytes remain at eof.
 ParseStatus parse_one(const std::vector<uint8_t>& buf, size_t& pos, bool eof,
-                      ChunkBuild& cb) {
+                      uint64_t base_off, ChunkBuild& cb) {
     size_t n = buf.size();
     size_t i = pos;
     auto skip_eol = [&](size_t& p) {
@@ -106,6 +111,7 @@ ParseStatus parse_one(const std::vector<uint8_t>& buf, size_t& pos, bool eof,
 
     size_t names0 = cb.names.size(), seqs0 = cb.seqs.size(), quals0 = cb.quals.size();
     Record r{};
+    r.src_off = base_off + (uint64_t)i;  // i points at the '>'/'@' marker
     r.name_off = names0;
     r.name_len = ne - ns;
     cb.names.append((const char*)buf.data() + ns, ne - ns);
@@ -173,6 +179,7 @@ typedef struct {
     int64_t* seq_offs;   // n + 1
     char* quals;         // concatenated ('\0'-free; empty slices for FASTA)
     int64_t* qual_offs;  // n + 1
+    int64_t* rec_offs;   // n: record-start byte offsets (uncompressed stream)
 } RkmhBatch;
 
 void rkmh_free(RkmhBatch* b) {
@@ -181,6 +188,7 @@ void rkmh_free(RkmhBatch* b) {
     free(b->names); free(b->name_offs);
     free(b->seqs);  free(b->seq_offs);
     free(b->quals); free(b->qual_offs);
+    free(b->rec_offs);
     memset(b, 0, sizeof(*b));
 }
 
@@ -206,8 +214,10 @@ int fill_batch(const ChunkBuild& cb, int64_t granularity, RkmhBatch* out) {
     out->seq_offs = (int64_t*)malloc((N + 1) * sizeof(int64_t));
     out->quals = (char*)malloc(cb.quals.size() ? cb.quals.size() : 1);
     out->qual_offs = (int64_t*)malloc((N + 1) * sizeof(int64_t));
+    out->rec_offs = (int64_t*)malloc(N * sizeof(int64_t) + 1);
     if (!out->codes || !out->lens || !out->names || !out->name_offs ||
-        !out->seqs || !out->seq_offs || !out->quals || !out->qual_offs) {
+        !out->seqs || !out->seq_offs || !out->quals || !out->qual_offs ||
+        !out->rec_offs) {
         rkmh_free(out);
         return 3;
     }
@@ -224,6 +234,7 @@ int fill_batch(const ChunkBuild& cb, int64_t granularity, RkmhBatch* out) {
         out->seq_offs[j] = soff;  soff += (int64_t)r.seq_len;
         out->qual_offs[j] = qoff; qoff += (int64_t)r.qual_len;
         out->lens[j] = (int32_t)r.seq_len;
+        out->rec_offs[j] = (int64_t)r.src_off;
         uint8_t* row = out->codes + size_t(j) * size_t(pad);
         const char* sp = cb.seqs.data() + r.seq_off;
         for (size_t p = 0; p < r.seq_len; ++p) row[p] = CODE_LUT[(uint8_t)sp[p]];
@@ -240,6 +251,7 @@ typedef struct RkmhStream {
     gzFile f;
     std::vector<uint8_t> buf;  // unparsed bytes
     size_t pos;                // parse cursor into buf
+    uint64_t base_off;         // uncompressed-stream offset of buf[0]
     bool eof;
 } RkmhStream;
 
@@ -250,8 +262,23 @@ RkmhStream* rkmh_stream_open(const char* path) {
     RkmhStream* s = new RkmhStream();
     s->f = f;
     s->pos = 0;
+    s->base_off = 0;
     s->eof = false;
     return s;
+}
+
+// Reposition to an absolute uncompressed-stream offset (an .idx sidecar
+// record start).  Cheap raw lseek for plain files; for actual gzip data
+// gzseek decompresses forward, so callers gate indexed seeking on
+// uncompressed inputs.  Returns 0 ok / -1 failure.
+int rkmh_stream_seek(RkmhStream* s, int64_t off) {
+    if (!s || off < 0) return -1;
+    if (gzseek(s->f, (z_off_t)off, SEEK_SET) < 0) return -1;
+    s->buf.clear();
+    s->pos = 0;
+    s->base_off = (uint64_t)off;
+    s->eof = false;
+    return 0;
 }
 
 void rkmh_stream_close(RkmhStream* s) {
@@ -274,13 +301,14 @@ int64_t rkmh_stream_next(RkmhStream* s, int64_t max_reads, int64_t granularity,
     // a single R-byte record costs O(R log R) instead of O(R^2/CHUNK)
     size_t refill = CHUNK;
     while ((int64_t)cb.recs.size() < max_reads) {
-        ParseStatus st = parse_one(s->buf, s->pos, s->eof, cb);
+        ParseStatus st = parse_one(s->buf, s->pos, s->eof, s->base_off, cb);
         if (st == P_OK) { refill = CHUNK; continue; }
         if (st == P_BAD) return -2;
         if (st == P_DONE) break;
         // P_NEED_MORE: drop consumed prefix, pull the next compressed chunk
         if (s->pos > 0) {
             s->buf.erase(s->buf.begin(), s->buf.begin() + (ptrdiff_t)s->pos);
+            s->base_off += (uint64_t)s->pos;
             s->pos = 0;
         }
         size_t used = s->buf.size();
