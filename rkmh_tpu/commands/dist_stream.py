@@ -36,6 +36,7 @@ round-robins the per-rank block stripes back into single-process order.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections import deque
 
@@ -87,6 +88,132 @@ def _owned_block(b: int, B: int, Bl: int, rank: int) -> tuple[int, int]:
     return lo, lo + Bl
 
 
+def _owned_lines(b: int, B: int, Bl: int, rank: int, N: int) -> int:
+    """REAL rows (= output lines for one-line-per-read drains) this rank
+    owns in batch b; the tail past N is padding nobody emits."""
+    lo, hi = _owned_block(b, B, Bl, rank)
+    return max(0, min(hi, N) - lo)
+
+
+def _allmin(value: int, H: int) -> int:
+    """The minimum of a per-rank int across all processes (H=1: itself).
+    Every rank must call this at the same point — it is a collective."""
+    if H <= 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+
+    return int(multihost_utils.process_allgather(np.int64(value)).min())
+
+
+def _resume_watermark(skip_lines: int, N: int, B: int, Bl: int, rank: int,
+                      H: int) -> tuple[int, int]:
+    """Turn each rank's resumed line count into a GLOBAL dispatch
+    watermark: (start_batch, residual line skip).
+
+    Collectives need every rank in lockstep, so a batch's dispatch can
+    only be skipped when EVERY rank has fully emitted it — start_batch
+    is the min over ranks of each rank's count of complete leading
+    batches (derived from its stripe's line count and the geometry; no
+    extra sidecar).  Ranks whose stripes run past the watermark keep the
+    old skip behavior for the overhang: they re-dispatch those batches
+    (their peers need the collective) but skip re-emitting the lines.
+    Restarted device work is therefore ∝ the batches NO rank finished.
+    Must be called by every rank (it contains a collective)."""
+    n_batches = -(-N // B) if N else 0
+    w, acc = 0, 0
+    while w < n_batches:
+        lb = _owned_lines(w, B, Bl, rank, N)
+        if acc + lb > skip_lines:
+            break
+        acc += lb
+        w += 1
+    start = _allmin(w, H)
+    lines_before = sum(_owned_lines(b, B, Bl, rank, N) for b in range(start))
+    return start, skip_lines - lines_before
+
+
+def _counter_ckpt_path(out_file: str, rank: int) -> str:
+    return f"{out_file}.mctr.{rank}.npz"
+
+
+def _counter_fingerprint(read_files, ks, size: int, dp: int, H: int,
+                         rank: int) -> str:
+    """The -M counter's value depends only on (inputs, ks, size); the
+    SHARD a rank holds also depends on (dp, H, rank).  Any mismatch
+    invalidates the checkpoint."""
+    import json
+
+    from rkmh_tpu.io.input_index import _fingerprint
+
+    try:
+        files = [(os.fspath(p), *_fingerprint(p)) for p in read_files]
+    except (OSError, TypeError):
+        return ""  # unfingerprintable input: never save/load
+    return json.dumps({"v": 1, "files": files, "ks": list(ks),
+                       "size": size, "dp": dp, "H": H, "rank": rank})
+
+
+def _local_counter_rows(counter, size: int, H: int, rank: int):
+    """This rank's contiguous [size/H] block of the P('dp')-sharded
+    global counter (process-major enumeration is asserted at setup)."""
+    lo0 = rank * (size // H)
+    rows = np.empty(size // H, np.int32)
+    for sh in counter.addressable_shards:
+        sl = sh.index[0]
+        rows[(sl.start or 0) - lo0 : (sl.stop or size) - lo0] = \
+            np.asarray(sh.data)
+    return rows
+
+
+def _save_counter_ckpt(counter, out_file: str, fp: str, size: int,
+                       H: int, rank: int):
+    """Best-effort atomic write of this rank's counter shard — lets a
+    --resume restart skip the whole -M pass (disable with
+    RKMH_TPU_MCTR_CKPT=0)."""
+    if not fp or os.environ.get("RKMH_TPU_MCTR_CKPT", "1") == "0":
+        return
+    path = _counter_ckpt_path(out_file, rank)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as fh:
+            np.savez_compressed(fh, fp=np.frombuffer(fp.encode(), np.uint8),
+                                rows=_local_counter_rows(counter, size, H,
+                                                         rank))
+        os.replace(tmp, path)
+    except OSError as e:
+        log(f"dist rank {rank}: -M counter checkpoint skipped ({e})")
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+
+
+def _load_counter_ckpt(mesh, out_file: str, fp: str, size: int, H: int,
+                       rank: int):
+    """The checkpointed counter (global, P('dp')-sharded) or None.
+    Every rank must agree (a collective decides): one rank missing its
+    shard forces the full -M pass everywhere — the pass itself is
+    collective, so a partial reload cannot work."""
+    have = 0
+    if fp and os.environ.get("RKMH_TPU_MCTR_CKPT", "1") != "0":
+        try:
+            with np.load(_counter_ckpt_path(out_file, rank)) as z:
+                if bytes(z["fp"]).decode() == fp:
+                    rows = z["rows"].astype(np.int32)
+                    if rows.shape == (size // H,):
+                        have = 1
+        except (OSError, KeyError, ValueError):
+            have = 0
+    if not _allmin(have, H):
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # re-read under the validated fingerprint (kept out of the collective)
+    with np.load(_counter_ckpt_path(out_file, rank)) as z:
+        rows = z["rows"].astype(np.int32)
+    return put_local(rows, (size,), NamedSharding(mesh, P("dp")))
+
+
 def _iter_owned_batches(read_files, chunk_reads, N, B, Bl, rank, L,
                         with_records: bool = False, index=None,
                         start_batch: int = 0):
@@ -100,14 +227,15 @@ def _iter_owned_batches(read_files, chunk_reads, N, B, Bl, rank, L,
     With a complete input index (per-file (offs, lens) from _scan_input)
     the iterator SEEKS to each batch's owned block and parses only the
     ~Bl records this rank owns — O(N/H) parse work per pass instead of
-    the full-reparse fallback below.  start_batch skips the first
-    batches entirely (the --resume watermark path); it requires index."""
+    the full-reparse fallback below.  start_batch>0 (the --resume
+    watermark) suppresses the first batches: the indexed path never
+    touches their bytes; the fallback still parses them (it has no way
+    to skip bytes) but does not yield them, so their DEVICE work is
+    skipped either way."""
     if index is not None:
         yield from _iter_owned_batches_indexed(
             read_files, index, N, B, Bl, rank, L, with_records, start_batch)
         return
-    if start_batch:
-        raise ValueError("start_batch requires an input index")
     n_batches = -(-N // B) if N else 0
 
     def fresh():
@@ -129,7 +257,8 @@ def _iter_owned_batches(read_files, chunk_reads, N, B, Bl, rank, L,
         while pos < n:
             g = r + pos
             while b < g // B:  # batches strictly before g are complete
-                yield (b, *bufs)
+                if b >= start_batch:
+                    yield (b, *bufs)
                 b += 1
                 bufs = fresh()
             lo, hi = _owned_block(b, B, Bl, rank)
@@ -152,7 +281,8 @@ def _iter_owned_batches(read_files, chunk_reads, N, B, Bl, rank, L,
             pos = seg_end - r
         r += n
     while b < n_batches:
-        yield (b, *bufs)
+        if b >= start_batch:
+            yield (b, *bufs)
         b += 1
         bufs = fresh()
 
@@ -302,6 +432,31 @@ def _dist_counter_pass(mesh, cfg, ks, chunk_reads, N, B, Bl, rank, L,
     return counter
 
 
+def _counter_pass_ckpt(mesh, cfg, ks, chunk_reads, N, B, Bl, rank, H, L,
+                       codes_sharding, dp, index=None):
+    """The -M counter pass with a per-rank shard checkpoint next to the
+    output: --resume restores the finished counter instead of re-running
+    the whole counting pass (the pass spans ALL reads — no watermark can
+    shrink it, only skipping it entirely helps).  Contains collectives;
+    every rank must reach it in lockstep."""
+    fp = (_counter_fingerprint(cfg.read_files, ks, cfg.counter_size, dp,
+                               H, rank) if cfg.out_file else "")
+    if cfg.resume and cfg.out_file:
+        counter = _load_counter_ckpt(mesh, cfg.out_file, fp,
+                                     cfg.counter_size, H, rank)
+        if counter is not None:
+            log(f"dist rank {rank}: -M counter restored from "
+                f"{_counter_ckpt_path(cfg.out_file, rank)}; counting pass "
+                "skipped")
+            return counter
+    counter = _dist_counter_pass(mesh, cfg, ks, chunk_reads, N, B, Bl,
+                                 rank, L, codes_sharding, index=index)
+    if cfg.out_file:
+        _save_counter_ckpt(counter, cfg.out_file, fp, cfg.counter_size,
+                           H, rank)
+    return counter
+
+
 class _DistCtx:
     """Shared state of a lockstep classify-family distributed run."""
 
@@ -412,9 +567,9 @@ def _setup_classify_dist(cfg, cmd: str):
 
     ctx.counter = None
     if cfg.min_kmer_occ >= 0:
-        ctx.counter = _dist_counter_pass(
+        ctx.counter = _counter_pass_ckpt(
             ctx.mesh, cfg, ctx.ks, ctx.chunk_reads, ctx.N, B, ctx.Bl,
-            rank, ctx.L, ctx.codes_sharding, index=ctx.index)
+            rank, H, ctx.L, ctx.codes_sharding, dp, index=ctx.index)
     return ctx
 
 
@@ -456,12 +611,14 @@ def _check_resume_geometry(cfg, B: int, H: int, stripe_exists: bool):
 
 def _open_rank_out(cfg, out, rank: int, H: int, B: int, fmt: str):
     """(out stream, close flag, resume_skip lines); rank files get the
-    geometry sidecar.  With --resume, every rank still re-dispatches
-    EVERY batch (collectives need all ranks in lockstep; the compute is
-    deterministic) but skips re-emitting the lines its stripe already
-    holds — idempotent, byte-identical to an uninterrupted run.  The
-    filter drain manages its own skip via its .idx checkpoint, so its
-    resume_skip is always 0 (no wasted stripe scan here)."""
+    geometry sidecar.  With --resume, dispatch restarts at the
+    `_resume_watermark` batch (the last one EVERY rank fully emitted —
+    collectives need all ranks in lockstep, so no rank can skip further
+    alone); each rank additionally skips re-emitting overhang lines its
+    stripe already holds — idempotent, byte-identical to an
+    uninterrupted run.  The filter drain manages its own skip via its
+    .idx checkpoint, so its resume_skip is always 0 (no wasted stripe
+    scan here)."""
     import os
 
     if out is not None:
@@ -531,6 +688,13 @@ def run_distributed(cfg, out=None) -> int:
                           shared.astype(jnp.int64), flags])
 
     out, close_out, skip = _open_rank_out(cfg, out, rank, ctx.H, B, "stream")
+    start_batch = 0
+    if cfg.resume:  # collective — every rank calls it (skip may be 0)
+        start_batch, skip = _resume_watermark(
+            skip, ctx.N, B, Bl, rank, ctx.H)
+        if start_batch:
+            log(f"dist rank {rank}: watermark — dispatch resumes at "
+                f"batch {start_batch} ({skip} overhang lines to skip)")
 
     from rkmh_tpu.commands.stream import format_lines_host
 
@@ -552,7 +716,7 @@ def run_distributed(cfg, out=None) -> int:
     try:
         for b, codes, lens, names in _iter_owned_batches(
                 cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L,
-                index=ctx.index):
+                index=ctx.index, start_batch=start_batch):
             pending.append(
                 (names, packed(put_local(codes, (B, ctx.L),
                                          ctx.codes_sharding),
@@ -634,9 +798,17 @@ def run_distributed_filter(cfg, out=None) -> int:
                 "restarting this rank's stripe from scratch")
             os.remove(path)
 
+    # collective — every rank calls it (its resume_batches may be 0);
+    # dispatch restarts at the last batch EVERY rank checkpointed, and
+    # ranks with longer idx files skip re-emitting their overhang
+    start_batch = _allmin(resume_batches, ctx.H) if cfg.resume else 0
+    if start_batch:
+        log(f"dist rank {rank}: watermark — dispatch resumes at batch "
+            f"{start_batch}")
+
     out, close_out, _skip0 = _open_rank_out(cfg, out, rank, ctx.H, B, "filter")
     idx_fh = open(idx_path, "a" if resume_batches else "w") if idx_path else None
-    batches_done = 0
+    batches_done = start_batch
 
     def emit(recs, res):
         nonlocal batches_done
@@ -663,7 +835,7 @@ def run_distributed_filter(cfg, out=None) -> int:
     try:
         for b, codes, lens, names, recs in _iter_owned_batches(
                 cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L,
-                with_records=True, index=ctx.index):
+                with_records=True, index=ctx.index, start_batch=start_batch):
             pending.append(
                 (recs, sfn(put_local(codes, (B, ctx.L), ctx.codes_sharding),
                            ctx.tables_g, ctx.ref_lens_g, *extra)))
@@ -773,9 +945,9 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     # -M: rkmh.cpp:2513-2530 counts every read k-mer occurrence
     extra = ()
     if cfg.min_kmer_occ > 0:
-        extra = (_dist_counter_pass(
-            mesh, cfg, ks, chunk_reads, N, B, Bl, rank, L,
-            codes_sharding, index=index),)
+        extra = (_counter_pass_ckpt(
+            mesh, cfg, ks, chunk_reads, N, B, Bl, rank, H, L,
+            codes_sharding, dp, index=index),)
 
     fn = sharded_hpv16_fn(
         mesh, ks, num_types, tb.n_lin + tb.n_sub,
@@ -783,6 +955,12 @@ def run_distributed_hpv16(cfg, out=None) -> int:
         min_occ=cfg.min_kmer_occ, type_rps=type_rps)
 
     out, close_out, skip = _open_rank_out(cfg, out, rank, H, B, "stream")
+    start_batch = 0
+    if cfg.resume:  # collective — every rank calls it (skip may be 0)
+        start_batch, skip = _resume_watermark(skip, N, B, Bl, rank, H)
+        if start_batch:
+            log(f"dist rank {rank}: watermark — dispatch resumes at "
+                f"batch {start_batch} ({skip} overhang lines to skip)")
 
     U = tb.n_lin + tb.n_sub
 
@@ -813,7 +991,7 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     try:
         for b, codes, lens, names in _iter_owned_batches(
                 cfg.read_files, chunk_reads, N, B, Bl, rank, L,
-                index=index):
+                index=index, start_batch=start_batch):
             pending.append(
                 (names, lens.copy(),
                  fn(put_local(codes, (B, L), codes_sharding),
@@ -943,6 +1121,13 @@ def run_distributed_hash(cfg, out=None) -> int:
         return jax.lax.bitcast_convert_type(h, jnp.int64), m
 
     out, close_out, skip = _open_rank_out(cfg, out, rank, ctx.H, B, "stream")
+    start_batch = 0
+    if getattr(cfg, "resume", False):  # collective — every rank calls it
+        start_batch, skip = _resume_watermark(
+            skip, ctx.N, B, Bl, rank, ctx.H)
+        if start_batch:
+            log(f"dist rank {rank}: watermark — dispatch resumes at "
+                f"batch {start_batch} ({skip} overhang lines to skip)")
 
     def emit(names, res):
         nonlocal skip
@@ -989,7 +1174,7 @@ def run_distributed_hash(cfg, out=None) -> int:
     try:
         for b, codes, lens, names in _iter_owned_batches(
                 cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L,
-                index=ctx.index):
+                index=ctx.index, start_batch=start_batch):
             cg = put_local(codes, (B, ctx.L), ctx.codes_sharding)
             if cfg.sketch_size > 0:
                 res = sketch_step(cg, ks, cfg.sketch_size)

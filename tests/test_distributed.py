@@ -721,3 +721,112 @@ def test_two_process_distributed_cli_search(tmp_path):
     ) == 0
     assert merged.getvalue() == single.getvalue()
     assert merged.getvalue().count("\n") == 40  # short reads emit nothing
+
+
+def test_resume_watermark_math():
+    """_resume_watermark converts a rank's stripe line count into
+    (complete leading batches, residual overhang lines) under the
+    owned-block geometry, including zero-line trailing batches."""
+    from rkmh_tpu.commands.dist_stream import _owned_lines, _resume_watermark
+
+    # N=10, B=8, Bl=4: rank-1 owns rows [4,8) of batch 0 (4 lines) and
+    # [12,16) of batch 1 (clipped by N -> 0 lines)
+    assert [_owned_lines(b, 8, 4, 1, 10) for b in (0, 1)] == [4, 0]
+    assert _resume_watermark(0, 10, 8, 4, 1, H=1) == (0, 0)
+    assert _resume_watermark(2, 10, 8, 4, 1, H=1) == (0, 2)
+    # a fully-emitted rank advances through the zero-line tail batch too
+    assert _resume_watermark(4, 10, 8, 4, 1, H=1) == (2, 0)
+    # rank 0: batch 0 rows [0,4), batch 1 rows [8,10) -> 2 lines
+    assert [_owned_lines(b, 8, 4, 0, 10) for b in (0, 1)] == [4, 2]
+    assert _resume_watermark(5, 10, 8, 4, 0, H=1) == (1, 1)
+    assert _resume_watermark(6, 10, 8, 4, 0, H=1) == (2, 0)
+
+
+def test_dist_stream_resume_watermark_skips_dispatches(tmp_path, monkeypatch):
+    """dist --resume restarts device work at the batch watermark:
+    batches every rank fully emitted are never dispatched again (not
+    merely skipped at emission), and the resumed stripe is
+    byte-identical to the uninterrupted run."""
+    from rkmh_tpu.commands import dist_stream
+    from rkmh_tpu.commands.stream import StreamConfig
+
+    D = "/root/reference/data"
+    p = str(tmp_path / "out.rk")
+    base = dict(ref_files=[f"{D}/zika.refs.fa"], read_files=[f"{D}/z1.fq"],
+                ks=(12,), sketch_size=1000, batch_size=64, out_file=p)
+    assert dist_stream.run_distributed(StreamConfig(**base)) == 0
+    full = open(p).read()
+    lines = full.splitlines(keepends=True)
+    assert len(lines) == 1000  # 16 batches of B=64 (last one short)
+    with open(p, "w") as fh:  # crash after 5 full batches + 7 lines of #6
+        fh.writelines(lines[: 5 * 64 + 7])
+
+    dispatched = []
+    orig = dist_stream._iter_owned_batches
+
+    def counting(*a, **k):
+        for tup in orig(*a, **k):
+            dispatched.append(tup[0])
+            yield tup
+
+    monkeypatch.setattr(dist_stream, "_iter_owned_batches", counting)
+    assert dist_stream.run_distributed(
+        StreamConfig(**base, resume=True)) == 0
+    assert open(p).read() == full
+    assert dispatched == list(range(5, 16))  # watermark: 5 dispatches saved
+
+
+def test_dist_mctr_checkpoint_skips_counter_pass(tmp_path, monkeypatch):
+    """-M dist runs checkpoint the finished global counter per rank;
+    --resume restores it instead of re-running the counting pass, so
+    restarted device work is the classify remainder only."""
+    import os as _os
+
+    from rkmh_tpu.commands import dist_stream
+    from rkmh_tpu.commands.stream import StreamConfig
+
+    D = "/root/reference/data"
+    p = str(tmp_path / "out.rk")
+    base = dict(ref_files=[f"{D}/zika.refs.fa"], read_files=[f"{D}/z1.fq"],
+                ks=(12,), sketch_size=1000, batch_size=64, out_file=p,
+                min_kmer_occ=1, counter_size=64_000)
+    assert dist_stream.run_distributed(StreamConfig(**base)) == 0
+    full = open(p).read()
+    ckpt = f"{p}.mctr.0.npz"
+    assert _os.path.exists(ckpt)
+
+    lines = full.splitlines(keepends=True)
+    with open(p, "w") as fh:
+        fh.writelines(lines[: 3 * 64])
+
+    dispatched = []
+    orig = dist_stream._iter_owned_batches
+
+    def counting(*a, **k):
+        for tup in orig(*a, **k):
+            dispatched.append(tup[0])
+            yield tup
+
+    monkeypatch.setattr(dist_stream, "_iter_owned_batches", counting)
+    assert dist_stream.run_distributed(
+        StreamConfig(**base, resume=True)) == 0
+    assert open(p).read() == full
+    # counter pass skipped entirely (else range(16) would prefix this)
+    assert dispatched == list(range(3, 16))
+
+    # a changed input invalidates the checkpoint fingerprint
+    from rkmh_tpu.commands.dist_stream import (
+        _counter_fingerprint, _load_counter_ckpt,
+    )
+
+    fp = _counter_fingerprint([f"{D}/z1.fq"], (12,), 64_000, 8, 1, 0)
+    bad = _counter_fingerprint([f"{D}/z1_long.fq"], (12,), 64_000, 8, 1, 0)
+    assert fp != bad
+    import jax
+
+    from rkmh_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices(), dp=len(jax.devices()), tp=1)
+    assert _load_counter_ckpt(mesh, p, bad, 64_000, 1, 0) is None
+    restored = _load_counter_ckpt(mesh, p, fp, 64_000, 1, 0)
+    assert restored is not None and restored.shape == (64_000,)

@@ -147,9 +147,13 @@ def test_indexed_iter_start_batch_skips_exactly(tmp_path):
         np.testing.assert_array_equal(tt[1], ft[1])
         np.testing.assert_array_equal(tt[2], ft[2])
         assert tt[3] == ft[3]
-    with pytest.raises(ValueError):
-        next(iter(_iter_owned_batches([p], 64, N, B, Bl, rank, L,
-                                      start_batch=2)))
+    # the reparse fallback honors start_batch too (parses, doesn't yield)
+    tail2 = list(_iter_owned_batches([p], 64, N, B, Bl, rank, L,
+                                     start_batch=2))
+    assert [t[0] for t in tail2] == [t[0] for t in tail]
+    for ft, tt in zip(tail, tail2):
+        np.testing.assert_array_equal(tt[1], ft[1])
+        assert tt[3] == ft[3]
 
 
 def test_indexed_iter_detects_changed_input(tmp_path):
