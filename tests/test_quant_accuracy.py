@@ -1,0 +1,128 @@
+"""Closed-loop coinfection quantification accuracy.
+
+The reference's de-facto acceptance harness: simulate read mixes at
+known proportions (scripts/make_mix.py:33), classify with `hpv16`, and
+score the estimated sublineage composition against the filename-encoded
+truth with the published detection tolerances — primary detected iff
+its estimate is > 5% and within 10% absolute of truth, secondary iff
+within 10% absolute (/root/reference/scripts/score_test_data.py:86-87).
+Format parity is pinned elsewhere (tests/golden); this closes the loop
+on the *science*: the proportions themselves must come out right.
+"""
+
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from rkmh_tpu.io.fastx import read_fastx
+
+DATA = "/root/reference/data"
+READ_LEN = 400
+STRIDE = 7  # ~1070 simulated reads per ~7.9kb genome — enough to
+            # sample the largest mixes below without replacement
+
+
+def _simulate_strain_reads(tmp_path):
+    """Cut each of the 10 sublineage genomes (new_refs.fa, keys A1..D3)
+    into READ_LEN windows — a noise-free nanopore stand-in; the point
+    under test is quantification, not error tolerance."""
+    table = tmp_path / "strains.tsv"
+    with open(table, "w") as tfh:
+        for rec in read_fastx(f"{DATA}/new_refs.fa"):
+            strain = rec.name[:2]
+            p = tmp_path / f"{strain}.reads.fq"
+            with open(p, "w") as fh:
+                g = rec.seq.decode()
+                for j, start in enumerate(
+                        range(0, len(g) - READ_LEN + 1, STRIDE)):
+                    seq = g[start : start + READ_LEN]
+                    fh.write(f"@{strain}_{j}\n{seq}\n+\n{'I' * len(seq)}\n")
+            tfh.write(f"{strain}\t{p}\n")
+    return table
+
+
+def test_simulated_mix_quantification_within_reference_tolerances(
+        tmp_path, monkeypatch):
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
+    from rkmh_tpu.scripts import score_test_data
+    from rkmh_tpu.scripts.make_mix import main as make_mix_main
+
+    table = _simulate_strain_reads(tmp_path)
+    monkeypatch.chdir(tmp_path)  # mixes + the .tst side-effect land here
+
+    # -l 20 scales reads-per-coverage down (cov 1000..10000 -> <=800
+    # reads/mix) so the CPU-mesh run stays test-sized; proportions and
+    # the truth-encoding filename are untouched
+    assert make_mix_main(argv=["--random", str(table), "-n", "3",
+                               "-l", "20", "--seed", "11"]) == 0
+    mixes = sorted(p for p in os.listdir(tmp_path) if p.endswith("_.fq"))
+    assert len(mixes) == 3
+
+    total_errs = []
+    for mix in mixes:
+        cls = tmp_path / "cls" / mix  # scorer reads truth from the name
+        os.makedirs(cls.parent, exist_ok=True)
+        buf = io.StringIO()
+        assert run(Hpv16Config(read_files=[mix], refpath=DATA, ks=(16,),
+                               tst_file=False), out=buf) == 0
+        with open(cls, "w") as fh:
+            fh.write(buf.getvalue())
+
+        sbuf = io.StringIO()
+        assert score_test_data.main([str(cls)], stdout=sbuf) == 0
+        toks = sbuf.getvalue().split()
+        correct_primary, _corr_sec, _flip, primary_det, secondary_det = [
+            t == "True" for t in toks[:5]]
+        total_err = float(toks[8])
+        assert correct_primary, (mix, sbuf.getvalue())
+        assert primary_det, (mix, sbuf.getvalue())      # >5% and ±10% abs
+        assert secondary_det, (mix, sbuf.getvalue())    # ±10% abs
+        total_errs.append(total_err)
+
+    # composition error across all 10 sublineage bins, summed |est-truth|:
+    # noise-free reads should land well inside the detection tolerances
+    assert float(np.mean(total_errs)) < 0.25, total_errs
+
+
+def test_quant_loop_cli_surface(tmp_path):
+    """The same loop through the installed console entries (the user's
+    path: rkmh-tpu-make-mix | rkmh-tpu hpv16 | rkmh-tpu-score-test-data),
+    one explicit 70/30 A1/D3 mix via --sample-file."""
+    table = _simulate_strain_reads(tmp_path)
+    sample = tmp_path / "mix.tsv"
+    paths = dict(line.split("\t") for line in
+                 open(table).read().splitlines())
+    with open(sample, "w") as fh:
+        fh.write(f"A1\t0.7\t15\t{paths['A1']}\n"
+                 f"D3\t0.3\t15\t{paths['D3']}\n\n")
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",  # cpu: PYTHONPATH is safe
+           "PYTHONPATH": "/root/repo",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rkmh_tpu.scripts.make_mix",
+         "-i", str(sample), "-l", "1000"],
+        cwd=tmp_path, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    (mix,) = [p for p in os.listdir(tmp_path) if p.endswith("_.fq")]
+    assert mix.startswith("15_A1_0-0.7_D3_0-0.3_")
+
+    cls = tmp_path / "out" / mix
+    os.makedirs(cls.parent, exist_ok=True)
+    r = subprocess.run(
+        [sys.executable, "-m", "rkmh_tpu.cli", "hpv16", "-f", mix,
+         "-R", DATA, "-k", "16", "-o", str(cls)],
+        cwd=tmp_path, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = subprocess.run(
+        [sys.executable, "-m", "rkmh_tpu.scripts.score_test_data",
+         str(cls)], env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    toks = r.stdout.split()
+    assert toks[0] == "True" and toks[3] == "True" and toks[4] == "True", \
+        r.stdout
