@@ -144,6 +144,9 @@ def build_parser():
                    help=argparse.SUPPRESS)  # parsed but dead in rkmh
     p.add_argument("-o", "--out-prefix", default="")
     p.add_argument("--json", action="store_true", help="emit Mash/sourmash-style JSON sketches")
+    p.add_argument("--sourmash", action="store_true",
+                   help="emit sourmash_signature JSON (sourmash's on-disk "
+                        ".sig format; single -k sketches only)")
     p.add_argument("--batch-size", type=int, default=0,
                    help="reads per device dispatch; 0 = auto (16384 on TPU, 2048 on CPU)")
     p.add_argument("--chunk-reads", type=int, default=0,
@@ -383,6 +386,7 @@ def _dispatch(args) -> int:
                 wabbitize=args.wabbitize,
                 output_counts=args.output_counts,
                 json_out=args.json,
+                sourmash_out=args.sourmash,
                 out_prefix=args.out_prefix,
                 batch_size=args.batch_size,
                 chunk_reads=args.chunk_reads,

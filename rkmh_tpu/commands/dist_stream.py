@@ -1099,9 +1099,10 @@ def run_distributed_hash(cfg, out=None) -> int:
         log("hash --dist-* cannot combine with -K (kmerize is host-only; "
             "run it single-host)")
         return 1
-    if cfg.json_out or cfg.out_prefix:
-        log("hash --dist-* cannot combine with --json/-o (the JSON dump "
-            "collects every record; dump per-rank stripes instead)")
+    if cfg.json_out or cfg.sourmash_out or cfg.out_prefix:
+        log("hash --dist-* cannot combine with --json/--sourmash/-o (the "
+            "JSON dump collects every record; dump per-rank stripes "
+            "instead)")
         return 1
 
     ctx = _setup_map_dist(cfg, "hash")

@@ -52,7 +52,8 @@ class HashConfig:
     wabbitize: bool = False       # -w
     output_counts: bool = False   # -c: wabbit features carry multiset counts
     json_out: bool = False        # --json to stdout
-    out_prefix: str = ""          # -o prefix -> prefix.rkmh.json
+    sourmash_out: bool = False    # --sourmash: sourmash_signature schema
+    out_prefix: str = ""          # -o prefix -> prefix.rkmh.json / .sig
     batch_size: int = 2048
     chunk_reads: int = 0          # streaming window; 0 = default
     devices: int = 0              # --devices: dp-shard hashing; 0 = single
@@ -107,7 +108,7 @@ def run(cfg: HashConfig, out=None) -> int:
         log(f"Using a kmer size of {ks[0]}")
 
     json_records: list[SketchRecord] = []
-    want_json = cfg.json_out or bool(cfg.out_prefix)
+    want_json = cfg.json_out or cfg.sourmash_out or bool(cfg.out_prefix)
     chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
 
     from rkmh_tpu.commands.common import DpCtx
@@ -187,10 +188,16 @@ def run(cfg: HashConfig, out=None) -> int:
                         out.write(f"{name}\t{' '.join(map(str, vals))}\n")
 
     if want_json:
-        if cfg.out_prefix:
-            with open(f"{cfg.out_prefix}.rkmh.json", "w") as fh:
-                dump_sketches(json_records, fh)
-            log(f"Wrote {len(json_records)} sketches to {cfg.out_prefix}.rkmh.json")
+        if cfg.sourmash_out:
+            from rkmh_tpu.io.sketch_json import dump_sourmash as writer
+
+            ext = ".sig"
         else:
-            dump_sketches(json_records, out)
+            writer, ext = dump_sketches, ".rkmh.json"
+        if cfg.out_prefix:
+            with open(f"{cfg.out_prefix}{ext}", "w") as fh:
+                writer(json_records, fh)
+            log(f"Wrote {len(json_records)} sketches to {cfg.out_prefix}{ext}")
+        else:
+            writer(json_records, out)
     return 0
