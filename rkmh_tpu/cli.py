@@ -156,6 +156,9 @@ def build_parser():
     p.add_argument("--out", default="", dest="out_file",
                    help="write hash/sketch lines here (per-rank stripes "
                         "with --dist-*; -o stays the JSON prefix)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted --out run (dist: batch "
+                        "watermark, see stream --resume)")
     p.add_argument("--dist-coordinator", default="", dest="dist_coordinator",
                    help="multi-host: coordinator host:port")
     p.add_argument("--dist-procs", type=int, default=0, dest="dist_procs",
@@ -190,6 +193,8 @@ def build_parser():
     p.add_argument("-r", "--reference", action="append", default=[], dest="refs")
     p.add_argument("-k", "--kmer", action="append", type=int, default=[], dest="ks")
     p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="reads per device dispatch; 0 = auto (16384 on TPU, 2048 on CPU)")
     p.add_argument("--chunk-reads", type=int, default=0,
                    help="reads parsed per streaming window; 0 = auto (65536)")
     p.add_argument("--devices", type=int, default=0,
@@ -197,6 +202,9 @@ def build_parser():
     p.add_argument("-o", "--output", default="", dest="out_file",
                    help="write match lines here (per-rank stripes with "
                         "--dist-*)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted dist -o run (idx batch "
+                        "checkpoint, see filter --resume)")
     p.add_argument("--dist-coordinator", default="", dest="dist_coordinator",
                    help="multi-host: coordinator host:port")
     p.add_argument("--dist-procs", type=int, default=0, dest="dist_procs",
@@ -392,6 +400,7 @@ def _dispatch(args) -> int:
                 chunk_reads=args.chunk_reads,
                 devices=args.devices,
                 out_file=args.out_file,
+                resume=args.resume,
                 dist_coordinator=args.dist_coordinator,
                 dist_procs=args.dist_procs,
                 dist_rank=args.dist_rank,
@@ -420,8 +429,10 @@ def _dispatch(args) -> int:
 
         return run(
             SearchConfig(ref_files=args.refs, read_files=args.reads,
-                         ks=tuple(args.ks), chunk_reads=args.chunk_reads,
+                         ks=tuple(args.ks), batch_size=args.batch_size,
+                         chunk_reads=args.chunk_reads,
                          devices=args.devices, out_file=args.out_file,
+                         resume=args.resume,
                          dist_coordinator=args.dist_coordinator,
                          dist_procs=args.dist_procs,
                          dist_rank=args.dist_rank)

@@ -631,7 +631,7 @@ def _open_rank_out(cfg, out, rank: int, H: int, B: int, fmt: str):
         if cfg.resume:
             _check_resume_geometry(cfg, B, H, os.path.exists(path))
         if cfg.resume and os.path.exists(path):
-            if fmt != "filter":
+            if fmt not in ("filter", "search"):  # those ride idx sidecars
                 skip = count_complete_lines(path)
                 log(f"dist rank {rank}: resuming, {skip} lines already "
                     f"landed in {path}")
@@ -731,16 +731,22 @@ def run_distributed(cfg, out=None) -> int:
     return 0
 
 
-def _truncate_to_lines(path: str, n_lines: int):
-    """Truncate a text file to exactly its first n_lines lines."""
+def _truncate_to_lines(path: str, n_lines: int) -> int:
+    """Truncate a text file to exactly its first n_lines lines; returns
+    the count actually kept (fewer = the file was SHORTER than asked —
+    callers treat an idx that claims more than the stripe holds as a
+    corrupt checkpoint and restart the rank)."""
     with open(path, "r+b") as fh:
         off = 0
+        kept = 0
         for _ in range(n_lines):
             line = fh.readline()
-            if not line:
+            if not line or not line.endswith(b"\n"):
                 break
             off += len(line)
+            kept += 1
         fh.truncate(off)
+    return kept
 
 
 def run_distributed_filter(cfg, out=None) -> int:
@@ -790,9 +796,21 @@ def run_distributed_filter(cfg, out=None) -> int:
             with open(idx_path) as fh:
                 counts = [int(x) for x in fh.read().split()]
             resume_batches = len(counts)
-            _truncate_to_lines(path, sum(counts) * 4)
-            log(f"dist rank {rank}: resuming, {resume_batches} batches "
-                f"({sum(counts)} records) already landed in {path}")
+            kept = _truncate_to_lines(path, sum(counts) * 4)
+            if kept < sum(counts) * 4:
+                # the idx claims records the stripe does not hold (a
+                # lost stripe tail): the checkpoint is corrupt — restart
+                # this rank rather than resume around a hole
+                log(f"dist rank {rank}: stripe holds {kept} lines but "
+                    f"{idx_path} covers {sum(counts) * 4}; restarting "
+                    "this rank's stripe from scratch")
+                os.remove(path)
+                os.remove(idx_path)
+                resume_batches = 0
+            else:
+                log(f"dist rank {rank}: resuming, {resume_batches} "
+                    f"batches ({sum(counts)} records) already landed in "
+                    f"{path}")
         else:
             log(f"dist rank {rank}: --resume without {idx_path}; "
                 "restarting this rank's stripe from scratch")
@@ -1267,7 +1285,8 @@ def run_distributed_search(cfg, out=None) -> int:
     array).  Reads shorter than k emit NOTHING (reference behavior), so
     stripes are variable-length: each rank writes a `<out>.<rank>.idx`
     per-batch line-count sidecar, merged like filter's (fmt 'search',
-    one line per record)."""
+    one line per record).  --resume rides the idx checkpoint exactly
+    like filter's, composed with the all-rank batch watermark."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -1294,12 +1313,56 @@ def run_distributed_search(cfg, out=None) -> int:
             return (refs[pos] == wh) & (wh != np.uint64(0))
         return jnp.zeros(wh.shape, dtype=bool)
 
-    out, close_out, _skip0 = _open_rank_out(cfg, out, rank, ctx.H, B, "search")
+    # --resume pre-step: the idx sidecar is the checkpoint (filter's
+    # recipe, 1 line per record) — reconcile BEFORE the stripe opens
+    # for append, then agree on the all-rank dispatch watermark
+    resume_batches = 0
     path = (f"{cfg.out_file}.{rank}" if ctx.H > 1 else cfg.out_file) \
         if cfg.out_file else None
-    idx_fh = open(f"{path}.idx", "w") if path else None
+    idx_path = f"{path}.idx" if path else None
+    if cfg.resume and path:
+        _check_resume_geometry(cfg, B, ctx.H, os.path.exists(path))
+    if cfg.resume and path and os.path.exists(path):
+        from rkmh_tpu.commands.recovery import count_complete_lines
+
+        if idx_path and os.path.exists(idx_path):
+            count_complete_lines(idx_path)  # truncate a torn idx tail
+            with open(idx_path) as fh:
+                counts = [int(x) for x in fh.read().split()]
+            resume_batches = len(counts)
+            kept = _truncate_to_lines(path, sum(counts))
+            if kept < sum(counts):
+                # idx claims lines the stripe lost: corrupt checkpoint —
+                # restart this rank rather than resume around a hole
+                log(f"dist rank {rank}: stripe holds {kept} lines but "
+                    f"{idx_path} covers {sum(counts)}; restarting this "
+                    "rank's stripe from scratch")
+                os.remove(path)
+                os.remove(idx_path)
+                resume_batches = 0
+            else:
+                log(f"dist rank {rank}: resuming, {resume_batches} "
+                    f"batches ({sum(counts)} lines) already landed in "
+                    f"{path}")
+        else:
+            log(f"dist rank {rank}: --resume without {idx_path}; "
+                "restarting this rank's stripe from scratch")
+            os.remove(path)
+    start_batch = _allmin(resume_batches, ctx.H) if cfg.resume else 0
+    if start_batch:
+        log(f"dist rank {rank}: watermark — dispatch resumes at batch "
+            f"{start_batch}")
+
+    out, close_out, _skip0 = _open_rank_out(cfg, out, rank, ctx.H, B, "search")
+    idx_fh = (open(idx_path, "a" if resume_batches else "w")
+              if idx_path else None)
+    batches_done = start_batch
 
     def emit(recs, res):
+        nonlocal batches_done
+        if batches_done < resume_batches:
+            batches_done += 1  # --resume: this batch's lines already landed
+            return
         found = _fetch_mine_rows(res, B, Bl, rank)
         wrote = 0
         for i, rec in enumerate(recs):
@@ -1313,6 +1376,7 @@ def run_distributed_search(cfg, out=None) -> int:
             mers = ",".join(seq[j : j + k].decode() for j in idx)
             out.write(f"{name}\t{mers}\n")
             wrote += 1
+        batches_done += 1
         if idx_fh is not None:
             out.flush()  # the idx line must never point past the stripe
             idx_fh.write(f"{wrote}\n")
@@ -1322,7 +1386,7 @@ def run_distributed_search(cfg, out=None) -> int:
     try:
         for b, codes, lens, names, recs in _iter_owned_batches(
                 cfg.read_files, ctx.chunk_reads, ctx.N, B, Bl, rank, ctx.L,
-                with_records=True, index=ctx.index):
+                with_records=True, index=ctx.index, start_batch=start_batch):
             pending.append(
                 (recs, step(put_local(codes, (B, ctx.L), ctx.codes_sharding),
                             ref_g, k, bool(ref_hashes.size))))

@@ -830,3 +830,120 @@ def test_dist_mctr_checkpoint_skips_counter_pass(tmp_path, monkeypatch):
     assert _load_counter_ckpt(mesh, p, bad, 64_000, 1, 0) is None
     restored = _load_counter_ckpt(mesh, p, fp, 64_000, 1, 0)
     assert restored is not None and restored.shape == (64_000,)
+
+
+def test_distributed_search_resume_idx_checkpoint(tmp_path):
+    """search dist --resume: the per-batch .idx line-count sidecar is
+    the checkpoint (filter's recipe at 1 line/record) — stripe
+    truncates to the idx coverage, dispatch restarts at the watermark,
+    resumed output byte-identical to an uninterrupted run."""
+    from rkmh_tpu.commands import dist_stream
+    from rkmh_tpu.commands.search_cmd import SearchConfig
+    from rkmh_tpu.io.fastx import read_fastx
+
+    D = "/root/reference/data"
+    reads = read_fastx(f"{D}/z1.fq")[:40]
+    fq = tmp_path / "mix.fq"
+    with open(fq, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@{r.name}\n{r.seq.decode()}\n+\n"
+                     f"{(r.qual or b'I' * len(r.seq)).decode()}\n")
+            if i % 7 == 0:
+                fh.write(f"@short{i}\nACGTACG\n+\nIIIIIII\n")
+    k = 12
+    seq = reads[0].seq.decode()
+    ref_txt = tmp_path / "kmers.txt"
+    with open(ref_txt, "w") as fh:
+        for j in range(0, 60, 3):
+            fh.write(f"{seq[j:j + k]}\n")
+
+    p = str(tmp_path / "search.out")
+    base = dict(ref_files=[str(ref_txt)], read_files=[str(fq)], ks=(k,),
+                batch_size=8, out_file=p)
+    assert dist_stream.run_distributed_search(SearchConfig(**base)) == 0
+    full = open(p).read()
+    full_idx = open(f"{p}.idx").read()
+
+    # crash after 2 complete batches + a torn stripe tail
+    counts = [int(x) for x in full_idx.split()]
+    with open(f"{p}.idx", "w") as fh:
+        fh.write("".join(f"{c}\n" for c in counts[:2]))
+    lines = full.splitlines(keepends=True)
+    with open(p, "w") as fh:
+        fh.writelines(lines[: sum(counts[:2])])
+        fh.write("@torn-partial-line-without-newline")
+
+    assert dist_stream.run_distributed_search(
+        SearchConfig(**base, resume=True)) == 0
+    assert open(p).read() == full
+    assert open(f"{p}.idx").read() == full_idx
+
+
+def test_distributed_hash_resume_watermark(tmp_path, monkeypatch):
+    """hash dist --resume: line-counted stripes + the batch watermark,
+    same recipe as stream (one line per read)."""
+    from rkmh_tpu.commands import dist_stream
+    from rkmh_tpu.commands.hash_cmd import HashConfig
+
+    D = "/root/reference/data"
+    p = str(tmp_path / "hashes.out")
+    base = dict(read_files=[f"{D}/z1.fq"], ks=(12,), batch_size=64,
+                out_file=p)
+    assert dist_stream.run_distributed_hash(HashConfig(**base)) == 0
+    full = open(p).read()
+    lines = full.splitlines(keepends=True)
+    assert len(lines) == 1000
+    with open(p, "w") as fh:
+        fh.writelines(lines[: 4 * 64 + 9])
+
+    dispatched = []
+    orig = dist_stream._iter_owned_batches
+
+    def counting(*a, **k):
+        for tup in orig(*a, **k):
+            dispatched.append(tup[0])
+            yield tup
+
+    monkeypatch.setattr(dist_stream, "_iter_owned_batches", counting)
+    assert dist_stream.run_distributed_hash(
+        HashConfig(**base, resume=True)) == 0
+    assert open(p).read() == full
+    assert dispatched == list(range(4, 16))
+
+
+def test_distributed_idx_overclaim_restarts_rank(tmp_path):
+    """An idx sidecar claiming lines the stripe lost (half-lost files)
+    is a corrupt checkpoint: the rank restarts from scratch instead of
+    resuming around a hole, and output is still byte-identical."""
+    from rkmh_tpu.commands import dist_stream
+    from rkmh_tpu.commands.search_cmd import SearchConfig
+    from rkmh_tpu.io.fastx import read_fastx
+
+    D = "/root/reference/data"
+    reads = read_fastx(f"{D}/z1.fq")[:40]
+    fq = tmp_path / "mix.fq"
+    with open(fq, "w") as fh:
+        for r in reads:
+            fh.write(f"@{r.name}\n{r.seq.decode()}\n+\n"
+                     f"{(r.qual or b'I' * len(r.seq)).decode()}\n")
+    k = 12
+    seq = reads[0].seq.decode()
+    ref_txt = tmp_path / "kmers.txt"
+    with open(ref_txt, "w") as fh:
+        for j in range(0, 60, 3):
+            fh.write(f"{seq[j:j + k]}\n")
+
+    p = str(tmp_path / "search.out")
+    base = dict(ref_files=[str(ref_txt)], read_files=[str(fq)], ks=(k,),
+                batch_size=8, out_file=p)
+    assert dist_stream.run_distributed_search(SearchConfig(**base)) == 0
+    full = open(p).read()
+    full_idx = open(f"{p}.idx").read()
+
+    # keep the idx whole but lose most of the stripe
+    with open(p, "w") as fh:
+        fh.write("".join(full.splitlines(keepends=True)[:3]))
+    assert dist_stream.run_distributed_search(
+        SearchConfig(**base, resume=True)) == 0
+    assert open(p).read() == full
+    assert open(f"{p}.idx").read() == full_idx
