@@ -616,9 +616,9 @@ def _open_rank_out(cfg, out, rank: int, H: int, B: int, fmt: str):
     collectives need all ranks in lockstep, so no rank can skip further
     alone); each rank additionally skips re-emitting overhang lines its
     stripe already holds — idempotent, byte-identical to an
-    uninterrupted run.  The filter drain manages its own skip via its
-    .idx checkpoint, so its resume_skip is always 0 (no wasted stripe
-    scan here)."""
+    uninterrupted run.  The filter/search drains manage their own skip
+    via their .idx checkpoints, so their resume_skip is always 0 (no
+    wasted stripe scan here)."""
     import os
 
     if out is not None:
