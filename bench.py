@@ -175,9 +175,11 @@ def main():
     dev_reads_per_sec = batch * dev_iters / dev_best
 
     # hpv16 device step (the OTHER hot kernel: full-window multiset
-    # probe of the 604 MB 182-type PAVE panel + uniq panel, split
-    # dispatch).  Guarded: a failure here must not cost the headline
-    # metric (the tunnel stalls randomly; CLAUDE.md).
+    # probe of the 604 MB combined-mask set table — type bits + uniq
+    # bits in ONE table, one gather per element, split dispatch +
+    # compact probe: the production path since round 4, see
+    # docs/ROOFLINE.md).  Guarded: a failure here must not cost the
+    # headline metric (the tunnel stalls randomly; CLAUDE.md).
     hpv16_mbp = None
     if platform == "tpu":
         try:
@@ -188,15 +190,25 @@ def main():
             subs = load_packed(f"{DATA}/new_refs.fa")
             ph, pm = engine.hash_batch_with_mask(pave.codes, pave.lens, ks2)
             sh, sm = engine.hash_batch_with_mask(subs.codes, subs.lens, ks2)
-            tt = build_set_table_device(ph, pm, num_refs=len(pave.lens))
-            ut = build_set_table_device(sh, sm, num_refs=len(subs.lens))
+            nt, nu = len(pave.lens), len(subs.lens)
+            Wall = max(ph.shape[1], sh.shape[1])
+
+            def _padw(a, fill):
+                return jnp.pad(a, ((0, 0), (0, Wall - a.shape[1])),
+                               constant_values=fill)
+
+            comb = build_set_table_device(
+                jnp.concatenate([_padw(ph, 0), _padw(sh, 0)]),
+                jnp.concatenate([_padw(pm, False), _padw(sm, False)]),
+                num_refs=nt + nu)
             mreads = load_packed(f"{DATA}/minION25.fq")
             hcodes = jnp.asarray(np.tile(mreads.codes, (8, 1)))
             hbp = int(np.asarray(mreads.lens).sum()) * 8
-            nt, nu = len(pave.lens), len(subs.lens)
+            hwc = engine.hpv16_compact_width(
+                np.tile(np.asarray(mreads.lens), 8), hcodes.shape[1], ks2)
 
             def hstep(c):
-                return engine.hpv16_batch_split(c, tt, ut, ks2, nt, nu)
+                return engine.hpv16_batch_comb(c, comb, ks2, nt, nu, hwc)
 
             hstep(hcodes).block_until_ready()
             hbest = float("inf")
