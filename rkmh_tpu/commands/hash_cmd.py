@@ -40,7 +40,6 @@ from rkmh_tpu.commands.common import (
     log,
 )
 from rkmh_tpu.io.sketch_json import SketchRecord, dump_sketches
-from rkmh_tpu.utils import to_host
 
 
 @dataclass

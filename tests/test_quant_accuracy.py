@@ -16,7 +16,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 from rkmh_tpu.io.fastx import read_fastx
 
