@@ -13,7 +13,11 @@ from pathlib import Path
 
 
 def main():
-    sys.path.insert(0, "tests")
+    # absolute paths: the hpv16 fuzz case chdirs into its tempdir, which
+    # breaks relative sys.path entries (and any lazy rkmh_tpu import)
+    root = str(Path(__file__).resolve().parent.parent)
+    sys.path.insert(0, str(Path(root) / "tests"))
+    sys.path.insert(0, root)
     import test_fuzz_parity as fuzz
     import test_hpv16
 
@@ -26,7 +30,16 @@ def main():
             os.chdir(path)
 
     def _hpv16(td, seed):
-        test_hpv16.test_hpv16_fuzz_matches_oracle(td, _Chdir(), seed)
+        # pytest's monkeypatch restores chdir when the test ends; the
+        # stand-in must too, or every later subprocess case starts in a
+        # DELETED tempdir (.tst writes fail with ENOENT)
+        import os
+
+        cwd = os.getcwd()
+        try:
+            test_hpv16.test_hpv16_fuzz_matches_oracle(td, _Chdir(), seed)
+        finally:
+            os.chdir(cwd)
 
     def _counters(td, seed):
         fuzz.test_stream_counter_fuzz_matches_oracle(td, seed)
