@@ -155,13 +155,22 @@ def _counter_fingerprint(read_files, ks, size: int, dp: int, H: int,
 
 def _local_counter_rows(counter, size: int, H: int, rank: int):
     """This rank's contiguous [size/H] block of the P('dp')-sharded
-    global counter (process-major enumeration is asserted at setup)."""
+    global counter (process-major enumeration is asserted at setup).
+
+    The int32 shards widen to int64 on device before the fetch: i32/u32
+    D2H rides a ~20 us-PER-ELEMENT slow path through the TPU tunnel
+    (utils.to_host), which at the production 2e8-8e8 counter sizes would
+    stall the checkpoint save for hours."""
+    import jax
+    import jax.numpy as jnp
+
+    wide = jax.jit(lambda c: c.astype(jnp.int64))(counter)
     lo0 = rank * (size // H)
     rows = np.empty(size // H, np.int32)
-    for sh in counter.addressable_shards:
+    for sh in wide.addressable_shards:
         sl = sh.index[0]
         rows[(sl.start or 0) - lo0 : (sl.stop or size) - lo0] = \
-            np.asarray(sh.data)
+            np.asarray(sh.data).astype(np.int32)
     return rows
 
 
@@ -921,38 +930,24 @@ def run_distributed_hpv16(cfg, out=None) -> int:
     Bl = B // H
     chunk_reads = resolve_chunk_reads(cfg.chunk_reads)
 
-    from rkmh_tpu.commands.hpv16_cmd import build_tables, format_read_lines
+    from rkmh_tpu.commands.hpv16_cmd import (
+        build_tables, format_read_lines, make_sharded_hpv16_step,
+    )
 
     if not cfg.ks:
         log("NO KMER SIZE PROVIDED. USING A DEFAULT KMER SIZE OF 16")
         ks = (16,)
     else:
         ks = tuple(cfg.ks)
-    tb = build_tables(cfg, ks)
+    tb = build_tables(cfg, ks, tp_shards=tp)
 
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from rkmh_tpu.parallel.mesh import make_mesh, sharded_hpv16_fn
+    from rkmh_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(jax.devices(), dp=dp, tp=tp)
     codes_sharding = NamedSharding(mesh, P("dp", None))
     _assert_process_contiguous(NamedSharding(mesh, P("dp")), B, Bl, rank)
-    uniq_g = jax.device_put(tb.uniq_table, NamedSharding(mesh, P()))
-
-    num_types = len(tb.type_names)
-    type_rps = None
-    if tp > 1:
-        # shard the type set table over the GLOBAL tp axis (the same
-        # mesh.place_tp_type_table recipe as hpv16_cmd's single-host
-        # --tp, so the padding/tie-break rules can never diverge)
-        from rkmh_tpu.parallel.mesh import place_tp_type_table
-
-        type_g, type_rps = place_tp_type_table(
-            mesh, tb.type_hashes, tb.type_mask, tp)
-        num_types = tp * type_rps
-    else:
-        type_g = jax.device_put(tb.type_table, NamedSharding(mesh, P()))
 
     N, maxlen, index = _scan_input(cfg.read_files, chunk_reads)
     L = bucket_length(max(maxlen, 1))
@@ -961,16 +956,22 @@ def run_distributed_hpv16(cfg, out=None) -> int:
         f"{', indexed' if index is not None else ''}")
 
     # -M: rkmh.cpp:2513-2530 counts every read k-mer occurrence
-    extra = ()
+    counter = None
     if cfg.min_kmer_occ > 0:
-        extra = (_counter_pass_ckpt(
+        counter = _counter_pass_ckpt(
             mesh, cfg, ks, chunk_reads, N, B, Bl, rank, H, L,
-            codes_sharding, dp, index=index),)
+            codes_sharding, dp, index=index)
 
-    fn = sharded_hpv16_fn(
-        mesh, ks, num_types, tb.n_lin + tb.n_sub,
-        counter_size=cfg.counter_size if extra else None,
-        min_occ=cfg.min_kmer_occ, type_rps=type_rps)
+    # the same combined-table split-dispatch step as single-host
+    # --devices (hpv16_cmd.make_sharded_hpv16_step).  The probe width is
+    # the FULL window count: compaction needs the global batch's max
+    # valid-window count, but each rank only sees its own rows' lens —
+    # a rank-local Wc would give different collective programs.
+    step = make_sharded_hpv16_step(
+        mesh, tb, ks, tp,
+        cfg.counter_size if counter is not None else None,
+        cfg.min_kmer_occ)
+    W_full = sum(max(L - k + 1, 0) for k in ks)
 
     out, close_out, skip = _open_rank_out(cfg, out, rank, H, B, "stream")
     start_batch = 0
@@ -1012,8 +1013,8 @@ def run_distributed_hpv16(cfg, out=None) -> int:
                 index=index, start_batch=start_batch):
             pending.append(
                 (names, lens.copy(),
-                 fn(put_local(codes, (B, L), codes_sharding),
-                    type_g, uniq_g, *extra)))
+                 step(put_local(codes, (B, L), codes_sharding),
+                      W_full, counter)))
             if len(pending) > 3:
                 emit(*pending.popleft())
         while pending:

@@ -57,7 +57,7 @@ class HashConfig:
     chunk_reads: int = 0          # streaming window; 0 = default
     devices: int = 0              # --devices: dp-shard hashing; 0 = single
     out_file: str = ""            # --out: hash lines here (dist rank stripes)
-    resume: bool = False          # reserved for the dist stripe machinery
+    resume: bool = False          # --resume: line-counted append (single or dist)
     dist_coordinator: str = ""    # --dist-coordinator host:port (multi-host)
     dist_procs: int = 0           # --dist-procs: process count (multi-host)
     dist_rank: int = -1           # --dist-rank: this process's id
@@ -93,9 +93,24 @@ def run(cfg: HashConfig, out=None) -> int:
 
         return run_distributed_hash(cfg, out)
 
+    if cfg.resume and not cfg.out_file:
+        log("hash --resume requires -o/--out (resume state is the partial "
+            "output itself); refusing to re-hash to stdout")
+        return 1
     if out is None and cfg.out_file:
-        with open(cfg.out_file, "w") as fh:
-            return run(cfg, fh)
+        if cfg.resume and (cfg.output_kmers or cfg.json_out
+                           or cfg.sourmash_out or cfg.out_prefix):
+            # -K emits a variable number of lines per read and the JSON
+            # modes write one document, so line-counted resume cannot
+            # apply; refuse rather than silently restart
+            log("hash --resume supports the line-per-read output modes "
+                "only (not -K or the JSON/sourmash dumps)")
+            return 1
+        from rkmh_tpu.commands.recovery import open_line_resume
+
+        fh, wrapped = open_line_resume(cfg.out_file, cfg.resume)
+        with fh:
+            return run(cfg, wrapped)
     out = out or sys.stdout
     from rkmh_tpu.commands.common import resolve_batch_size
 

@@ -93,6 +93,51 @@ def skip_reads(chunk_iter, skip: int):
         yield PyPacked(recs)
 
 
+class LineSkipWriter:
+    """Drop the first `skip` output LINES, then pass writes through.
+
+    The resume wrapper for commands whose per-read output is line-shaped
+    but not exactly one-line-per-read (`search` emits nothing for reads
+    shorter than k; `hash` writes multi-line native blocks): counting
+    already-emitted lines and dropping that many re-emissions is correct
+    for any read->lines mapping, as long as the mapping is deterministic
+    and in input order (both hold for every drain here)."""
+
+    def __init__(self, out, skip: int):
+        self.out = out
+        self.skip = skip
+
+    def write(self, s: str) -> None:
+        if self.skip:
+            while self.skip and s:
+                nl = s.find("\n")
+                if nl < 0:
+                    raise ValueError(
+                        "resume writer saw a partial line while skipping "
+                        "(drains must write whole lines)")
+                s = s[nl + 1:]
+                self.skip -= 1
+            if not s:
+                return
+        self.out.write(s)
+
+    def flush(self) -> None:
+        if hasattr(self.out, "flush"):
+            self.out.flush()
+
+
+def open_line_resume(out_file: str, resume: bool):
+    """(file object, wrapped writer) for a line-shaped -o output: with
+    resume and an existing file, append after the complete lines and
+    wrap in a LineSkipWriter; otherwise truncate-open."""
+    if resume and os.path.exists(out_file):
+        skip = count_complete_lines(out_file)
+        fh = open(out_file, "a")
+        return fh, (LineSkipWriter(fh, skip) if skip else fh)
+    fh = open(out_file, "w")
+    return fh, fh
+
+
 class Progress:
     """Atomic `<out>.progress` sidecar: {"reads": N, "bytes": M}.
 

@@ -47,7 +47,7 @@ class SearchConfig:
     chunk_reads: int = 0            # streaming window; 0 = default
     devices: int = 0                # --devices: dp-shard hashing; 0 = single
     out_file: str = ""              # -o: lines here (dist rank stripes)
-    resume: bool = False            # reserved for the dist stripe machinery
+    resume: bool = False            # --resume: line-counted append (single or dist)
     dist_coordinator: str = ""      # --dist-coordinator host:port (multi-host)
     dist_procs: int = 0             # --dist-procs: process count (multi-host)
     dist_rank: int = -1             # --dist-rank: this process's id
@@ -76,9 +76,16 @@ def run(cfg: SearchConfig, out=None) -> int:
 
         return run_distributed_search(cfg, out)
 
+    if cfg.resume and not cfg.out_file:
+        log("search --resume requires -o/--out (resume state is the "
+            "partial output itself); refusing to re-search to stdout")
+        return 1
     if out is None and cfg.out_file:
-        with open(cfg.out_file, "w") as fh:
-            return run(cfg, fh)
+        from rkmh_tpu.commands.recovery import open_line_resume
+
+        fh, wrapped = open_line_resume(cfg.out_file, cfg.resume)
+        with fh:
+            return run(cfg, wrapped)
     out = out or sys.stdout
     from rkmh_tpu.commands.common import resolve_batch_size
 

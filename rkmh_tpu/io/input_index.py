@@ -23,6 +23,15 @@ forward, erasing the win) and neither is the pure-python parser path
 (no byte offsets) — both fall back to the full parse.  Set
 ``RKMH_TPU_INPUT_INDEX=0`` to disable, or to a directory to relocate
 the cache.
+
+The fingerprint folds in a CONTENT SAMPLE (hash of the first+last 64 KB)
+on top of (size, mtime_ns): a ``cp -p``/``rsync -t``-style replacement
+that preserves size and mtime, or two multi-host machines sharing a home
+with different file content at the same path, would otherwise silently
+serve a stale index and parse the wrong records.  The cache also GCs
+itself on writes: entries whose recorded source path no longer exists
+are dropped, and the newest ``RKMH_TPU_INPUT_INDEX_MAX`` (default 512)
+entries are kept beyond that.
 """
 
 from __future__ import annotations
@@ -31,7 +40,8 @@ import os
 
 import numpy as np
 
-_VERSION = 1
+_VERSION = 2
+_SAMPLE = 1 << 16  # content-sample window at each end of the file
 
 
 def enabled() -> bool:
@@ -51,8 +61,20 @@ def index_path(path) -> str:
 
 
 def _fingerprint(path):
+    """(size, mtime_ns, content-sample hash).  The sample hashes the
+    first and last 64 KB, so a same-size timestamp-preserving content
+    swap still invalidates the entry while the check stays O(1) in the
+    file size."""
+    import hashlib
+
     st = os.stat(path)
-    return int(st.st_size), int(st.st_mtime_ns)
+    h = hashlib.blake2b(digest_size=16)
+    with open(path, "rb") as fh:
+        h.update(fh.read(_SAMPLE))
+        if st.st_size > _SAMPLE:
+            fh.seek(max(st.st_size - _SAMPLE, 0))
+            h.update(fh.read(_SAMPLE))
+    return int(st.st_size), int(st.st_mtime_ns), h.hexdigest()
 
 
 def is_indexable(path) -> bool:
@@ -80,14 +102,17 @@ def save_index(path, offs: np.ndarray, lens: np.ndarray) -> bool:
     tmp = f"{idx}.tmp.{os.getpid()}"
     try:
         os.makedirs(os.path.dirname(idx), exist_ok=True)
-        size, mtime_ns = _fingerprint(path)
+        size, mtime_ns, content = _fingerprint(path)
         with open(tmp, "wb") as fh:
             np.savez(fh,
                      version=np.int64(_VERSION),
                      size=np.int64(size), mtime_ns=np.int64(mtime_ns),
+                     content=np.str_(content),
+                     src=np.str_(os.path.abspath(os.fspath(path))),
                      offs=np.asarray(offs, np.int64),
                      lens=np.asarray(lens, np.int32))
         os.replace(tmp, idx)
+        _gc(os.path.dirname(idx))
         return True
     except OSError:
         try:
@@ -97,16 +122,62 @@ def save_index(path, offs: np.ndarray, lens: np.ndarray) -> bool:
         return False
 
 
+def _max_entries() -> int:
+    try:
+        return int(os.environ.get("RKMH_TPU_INPUT_INDEX_MAX", "512"))
+    except ValueError:
+        return 512
+
+
+def _gc(cache_dir) -> None:
+    """Bound the cache: past the entry cap, drop entries whose recorded
+    source no longer exists (tmp-dir inputs from tests and one-off runs
+    would otherwise accumulate forever), then the oldest by mtime.
+    Best-effort — any racing deletion/unreadability is ignored."""
+    cap = _max_entries()
+    try:
+        names = [n for n in os.listdir(cache_dir) if n.endswith(".idx.npz")]
+    except OSError:
+        return
+    if len(names) <= cap:
+        return
+    survivors = []
+    for n in names:
+        p = os.path.join(cache_dir, n)
+        try:
+            with np.load(p) as z:
+                src = str(z["src"]) if "src" in z.files else ""
+        except (OSError, ValueError, KeyError, EOFError):
+            src = ""
+        if not src or not os.path.exists(src):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+            continue
+        try:
+            survivors.append((os.stat(p).st_mtime_ns, p))
+        except OSError:
+            pass
+    survivors.sort(reverse=True)
+    for _, p in survivors[cap:]:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
 def load_index(path):
     """(offs, lens) from a fresh cache entry, else None (missing,
     unreadable, version bump, or the input changed since it was
     written)."""
     try:
-        size, mtime_ns = _fingerprint(path)
+        size, mtime_ns, content = _fingerprint(path)
         with np.load(index_path(path)) as z:
             if int(z["version"]) != _VERSION:
                 return None
-            if (int(z["size"]), int(z["mtime_ns"])) != (size, mtime_ns):
+            if (int(z["size"]), int(z["mtime_ns"]),
+                    str(z["content"])) != (size, mtime_ns, content):
                 return None
             return z["offs"].astype(np.int64), z["lens"].astype(np.int32)
     except (OSError, KeyError, ValueError):

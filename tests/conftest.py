@@ -12,6 +12,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # hermetic tests: no cross-test (or cross-run) panel-sketch cache hits;
 # the cache itself is covered by an explicit tmpdir test
 os.environ.setdefault("RKMH_TPU_PANEL_CACHE", "0")
+# ... and no input-index entries for tmp-path test inputs in the real
+# user cache (tests that exercise the index point it at a tmpdir)
+os.environ.setdefault("RKMH_TPU_INPUT_INDEX", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -56,6 +56,8 @@ def test_two_process_distributed_classify_bit_identical(tmp_path):
                 "JAX_PLATFORMS": "cpu",
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
                 "HOME": os.environ.get("HOME", "/root"),
+                "RKMH_TPU_INPUT_INDEX": str(tmp_path / "idxcache")
+                if tmp_path else "0",
             },
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
@@ -158,6 +160,8 @@ def test_two_process_distributed_cli_stream(tmp_path):
                 "JAX_PLATFORMS": "cpu",
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
                 "HOME": os.environ.get("HOME", "/root"),
+                "RKMH_TPU_INPUT_INDEX": str(tmp_path / "idxcache")
+                if tmp_path else "0",
             },
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
@@ -228,6 +232,8 @@ def test_two_process_distributed_cli_hpv16(tmp_path, tp):
                 "JAX_PLATFORMS": "cpu",
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
                 "HOME": os.environ.get("HOME", "/root"),
+                "RKMH_TPU_INPUT_INDEX": str(tmp_path / "idxcache")
+                if tmp_path else "0",
             },
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
@@ -296,6 +302,8 @@ def test_two_process_distributed_cli_filter(tmp_path):
                 "JAX_PLATFORMS": "cpu",
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
                 "HOME": os.environ.get("HOME", "/root"),
+                "RKMH_TPU_INPUT_INDEX": str(tmp_path / "idxcache")
+                if tmp_path else "0",
             },
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
@@ -347,6 +355,8 @@ def test_two_process_distributed_cli_stream_resume(tmp_path):
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
         "HOME": os.environ.get("HOME", "/root"),
+                "RKMH_TPU_INPUT_INDEX": str(tmp_path / "idxcache")
+                if tmp_path else "0",
     }
 
     def launch(extra):
@@ -532,6 +542,8 @@ def test_two_process_distributed_cli_call(tmp_path):
                 "JAX_PLATFORMS": "cpu",
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
                 "HOME": os.environ.get("HOME", "/root"),
+                "RKMH_TPU_INPUT_INDEX": str(tmp_path / "idxcache")
+                if tmp_path else "0",
             },
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
@@ -571,6 +583,8 @@ def _spawn_two(args, tmp_path=None):
                 "JAX_PLATFORMS": "cpu",
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
                 "HOME": os.environ.get("HOME", "/root"),
+                "RKMH_TPU_INPUT_INDEX": str(tmp_path / "idxcache")
+                if tmp_path else "0",
             },
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )

@@ -77,6 +77,53 @@ def test_stale_entry_is_rebuilt(tmp_path):
     assert n == 9 and len(index[0][1]) == 9
 
 
+def test_same_size_mtime_preserving_swap_invalidates(tmp_path):
+    """A `cp -p`-style replacement that keeps size AND mtime must still
+    invalidate the entry (the content sample catches it) — a stale index
+    would silently seek to the wrong records."""
+    p = str(tmp_path / "reads.fq")
+    _write_fastq(p, 7, seed=20)
+    input_index.scan_or_index([p], chunk_reads=64)
+    assert input_index.load_index(p) is not None
+    st = os.stat(p)
+    data = bytearray(open(p, "rb").read())
+    # flip one sequence base in place: same byte count, restored mtime
+    at = data.index(b"\n") + 1
+    data[at] = ord("A") if data[at] != ord("A") else ord("C")
+    with open(p, "wb") as fh:
+        fh.write(bytes(data))
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+    st2 = os.stat(p)
+    assert (st2.st_size, st2.st_mtime_ns) == (st.st_size, st.st_mtime_ns)
+    assert input_index.load_index(p) is None
+
+
+def test_gc_drops_dead_entries_past_cap(tmp_path, monkeypatch):
+    """Entries for deleted inputs (tmp files from tests/one-off runs) are
+    collected once the cache exceeds the cap; live entries survive."""
+    monkeypatch.setenv("RKMH_TPU_INPUT_INDEX_MAX", "3")
+    keep = []
+    for i in range(2):
+        p = str(tmp_path / f"live{i}.fq")
+        _write_fastq(p, 3, seed=30 + i)
+        input_index.scan_or_index([p], chunk_reads=64)
+        keep.append(p)
+    dead = str(tmp_path / "dead.fq")
+    _write_fastq(dead, 3, seed=40)
+    input_index.scan_or_index([dead], chunk_reads=64)
+    dead_idx = input_index.index_path(dead)
+    assert os.path.exists(dead_idx)
+    os.remove(dead)
+    # one more save trips the GC (4 entries > cap 3): the dead entry goes
+    # and the remaining 3 live ones (within the cap) all survive
+    p = str(tmp_path / "trigger.fq")
+    _write_fastq(p, 3, seed=41)
+    input_index.scan_or_index([p], chunk_reads=64)
+    assert not os.path.exists(dead_idx)
+    for kp in keep + [p]:
+        assert input_index.load_index(kp) is not None
+
+
 def test_gzip_inputs_fall_back_unindexed(tmp_path):
     p = str(tmp_path / "reads.fq")
     _write_fastq(p, 11, seed=4)
