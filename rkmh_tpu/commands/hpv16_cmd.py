@@ -165,9 +165,8 @@ class Hpv16Tables:
     Deterministic for a given (refpath, k) — multi-host runs build it
     identically on every host."""
 
-    __slots__ = ("type_names", "type_table", "uniq_table", "comb_table",
-                 "comb_sorted", "lin_names", "sublin_names",
-                 "type_hashes", "type_mask")
+    __slots__ = ("type_names", "comb_table", "comb_sorted",
+                 "comb_hashes", "comb_mask", "lin_names", "sublin_names")
 
     @property
     def n_lin(self):
@@ -179,17 +178,22 @@ class Hpv16Tables:
 
 
 def build_tables(cfg: Hpv16Config, ks: tuple,
-                 combined: bool = False) -> Hpv16Tables:
+                 tp_shards: int = 0) -> Hpv16Tables:
     """Type panel + lineage/sublineage unique-kmer set tables (device
     built; rkmh.cpp:2544-2653), with the .tst side-effect file and the
     stderr stats.
 
-    combined=True (the single-device split-dispatch path) builds ONE
-    bucket table whose mask spans types + uniq groups instead of the two
-    separate tables — the probe then runs one wide row gather per element
-    instead of a 288 B-row and a narrow one (docs/ROOFLINE.md round-4
-    measurements); tb.type_table/uniq_table stay unset.  The sharded/dist
-    paths keep the separate tables (the type table tp-shards on its own).
+    Every path consumes the round-4 COMBINED representation: ONE bucket
+    table whose mask spans types + uniq groups — the probe runs one
+    wide row gather per element instead of a 288 B-row and a narrow
+    one (measured 2.0x: docs/ROOFLINE.md round-4 table).
+
+    tp_shards=0 (single device) builds tb.comb_table (or tb.comb_sorted
+    past the RKMH_TPU_SET_TABLE_MAX_MB budget).  tp_shards>=1 (the
+    sharded/dist drivers) leaves the window-hash rows in
+    tb.comb_hashes/comb_mask for parallel.mesh.place_tp_comb_table
+    (the caller holds the mesh), falling back to tb.comb_sorted on the
+    same budget.
     """
     k0 = ks[0]
     tb = Hpv16Tables()
@@ -200,15 +204,10 @@ def build_tables(cfg: Hpv16Config, ks: tuple,
     # type panel: full distinct hash sets at kmer_sizes[0] (rkmh.cpp:2546),
     # built entirely on device — the ~600 MB bucket table never crosses
     # the host wire (ops.lookup.build_set_table_device)
-    from rkmh_tpu.ops.lookup import build_set_table_device
-
     type_names = list(type_recs.names)
     th, tm = engine.hash_batch_with_mask(
         type_recs.codes, jnp.asarray(type_recs.lens), (k0,)
     )
-    type_table = None
-    if not combined:
-        type_table = build_set_table_device(th, tm, num_refs=len(type_names))
 
     # sublineage hash sets at kmer_sizes[0] (rkmh.cpp:2553) and the
     # lineage/sublineage unique-kmer tables (iterated set_difference,
@@ -231,7 +230,6 @@ def build_tables(cfg: Hpv16Config, ks: tuple,
     sub_h, sub_keep = _family_unique(sh, sm, sublin_groups)
     n_lin, n_sub = len(lin_names), len(sublin_names)
 
-    # one combined 14-row set table for the read-batch intersections
     from rkmh_tpu.ops.lookup import build_set_table_device as _bstd
 
     Lmax = max(lin_h.shape[1], sub_h.shape[1])
@@ -242,51 +240,55 @@ def build_tables(cfg: Hpv16Config, ks: tuple,
 
     comb_h = jnp.concatenate([_pad(lin_h, 0), _pad(sub_h, 0)])
     comb_m = jnp.concatenate([_pad(lin_keep, False), _pad(sub_keep, False)])
-    uniq_table = None
     comb_table = None
     comb_sorted = None
-    if combined:
-        # ONE table over all 182+14 "refs": rows = type hash sets then
-        # uniq-group rows, padded to a common window width.  Ref bit r is
-        # a type for r < len(type_names) and uniq group r-182 after —
-        # counts split back by column range in engine.hpv16_comb_finish.
-        Wall = max(th.shape[1], comb_h.shape[1])
+    tb.comb_hashes = tb.comb_mask = None
 
-        def _padw(a, fill):
-            return jnp.pad(a, ((0, 0), (0, Wall - a.shape[1])),
-                           constant_values=fill)
+    # ONE table over all 182+14 "refs": rows = type hash sets then
+    # uniq-group rows, padded to a common window width.  Ref bit r is
+    # a type for r < len(type_names) and uniq group r-182 after —
+    # counts split back by column range in engine.hpv16_comb_finish /
+    # mesh.ShardedHpv16Comb.
+    Wall = max(th.shape[1], comb_h.shape[1])
 
-        all_h = jnp.concatenate([_padw(th, 0), _padw(comb_h, 0)])
-        all_m = jnp.concatenate([_padw(tm, False), _padw(comb_m, False)])
-        n_all = len(type_names) + n_lin + n_sub
+    def _padw(a, fill):
+        return jnp.pad(a, ((0, 0), (0, Wall - a.shape[1])),
+                       constant_values=fill)
 
-        # memory guard: a refpath override with a much larger panel can
-        # outgrow the bucket table's HBM appetite — fall back to the
-        # ~10x-smaller sorted-key panel (ops.lookup.build_sorted_panel,
-        # probed by engine.hpv16_sorted_batch, result-identical)
-        import os as _os
+    all_h = jnp.concatenate([_padw(th, 0), _padw(comb_h, 0)])
+    all_m = jnp.concatenate([_padw(tm, False), _padw(comb_m, False)])
+    n_all = len(type_names) + n_lin + n_sub
 
-        from rkmh_tpu.ops.lookup import (
-            _count_unique_keys, build_sorted_panel, projected_table_bytes,
-        )
+    # memory guard: a refpath override with a much larger panel can
+    # outgrow the bucket table's HBM appetite — fall back to the
+    # ~10x-smaller sorted-key panel (ops.lookup.build_sorted_panel,
+    # probed by engine.hpv16_sorted_batch / mesh.ShardedHpv16Sorted,
+    # result-identical)
+    import os as _os
 
-        cap_mb = int(_os.environ.get("RKMH_TPU_SET_TABLE_MAX_MB", "2048"))
-        n_entries = int(_count_unique_keys(all_h, all_m))
-        if projected_table_bytes(n_entries, n_all) > cap_mb << 20:
-            from rkmh_tpu.utils import to_host
+    from rkmh_tpu.ops.lookup import (
+        _count_unique_keys, build_sorted_panel, projected_table_bytes,
+    )
 
-            ah, am = to_host((all_h, all_m))
-            rows = [ah[i][am[i]] for i in range(n_all)]
-            keys, masks = build_sorted_panel(rows, num_refs=n_all)
-            comb_sorted = (jnp.asarray(keys), jnp.asarray(masks))
-            log(f"hpv16 panel: projected bucket table exceeds "
-                f"RKMH_TPU_SET_TABLE_MAX_MB={cap_mb}; using the sorted-key "
-                f"panel ({keys.nbytes + masks.nbytes >> 20} MB)")
-        else:
-            comb_table = _bstd(all_h, all_m, num_refs=n_all,
-                               est_entries=n_entries)
+    cap_mb = int(_os.environ.get("RKMH_TPU_SET_TABLE_MAX_MB", "2048"))
+    n_entries = int(_count_unique_keys(all_h, all_m))
+    if projected_table_bytes(n_entries, n_all) > cap_mb << 20:
+        from rkmh_tpu.utils import to_host
+
+        ah, am = to_host((all_h, all_m))
+        rows = [ah[i][am[i]] for i in range(n_all)]
+        keys, masks = build_sorted_panel(rows, num_refs=n_all)
+        comb_sorted = (jnp.asarray(keys), jnp.asarray(masks))
+        log(f"hpv16 panel: projected bucket table exceeds "
+            f"RKMH_TPU_SET_TABLE_MAX_MB={cap_mb}; using the sorted-key "
+            f"panel ({keys.nbytes + masks.nbytes >> 20} MB)")
+    elif tp_shards >= 1:
+        # sharded/dist: the caller builds + places the tp stack from the
+        # window-hash rows (it holds the mesh — place_tp_comb_table)
+        tb.comb_hashes, tb.comb_mask = all_h, all_m
     else:
-        uniq_table = _bstd(comb_h, comb_m, num_refs=n_lin + n_sub)
+        comb_table = _bstd(all_h, all_m, num_refs=n_all,
+                           est_entries=n_entries)
 
     # the .tst side-effect file + stderr stats need the distinct values on
     # host — ONE grouped fetch (int64 fast path), then per-row np.unique
@@ -308,14 +310,53 @@ def build_tables(cfg: Hpv16Config, ks: tuple,
         log(f"\t{sn}\t{len(uniq)}")
 
     tb.type_names = type_names
-    tb.type_table = type_table
-    tb.type_hashes, tb.type_mask = th, tm  # kept for tp-sharded rebuilds
-    tb.uniq_table = uniq_table
     tb.comb_table = comb_table
     tb.comb_sorted = comb_sorted
     tb.lin_names = lin_names
     tb.sublin_names = sublin_names
     return tb
+
+
+def make_sharded_hpv16_step(mesh, tb: Hpv16Tables, ks: tuple, tp: int,
+                            counter_size: int | None, min_occ: int):
+    """The ONE sharded hpv16 step recipe — single-host ``--devices
+    [--tp]`` and multi-host ``--dist-*`` both ride it, so the
+    padding/tie-break rules can never diverge: the combined type+uniq
+    table tp-stacked by contiguous ref ranges with the split-dispatch
+    probe (mesh.ShardedHpv16Comb), or the replicated sorted panel past
+    the table budget (tb.comb_sorted -> mesh.ShardedHpv16Sorted).
+
+    Returns ``step(codes, Wc, counter_shard_or_None) -> [B, 2+U]``
+    int64 in the hpv16_batch_comb wire layout."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rkmh_tpu.parallel.mesh import (
+        ShardedHpv16Comb, ShardedHpv16Sorted, place_tp_comb_table,
+    )
+
+    num_types = len(tb.type_names)
+    num_uniq = tb.n_lin + tb.n_sub
+    repl = NamedSharding(mesh, P())
+    if tb.comb_sorted is not None:
+        keys_g = jax.device_put(tb.comb_sorted[0], repl)
+        masks_g = jax.device_put(tb.comb_sorted[1], repl)
+        probe = ShardedHpv16Sorted(
+            mesh, ks, num_types, num_uniq, counter_size, min_occ)
+
+        def step(codes, Wc, counter_shard=None):
+            return probe(codes, keys_g, masks_g, Wc, counter_shard)
+
+        return step
+
+    table_g, rps = place_tp_comb_table(
+        mesh, tb.comb_hashes, tb.comb_mask, tp)
+    probe = ShardedHpv16Comb(
+        mesh, ks, num_types, num_uniq, rps, counter_size, min_occ)
+
+    def step(codes, Wc, counter_shard=None):
+        return probe(codes, table_g, Wc, counter_shard)
+
+    return step
 
 
 def format_read_lines(tb: Hpv16Tables, ks: tuple, row_names, lens, packed):
@@ -375,8 +416,9 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
 
     # --devices decision first: with -M the counter itself shards over
     # the dp axis (parallel/ep.py), so the counting pass needs the mesh —
-    # and the table builder needs to know (single-device builds ONE
-    # combined type+uniq table; the sharded step keeps separate tables)
+    # and the table builder needs to know (single-device builds the ONE
+    # combined type+uniq table itself; the sharded step places a
+    # tp-stack of it via mesh.place_tp_comb_table)
     use_sharded = False
     mesh = None
     dp = max(cfg.devices // max(cfg.tp, 1), 1)
@@ -399,10 +441,9 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
                              dp=dp, tp=cfg.tp)
             use_sharded = True
 
-    tb = build_tables(cfg, ks, combined=not use_sharded)
+    tb = build_tables(cfg, ks, tp_shards=cfg.tp if use_sharded else 0)
     type_names, lin_names, sublin_names = (
         tb.type_names, tb.lin_names, tb.sublin_names)
-    type_table, uniq_table = tb.type_table, tb.uniq_table
     n_lin, n_sub = tb.n_lin, tb.n_sub
 
     def _pad_dp(codes, lens=None):
@@ -469,53 +510,29 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
             st.lines[ridx] = line
         st.filled += len(rows)
 
-    # --devices N: dp-shard the read batch over N local devices with the
-    # set tables replicated (they are small relative to HBM; the type
-    # panel dominates and broadcasts once) and, with -M, the depth
-    # counter dp-sharded.  Bit-identical to the single-device step
+    # --devices N: dp-shard the read batch over N local devices, with
+    # the COMBINED type+uniq table tp-sharded by contiguous ref ranges
+    # (tp=1 places the whole table once — unplaced it would re-broadcast
+    # every batch) and, with -M, the depth counter dp-sharded.  Same
+    # split-dispatch structure as single-device production
+    # (mesh.ShardedHpv16Comb); bit-identical to the single-device step
     # (__graft_entry__.dryrun_multichip asserts it).
     sharded_step = None
     if use_sharded:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        csize = cfg.counter_size if sharded_counter is not None else None
+        hstep = make_sharded_hpv16_step(
+            mesh, tb, ks, cfg.tp, csize, cfg.min_kmer_occ)
 
-        from rkmh_tpu.parallel.mesh import sharded_hpv16_fn
-
-        extra = (sharded_counter,) if sharded_counter is not None else ()
-        repl = NamedSharding(mesh, P())
-        uniq_g = jax.device_put(uniq_table, repl)
-        if cfg.tp > 1:
-            # --tp: the ~600 MB type set table shards across the tp axis
-            # (per-shard distinct counts all_gather before the argmax —
-            # bit-identical first-ref tie-break; mesh.place_tp_type_table)
-            from rkmh_tpu.parallel.mesh import place_tp_type_table
-
-            type_g, rps = place_tp_type_table(
-                mesh, tb.type_hashes, tb.type_mask, cfg.tp)
-            hstep = sharded_hpv16_fn(
-                mesh, ks, cfg.tp * rps, n_lin + n_sub,
-                counter_size=(cfg.counter_size
-                              if sharded_counter is not None else None),
-                min_occ=cfg.min_kmer_occ, type_rps=rps)
-        else:
-            # replicate the set tables on the mesh ONCE (the type table
-            # is the big one); unplaced they would re-broadcast every
-            # batch
-            type_g = jax.device_put(type_table, repl)
-            hstep = sharded_hpv16_fn(
-                mesh, ks, len(type_names), n_lin + n_sub,
-                counter_size=(cfg.counter_size
-                              if sharded_counter is not None else None),
-                min_occ=cfg.min_kmer_occ)
-
-        def sharded_step(codes):
+        def sharded_step(codes, lens):
             # pad rows are all-invalid reads; fmt_rows only walks the
             # real `rows`, so they fall off unread
             codes, _ = _pad_dp(codes)
-            return hstep(codes, type_g, uniq_g, *extra)
+            Wc = engine.hpv16_compact_width(lens, codes.shape[1], ks)
+            return hstep(codes, Wc, sharded_counter)
 
     def device_step(codes, lens):
         if sharded_step is not None:
-            return sharded_step(codes)
+            return sharded_step(codes, lens)
         # single-device: ONE combined type+uniq table, probe compacted to
         # the batch's max valid-window count (engine.hpv16_compact_width)
         Wc = engine.hpv16_compact_width(lens, codes.shape[1], ks)

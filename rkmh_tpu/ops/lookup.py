@@ -546,7 +546,7 @@ def build_set_table_device(hashes, mask, num_refs: int, est_entries: int | None 
 def build_sharded_set_tables_device(hashes, mask, tp: int):
     """[R, W] window hashes/mask -> ([tp, NB, width] stacked set tables,
     refs_per_shard) for tensor-parallel set-intersection queries
-    (parallel.mesh.sharded_hpv16_fn with type_rps).
+    (parallel.mesh.ShardedHpv16Comb via place_tp_comb_table).
 
     Rows split into tp contiguous groups (R % tp == 0 — pad upstream
     with all-masked rows; pads at the END keep the first-reference

@@ -258,102 +258,240 @@ def sharded_filter_depth_table_fn(mesh: Mesh, ks: tuple, sketch_size: int,
     )
 
 
-def sharded_hpv16_fn(mesh: Mesh, ks: tuple, num_types: int, num_uniq: int,
-                     counter_size: int | None = None, min_occ: int = 0,
-                     type_rps: int | None = None):
-    """SPMD hpv16 read step: dp-sharded reads x set tables (type panel +
-    lineage/sublineage unique-kmer panel).  Matches engine.hpv16_batch
-    bit for bit.
+class ShardedHpv16Comb:
+    """SPMD hpv16 step over the round-4 COMBINED-mask set table, with
+    the same split-dispatch structure as single-device production
+    (engine.hpv16_batch_comb) — resolving the round-4 caveat that the
+    sharded paths kept the superseded separate-tables layout (measured
+    2.0x slower: fused separate tables 33.38 ms vs combined split
+    16.56 ms per 200-read batch, docs/ROOFLINE.md round-4 table).
 
-    * Default: both tables replicated — reads are embarrassingly
-      parallel, no hot-loop collective (the tables broadcast once).
-    * type_rps set: the type table arrives tp-STACKED
-      ([tp, NB, width], lookup.build_sharded_set_tables_device) — the
-      ~600 MB PAVE panel shards across chips and the per-shard distinct
-      counts merge with a tiled all_gather before the argmax, so the
-      first-reference tie-break stays exact (num_types is then the
-      PADDED count tp*type_rps; pads sit at the end with zero counts,
-      which argmax can never prefer).
-    * counter_size set (-M): the counter shard (last input, dp-sharded,
-      parallel/ep.py) masks read hashes below min_occ depth
-      (mask_by_frequency, rkmh.cpp:2663) before the set intersections.
+    One bucket table spans types + uniq groups (mask bit r = type r for
+    r < num_types, uniq group r-num_types after), tp-sharded by
+    CONTIGUOUS REF RANGES: shard i's table covers refs
+    [i*rps, (i+1)*rps) with its own ceil(rps/32)-word masks
+    (lookup.build_sharded_set_tables_device forces one geometry across
+    shards).  Padded refs sit at the very end, BEYOND
+    num_types+num_uniq, so after the tiled all_gather the argmax never
+    even sees them — the first-reference tie-break
+    (rkmh.cpp:2669-2678) is exact by construction.
 
-    Perf note (round 3): the single-device step runs SPLIT-dispatch
-    (engine.hpv16_batch_split — the bare table-shard row gather in its
-    own dispatch measured 1.4x the fused form on chip; ROUND3.md).
-    This sharded step stays single-dispatch: the same split (three
-    jitted shard_maps: stage1 / per-shard gather / finish+all_gather)
-    is mechanical, but its win can't be measured on 1 real chip and the
-    virtual CPU mesh says nothing about the TPU gather engine — apply
-    and measure it when multi-chip hardware exists.
+    Three dispatches per batch, mirroring the single-device split
+    (the bare row gather as its own kCustom fusion measured 1.5x the
+    fused form on the 604 MB table, ROUND3.md):
+
+    1. ``stage1``  [shard_map]: hash -> (-M depth mask via the
+       dp-sharded counter, parallel/ep.py) -> full row sort -> compact
+       to Wc -> occ ranks / query mask / bucket indices.  Everything
+       P("dp", ...): replicated over tp, no collective.
+    2. ``gather``  [shard_map]: the bare per-shard row gather
+       table[bidx] — out_spec P("dp", None, "tp") lays shard rows side
+       by side on the lane axis, so no data moves between dispatches.
+    3. ``finish``  [shard_map]: compare tail -> per-shard counts
+       [B/dp, rps] -> tiled all_gather over tp -> tc/uc split by column
+       range -> argmax -> the [B, 2+U] int64 wire of hpv16_batch_comb.
+
+    Jitted fns are cached per (num_buckets, Wc) — Wc is the compact
+    probe width (engine.hpv16_compact_width), grid-rounded by callers
+    to bound recompiles; multi-host drains pass the full width W
+    because Wc must be identical on every rank for the collective
+    programs to agree, and rank-local batch lens differ.
     """
-    from rkmh_tpu.ops.lookup import lookup_intersection_counts
-    import jax.numpy as jnp
 
-    if counter_size is not None:
-        from rkmh_tpu.ops.sketch import mask_by_frequency
+    def __init__(self, mesh: Mesh, ks: tuple, num_types: int,
+                 num_uniq: int, rps: int,
+                 counter_size: int | None = None, min_occ: int = 0):
+        self.mesh = mesh
+        self.ks = tuple(ks)
+        self.num_types = num_types
+        self.num_uniq = num_uniq
+        self.rps = rps
+        self.counter_size = counter_size
+        self.min_occ = min_occ
+        self._cache = {}
+        if counter_size is not None:
+            ndev = mesh.shape["dp"]
+            if counter_size % ndev:
+                raise ValueError(
+                    f"counter size {counter_size} not divisible by dp {ndev}")
+            self._shard_size = counter_size // ndev
+
+    def _fns(self, nb: int, Wc: int):
+        key = (nb, Wc)
+        fns = self._cache.get(key)
+        if fns is not None:
+            return fns
+        import jax.numpy as jnp
+
+        from rkmh_tpu.ops.intersect import occ_ranks
+        from rkmh_tpu.ops.lookup import bucket_indices, counts_from_rows
+        from rkmh_tpu.ops.sketch import SENTINEL, mask_by_frequency
         from rkmh_tpu.parallel.ep import counter_get_local
 
-        ndev = mesh.shape["dp"]
-        if counter_size % ndev:
-            raise ValueError(
-                f"counter size {counter_size} not divisible by dp {ndev}")
-        shard_size = counter_size // ndev
+        mesh, ks = self.mesh, self.ks
+        counter_size, min_occ = self.counter_size, self.min_occ
+        shard_size = getattr(self, "_shard_size", None)
 
-    def local_step(codes, type_table, uniq_table, *extra):
-        hashes = multi_k_window_hashes(codes, list(ks))
+        def stage1_local(codes, *extra):
+            hashes = multi_k_window_hashes(codes, list(ks))
+            if counter_size is not None:
+                depths = counter_get_local(
+                    extra[0], hashes, counter_size, shard_size)
+                hashes = mask_by_frequency(hashes, depths, min_occ)
+            full, lens = bottom_s_sketch(hashes, hashes.shape[-1])
+            full = full[:, :Wc]  # sorted rows: valid prefix <= Wc
+            occ = occ_ranks(full).astype(jnp.uint32)
+            qmask = (
+                jnp.arange(Wc, dtype=jnp.int32)[None, :] < lens[:, None]
+            ) & (full != SENTINEL)
+            lo = full.astype(jnp.uint32)
+            hi = (full >> np.uint64(32)).astype(jnp.uint32)
+            return lo, hi, occ, qmask, bucket_indices(lo, hi, occ, nb)
+
+        in1 = (P("dp", None),)
         if counter_size is not None:
-            depths = counter_get_local(
-                extra[0], hashes, counter_size, shard_size)
-            hashes = mask_by_frequency(hashes, depths, min_occ)
-        full, lens = bottom_s_sketch(hashes, hashes.shape[-1])
-        if type_rps is not None:
-            tc = lookup_intersection_counts(
-                full, lens, (type_table[0],), type_rps)  # [B/dp, T/tp]
-            tc = jax.lax.all_gather(tc, "tp", axis=1, tiled=True)
-        else:
-            tc = lookup_intersection_counts(
-                full, lens, (type_table,), num_types)
-        uc = lookup_intersection_counts(full, lens, (uniq_table,), num_uniq)
-        best = jnp.argmax(tc, axis=-1)
-        max_shared = jnp.max(tc, axis=-1)
-        return jnp.concatenate(
-            [best.astype(jnp.int64)[:, None],
-             max_shared.astype(jnp.int64)[:, None],
-             uc.astype(jnp.int64)],
-            axis=1,
-        )
+            in1 = in1 + (P("dp"),)
+        stage1 = jax.jit(jax.shard_map(
+            stage1_local, mesh=mesh, in_specs=in1,
+            out_specs=(P("dp", None),) * 5, check_vma=False))
 
-    type_spec = (P("tp", None, None) if type_rps is not None
-                 else P(None, None))
-    in_specs = (P("dp", None), type_spec, P(None, None))
-    if counter_size is not None:
-        in_specs = in_specs + (P("dp"),)
-    fn = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=in_specs,
-        out_specs=P("dp", None),
-        check_vma=False,
-    )
-    return jax.jit(fn)
+        def gather_local(table, bidx):
+            return table[0][bidx]  # bare gather: own kCustom fusion
+
+        gather = jax.jit(jax.shard_map(
+            gather_local, mesh=mesh,
+            in_specs=(P("tp", None, None), P("dp", None)),
+            out_specs=P("dp", None, "tp"), check_vma=False))
+
+        rps = self.rps
+        num_types, num_uniq = self.num_types, self.num_uniq
+
+        def finish_local(rows, lo, hi, occ, qmask):
+            counts = counts_from_rows(rows, lo, hi, occ, qmask, rps)
+            counts = jax.lax.all_gather(
+                counts, "tp", axis=1, tiled=True)  # [B/dp, tp*rps]
+            tc = counts[:, :num_types]
+            uc = counts[:, num_types:num_types + num_uniq]
+            best = jnp.argmax(tc, axis=-1)
+            max_shared = jnp.max(tc, axis=-1)
+            return jnp.concatenate(
+                [best.astype(jnp.int64)[:, None],
+                 max_shared.astype(jnp.int64)[:, None],
+                 uc.astype(jnp.int64)],
+                axis=1,
+            )
+
+        finish = jax.jit(jax.shard_map(
+            finish_local, mesh=mesh,
+            in_specs=(P("dp", None, "tp"),) + (P("dp", None),) * 4,
+            out_specs=P("dp", None), check_vma=False))
+        fns = (stage1, gather, finish)
+        self._cache[key] = fns
+        return fns
+
+    def __call__(self, codes, table_stack, Wc: int, counter_shard=None):
+        stage1, gather, finish = self._fns(int(table_stack.shape[1]), Wc)
+        extra = (counter_shard,) if counter_shard is not None else ()
+        lo, hi, occ, qmask, bidx = stage1(codes, *extra)
+        rows = gather(table_stack, bidx)
+        return finish(rows, lo, hi, occ, qmask)
 
 
-def place_tp_type_table(mesh: Mesh, type_hashes, type_mask, tp: int):
-    """Shard the hpv16 type set table over the mesh's tp axis (the one
-    recipe for single-host `--devices --tp` AND `--dist-* --tp`): pad
-    refs to a tp multiple with all-masked rows, build one
-    forced-geometry set table per shard
+class ShardedHpv16Sorted:
+    """dp-sharded hpv16 step over the SORTED-KEY combined panel — the
+    over-budget fallback (RKMH_TPU_SET_TABLE_MAX_MB): the ~10x-smaller
+    (keys, masks) pair replicates on the mesh and every tp column
+    computes the identical counts (no per-shard table exists to split).
+    Result-identical to engine.hpv16_sorted_batch."""
+
+    def __init__(self, mesh: Mesh, ks: tuple, num_types: int,
+                 num_uniq: int,
+                 counter_size: int | None = None, min_occ: int = 0):
+        self.mesh = mesh
+        self.ks = tuple(ks)
+        self.num_types = num_types
+        self.num_uniq = num_uniq
+        self.counter_size = counter_size
+        self.min_occ = min_occ
+        self._cache = {}
+        if counter_size is not None:
+            ndev = mesh.shape["dp"]
+            if counter_size % ndev:
+                raise ValueError(
+                    f"counter size {counter_size} not divisible by dp {ndev}")
+            self._shard_size = counter_size // ndev
+
+    def _fn(self, Wc: int):
+        fn = self._cache.get(Wc)
+        if fn is not None:
+            return fn
+        import jax.numpy as jnp
+
+        from rkmh_tpu.ops.intersect import occ_ranks
+        from rkmh_tpu.ops.lookup import sorted_panel_counts_masked
+        from rkmh_tpu.ops.sketch import SENTINEL, mask_by_frequency
+        from rkmh_tpu.parallel.ep import counter_get_local
+
+        mesh, ks = self.mesh, self.ks
+        counter_size, min_occ = self.counter_size, self.min_occ
+        shard_size = getattr(self, "_shard_size", None)
+        num_types, num_uniq = self.num_types, self.num_uniq
+
+        def local(codes, keys, masks, *extra):
+            hashes = multi_k_window_hashes(codes, list(ks))
+            if counter_size is not None:
+                depths = counter_get_local(
+                    extra[0], hashes, counter_size, shard_size)
+                hashes = mask_by_frequency(hashes, depths, min_occ)
+            full, lens = bottom_s_sketch(hashes, hashes.shape[-1])
+            full = full[:, :Wc]
+            occ = occ_ranks(full)
+            qmask = (
+                (jnp.arange(Wc, dtype=jnp.int32)[None, :] < lens[:, None])
+                & (full != SENTINEL)
+                & (occ == 0)  # set semantics: first occurrence only
+            )
+            counts = sorted_panel_counts_masked(
+                full, qmask, keys, masks, num_types + num_uniq)
+            tc = counts[:, :num_types]
+            uc = counts[:, num_types:]
+            best = jnp.argmax(tc, axis=-1)
+            max_shared = jnp.max(tc, axis=-1)
+            return jnp.concatenate(
+                [best.astype(jnp.int64)[:, None],
+                 max_shared.astype(jnp.int64)[:, None],
+                 uc.astype(jnp.int64)],
+                axis=1,
+            )
+
+        in_specs = (P("dp", None), P(None), P(None, None))
+        if counter_size is not None:
+            in_specs = in_specs + (P("dp"),)
+        fn = jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=in_specs,
+            out_specs=P("dp", None), check_vma=False))
+        self._cache[Wc] = fn
+        return fn
+
+    def __call__(self, codes, keys, masks, Wc: int, counter_shard=None):
+        extra = (counter_shard,) if counter_shard is not None else ()
+        return self._fn(Wc)(codes, keys, masks, *extra)
+
+
+def place_tp_comb_table(mesh: Mesh, comb_hashes, comb_mask, tp: int):
+    """Build + place the tp-sharded COMBINED hpv16 set table (the one
+    recipe for single-host ``--devices [--tp]`` AND ``--dist-*``): pad
+    the type+uniq window-hash rows to a tp multiple with all-masked
+    rows, build one forced-geometry set table per contiguous ref range
     (lookup.build_sharded_set_tables_device) and place the stack
-    P("tp", None, None).  Returns (placed table, refs_per_shard); the
-    padded type count is tp*rps — pads sit at the END with zero counts,
-    which argmax can never prefer, so the first-reference tie-break
-    stays exact after the tiled all_gather (sharded_hpv16_fn)."""
+    P("tp", None, None).  Returns (placed stack, refs_per_shard).
+    Pads sit at the END, beyond every real type/uniq column, so
+    ShardedHpv16Comb's column split never sees them."""
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
     from rkmh_tpu.ops.lookup import build_sharded_set_tables_device
 
-    th, tm = type_hashes, type_mask
+    th, tm = comb_hashes, comb_mask
     pad_r = (-th.shape[0]) % tp
     if pad_r:
         th = jnp.concatenate(
