@@ -21,6 +21,13 @@ if command -v vw >/dev/null && ls "$modeldir"/*.model >/dev/null 2>&1
 then VW=vw; MODEL_EXT=model
 else VW=rkmh-tpu-wabbit; MODEL_EXT=npz; fi   # built-in jax fallback
 
+# The reference's own 4 shipped vw-8.3.1 binary blobs (if mounted) are
+# applied too: rkmh-tpu-wabbit reads the vw binary format natively
+# (rkmh_tpu/ml/vw_model.py), fed the wabbitized per-read sketch vectors
+# their pipeline used (reference model_docker/run_models.sh:3-10 pipes
+# `hash -w`-style vectors through vw -i blob -p).
+refblobdir=${4:-/root/reference/model_docker}
+
 work=$(mktemp -d)
 trap 'rm -rf "$work"' EXIT
 
@@ -39,3 +46,23 @@ for model in coinf_binary coinf_interactions lineage_ect sublineage_ect; do
         echo "== $model == (no $model.$MODEL_EXT in $modeldir; train with scripts/train_models.py)" >&2
     fi
 done
+
+if ls "$refblobdir"/*.model >/dev/null 2>&1; then
+    rkmh-tpu hash -w -k 18 -s 4000 -f "$reads" > "$work/sample.wab"
+    for blob in "$refblobdir"/*.model; do
+        rkmh-tpu-wabbit -i "$blob" -t -p "$work/blob.pred" \
+            "$work/sample.wab" 2>/dev/null
+        echo "== $(basename "$blob") =="
+        # per-read predictions: report the majority/mean per sample
+        python3 - "$work/blob.pred" "$(basename "$reads")" <<'PY'
+import sys
+vals = [float(l.split()[0]) for l in open(sys.argv[1]) if l.strip()]
+from collections import Counter
+ints = all(v == int(v) for v in vals)
+if ints and vals and max(vals) <= 16:   # class ids: majority vote
+    print(Counter(int(v) for v in vals).most_common(1)[0][0], sys.argv[2])
+else:                                   # margins: mean
+    print(f"{sum(vals)/max(len(vals),1):.6f}", sys.argv[2])
+PY
+    done
+fi

@@ -19,11 +19,14 @@ train -> apply -> conf_mat runs anywhere the framework runs:
 * output: one prediction per input line (raw margin / class id), the
   format conf_mat.py / interpret_wabbit consume.
 
-Deliberate differences from vw (documented, not bugs): model files are
-npz (not vw's binary format — the shipped .model blobs need the real
-binary), and the online-learning schedule is replaced by full-batch
-adam, so learned weights differ while the interface and separability
-behavior match.
+Deliberate differences from vw (documented, not bugs): NEW models are
+saved as npz, and the online-learning schedule is replaced by
+full-batch adam, so learned weights differ while the interface and
+separability behavior match.  vw's own binary ``.model`` files — the
+reference's 4 shipped model_docker blobs included — are READ natively
+(ml/vw_model.py parses the 8.3.1 regressor format and applies vw's own
+feature hashing), so ``-i blob.model -t -p out`` works without a vw
+binary.
 """
 
 from __future__ import annotations
@@ -295,6 +298,38 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         return 1
 
     if args.in_model:
+        from rkmh_tpu.ml.vw_model import is_vw_model
+
+        if is_vw_model(args.in_model):
+            # a REAL vw binary model (e.g. the reference's 4 shipped
+            # model_docker blobs): vw-native hashing + predict
+            # (ml/vw_model.py); apply-only — training continues a model
+            # vw-side, which this stand-in does not do
+            from rkmh_tpu.ml.vw_model import load_vw_model, predict_examples
+
+            if args.out_model:
+                print("vw binary models are apply-only here (pass -t -p; "
+                      "train new models to npz instead)", file=sys.stderr)
+                return 1
+            model = load_vw_model(args.in_model)
+            preds_out = (stdout if args.predictions in ("-", "/dev/stdout")
+                         else open(args.predictions, "w")
+                         if args.predictions else None)
+            if preds_out is None:
+                print("vw binary model loaded; nothing to do without -p",
+                      file=sys.stderr)
+                return 0
+            try:
+                for v in predict_examples(model, examples,
+                                          binary=args.binary):
+                    if model.kind == "ect":
+                        preds_out.write(f"{int(v)}\n")
+                    else:
+                        preds_out.write(f"{v:.6f}\n")
+            finally:
+                if preds_out is not stdout:
+                    preds_out.close()
+            return 0
         kind, weights, bits, interactions, ignore = load_model(args.in_model)
     else:
         kind = "ect" if args.ect else "binary"

@@ -85,6 +85,150 @@ def _predict(model, vw_text):
     return [float(l.split()[0]) for l in out.getvalue().splitlines() if l]
 
 
+REF_BLOBS = "/root/reference/model_docker"
+_BLOBS = {
+    "coinf_binary": "hpv16.k18.s4000.coinf.binary.model",
+    "coinf_interactions": "hpv16.k18.s4000.coinf.interactions.binary.model",
+    "lineage_ect": "hpv.k18.s4000.lineage.ect.model",
+    "sublineage_ect": "hpv16.k18.s4000.sublineage.ect.model",
+}
+
+_needs_blobs = pytest.mark.skipif(
+    not os.path.isdir(REF_BLOBS), reason="reference model blobs not mounted")
+
+
+def test_murmur32_golden_vectors():
+    """Public MurmurHash3_x86_32 test vectors (the hash vw uses for
+    namespaces and non-numeric feature names)."""
+    from rkmh_tpu.ml.vw_model import murmur3_x86_32
+
+    assert murmur3_x86_32(b"", 0) == 0
+    assert murmur3_x86_32(b"", 1) == 0x514E28B7
+    assert murmur3_x86_32(b"hello", 0) == 0x248BFA47
+    assert murmur3_x86_32(b"hello, world", 0) == 0x149BBB7F
+    assert murmur3_x86_32(
+        b"The quick brown fox jumps over the lazy dog", 0x9747B28C
+    ) == 0x2FA826CD
+
+
+@_needs_blobs
+def test_vw_blob_headers_and_layout():
+    """All 4 reference blobs parse: 8.3.1 headers, 18-bit space, the
+    expected reduction kind/wpp, and the structural fingerprints of the
+    interleaved slot layout (ect4 leaves residue 3 (mod 4) empty; the
+    vv-interactions model is exactly the dense 0..2^18-1 sequence)."""
+    from rkmh_tpu.ml.vw_model import is_vw_model, load_vw_model
+
+    want = {
+        "coinf_binary": ("binary", 0, 1, []),
+        "coinf_interactions": ("binary", 0, 1, ["vv"]),
+        "lineage_ect": ("ect", 4, 4, []),
+        "sublineage_ect": ("ect", 9, 8, []),
+    }
+    for key, fname in _BLOBS.items():
+        path = os.path.join(REF_BLOBS, fname)
+        assert is_vw_model(path), fname
+        m = load_vw_model(path)
+        kind, k, wpp, inter = want[key]
+        assert (m.version, m.bits) == ("8.3.1", 18), fname
+        assert (m.kind, m.ect_k, m.wpp, m.interactions) == \
+            (kind, k, wpp, inter), fname
+        nz = np.nonzero(m.weights)[0]
+        if key == "coinf_interactions":
+            assert len(nz) == 1 << 18  # dense: every slot nonzero
+        if key == "lineage_ect":
+            # 3 problems interleaved at wpp=4: residue 3 must be empty
+            assert not np.any(nz % 4 == 3)
+    # and an npz model must NOT sniff as a vw blob
+    assert not is_vw_model(os.path.join(MODELDIR, "coinf_binary.npz"))
+
+
+@_needs_blobs
+def test_vw_constant_slot_nonzero_validates_hashing():
+    """vw always updates the constant feature, so slot
+    (11650396 * wpp + p) mod 2^18 must be nonzero in EVERY blob at EVERY
+    problem offset — 8 independent ~0.2-0.5-probability events under a
+    wrong constant/layout, so jointly this pins both the constant index
+    and the interleaved slot formula."""
+    from rkmh_tpu.ml.vw_model import CONSTANT_FEATURE, load_vw_model
+
+    for fname in _BLOBS.values():
+        m = load_vw_model(os.path.join(REF_BLOBS, fname))
+        mask = (1 << m.bits) - 1
+        for p in range(m.num_problems):
+            slot = (CONSTANT_FEATURE * m.wpp + p) & mask
+            assert m.weights[slot] != 0, (fname, p)
+
+
+@_needs_blobs
+def test_vw_blob_predictions_and_npz_agreement(tmp_path, refs):
+    """The 4 shipped reference blobs drive predictions end to end (the
+    run_models.sh:3-10 pipeline: per-read k=18 s=4000 wabbit vectors ->
+    vw model), deterministically and in range; agreement with the
+    npz-trained models on the same samples is recorded as a confusion
+    summary.  (The blobs' nonzero features are dominated by
+    sample-specific sequencing-error k-mers of the reference's own
+    unpublished minION runs — measured chance-level feature overlap
+    with the bundled data, PARITY.md — so label agreement is reported,
+    not asserted.)"""
+    import io as _io
+
+    from rkmh_tpu.commands.hash_cmd import HashConfig
+    from rkmh_tpu.commands.hash_cmd import run as hash_run
+    from rkmh_tpu.ml.wabbit import main as wabbit
+
+    rng = np.random.default_rng(5)
+    fq = tmp_path / "b1.fq"
+    with open(fq, "w") as fh:
+        for i, s in enumerate(_simulate(refs["B1"], 40, rng)):
+            fh.write(f"@r{i}\n{s.decode()}\n+\n{'I' * len(s)}\n")
+    wab = _io.StringIO()
+    assert hash_run(HashConfig(read_files=[str(fq)], ks=(18,),
+                               sketch_size=4000, wabbitize=True),
+                    out=wab) == 0
+    wab_text = wab.getvalue()
+    assert len(wab_text.splitlines()) == 40
+
+    blob_preds = {}
+    for key, fname in _BLOBS.items():
+        out = _io.StringIO()
+        rc = wabbit(argv=["-", "-i", os.path.join(REF_BLOBS, fname),
+                          "-t", "-p", "/dev/stdout"],
+                    stdin=_io.StringIO(wab_text), stdout=out)
+        assert rc == 0, key
+        vals = [float(l.split()[0]) for l in out.getvalue().splitlines()]
+        assert len(vals) == 40, key
+        if key.endswith("_ect"):
+            k = {"lineage_ect": 4, "sublineage_ect": 9}[key]
+            assert all(v == int(v) and 1 <= v <= k for v in vals), key
+        else:
+            assert all(np.isfinite(v) for v in vals), key
+        # deterministic re-run
+        out2 = _io.StringIO()
+        assert wabbit(argv=["-", "-i", os.path.join(REF_BLOBS, fname),
+                            "-t", "-p", "/dev/stdout"],
+                      stdin=_io.StringIO(wab_text), stdout=out2) == 0
+        assert out2.getvalue() == out.getvalue(), key
+        blob_preds[key] = vals
+
+    # sample-level agreement record vs the npz models (count-feature
+    # pipeline) on the same sample
+    sample_vw = _sample_vw(tmp_path, "b1agree", _simulate(refs["B1"], 60, rng))
+    agree = {}
+    for key in _BLOBS:
+        npz_pred = _predict(f"{key}.npz", sample_vw)[0]
+        vals = blob_preds[key]
+        if key.endswith("_ect"):
+            from collections import Counter
+
+            blob_label = Counter(int(v) for v in vals).most_common(1)[0][0]
+        else:
+            blob_label = 1 if np.mean(vals) > 0 else -1
+            npz_pred = 1 if npz_pred > 0 else -1
+        agree[key] = (blob_label, npz_pred, blob_label == npz_pred)
+    sys.stderr.write(f"blob-vs-npz agreement (label, npz, match): {agree}\n")
+
+
 def test_models_exist():
     for m in ("coinf_binary", "coinf_interactions", "lineage_ect",
               "sublineage_ect"):
