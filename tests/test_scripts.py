@@ -1,5 +1,7 @@
 """Post-processing script suite (rkmh_tpu.scripts) — unit + e2e."""
 
+import argparse
+import os
 import io
 import json
 
@@ -260,3 +262,33 @@ def test_e2e_hpv16_to_sample_score(tmp_path, monkeypatch):
     # 25 reads -> low-count warnings, and some lineage got votes
     assert fields[3].startswith("WARN:low_lineage_counts:")
     assert ":" in fields[0]
+
+
+def test_cwl_generator_matches_checked_in_tools():
+    """cwl/make_tool.py is the Rmd-equivalent tool-object generator
+    (reference cwl/rkmh.Rmd builds its CWL JSON programmatically); the
+    checked-in tool files must be exactly its output."""
+    import importlib.util
+    import json as _json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "cwl_make_tool", os.path.join(repo, "cwl", "make_tool.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cmds = sorted(c for c in mod.TOOLS if c != "stream")
+    assert cmds == ["call", "classify", "count", "filter", "hash",
+                    "hpv16", "search"]
+    for cmd in cmds:
+        path = os.path.join(repo, "cwl", f"rkmh_tpu_{cmd}.json")
+        with open(path) as fh:
+            assert _json.load(fh) == mod.make_tool(cmd), cmd
+    # every wrapped base command must exist on the real CLI surface
+    from rkmh_tpu.cli import build_parser
+
+    parser = build_parser()
+    (sub,) = [a for a in parser._actions
+              if isinstance(a, argparse._SubParsersAction)]
+    for cmd in cmds:
+        base = mod.TOOLS[cmd]["base"]
+        assert base[0] == "rkmh-tpu" and base[1] in sub.choices, cmd
