@@ -13,6 +13,7 @@ on the *science*: the proportions themselves must come out right.
 import io
 import os
 import subprocess
+import pytest
 import sys
 
 import numpy as np
@@ -92,6 +93,44 @@ def test_simulated_mix_quantification_within_reference_tolerances(
     # composition error across all 10 sublineage bins, summed |est-truth|:
     # noise-free reads should land well inside the detection tolerances
     assert float(np.mean(total_errs)) < 0.25, total_errs
+
+
+@pytest.mark.slow
+def test_ten_mix_sweep_continuously_verified(tmp_path, monkeypatch):
+    """The ROUND4-recorded 10-mix sweep (seed 4), promoted from a
+    one-time prose record into CI: 10 random 2-strain mixes must ALL
+    pass the reference detection tolerances, with the summed
+    composition error in the recorded envelope (round-4 measured mean
+    0.057, max 0.167)."""
+    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
+    from rkmh_tpu.scripts import score_test_data
+    from rkmh_tpu.scripts.make_mix import main as make_mix_main
+
+    table = _simulate_strain_reads(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    assert make_mix_main(argv=["--random", str(table), "-n", "10",
+                               "-l", "20", "--seed", "4"]) == 0
+    mixes = sorted(p for p in os.listdir(tmp_path) if p.endswith("_.fq"))
+    assert len(mixes) == 10
+
+    total_errs = []
+    for mix in mixes:
+        cls = tmp_path / "cls" / mix
+        os.makedirs(cls.parent, exist_ok=True)
+        buf = io.StringIO()
+        assert run(Hpv16Config(read_files=[mix], refpath=DATA, ks=(16,),
+                               tst_file=False), out=buf) == 0
+        with open(cls, "w") as fh:
+            fh.write(buf.getvalue())
+        sbuf = io.StringIO()
+        assert score_test_data.main([str(cls)], stdout=sbuf) == 0
+        toks = sbuf.getvalue().split()
+        assert toks[0] == "True", (mix, sbuf.getvalue())   # correct primary
+        assert toks[3] == "True", (mix, sbuf.getvalue())   # primary detected
+        assert toks[4] == "True", (mix, sbuf.getvalue())   # secondary detected
+        total_errs.append(float(toks[8]))
+    assert float(np.mean(total_errs)) < 0.12, total_errs
+    assert float(np.max(total_errs)) < 0.30, total_errs
 
 
 def test_quant_loop_cli_surface(tmp_path):
