@@ -26,36 +26,71 @@ STRIDE = 7  # ~1070 simulated reads per ~7.9kb genome — enough to
             # sample the largest mixes below without replacement
 
 
-def _simulate_strain_reads(tmp_path):
+def _simulate_strain_reads(tmp_path, noise: float = 0.0, seed: int = 99):
     """Cut each of the 10 sublineage genomes (new_refs.fa, keys A1..D3)
-    into READ_LEN windows — noise-free by design.  Measured while
-    building this suite: under i.i.d. substitution noise the >0.01 vote
-    threshold saturates 2-strain estimates toward 50/50 (errors at SNP
-    sites convert strain-A k-mers into strain-B's *unique* alleles, so
-    every read soon votes for both strains — at 5% noise a 95/5 C1/D2
-    mix scored total |est-truth| 0.90).  That is a property of the
-    vote-count estimator itself, shared with the reference's identical
-    per-read voting (rkmh.cpp:2656-2718), so the tolerance claim is
-    pinned where the estimator holds: clean reads (ROUND4.md §3)."""
+    into READ_LEN windows, optionally with i.i.d. substitution noise.
+
+    Measured collapse curve of the vote-count estimator (3 seed-11
+    mixes per level, noise seed 99 — the round-5 sweep, recorded in
+    PARITY.md): detections 3/3 at every level through 2%, mean summed
+    |est-truth| 0.073 (clean) -> 0.085 (0.1%) -> 0.087 (0.3%) -> 0.081
+    (0.5%) -> 0.104 (1%) -> 0.118 (2%); the 50/50 saturation documented
+    in round 4 (errors at SNP sites convert strain-A k-mers into
+    strain-B's *unique* alleles until every read votes for both) needs
+    ~5% noise to break the tolerances (a 95/5 C1/D2 mix scored 0.90
+    there).  The reference's per-read voting is identical
+    (rkmh.cpp:2656-2718), and its published accuracy is on real minION
+    reads — the 0.3-1% regime asserted below is the realistic-noise
+    claim, the 5% collapse the algorithm's boundary."""
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
     table = tmp_path / "strains.tsv"
     with open(table, "w") as tfh:
         for rec in read_fastx(f"{DATA}/new_refs.fa"):
             strain = rec.name[:2]
             p = tmp_path / f"{strain}.reads.fq"
             with open(p, "w") as fh:
-                g = rec.seq.decode()
+                g = np.frombuffer(rec.seq, np.uint8)
                 for j, start in enumerate(
                         range(0, len(g) - READ_LEN + 1, STRIDE)):
-                    seq = g[start : start + READ_LEN]
+                    r = g[start : start + READ_LEN]
+                    if noise:
+                        r = r.copy()
+                        ne = rng.binomial(len(r), noise)
+                        if ne:
+                            pos = rng.choice(len(r), size=ne, replace=False)
+                            r[pos] = bases[rng.integers(0, 4, size=ne)]
+                    seq = r.tobytes().decode()
                     fh.write(f"@{strain}_{j}\n{seq}\n+\n{'I' * len(seq)}\n")
             tfh.write(f"{strain}\t{p}\n")
     return table
 
 
-def test_simulated_mix_quantification_within_reference_tolerances(
-        tmp_path, monkeypatch):
+def _score_mixes(tmp_path, mixes):
+    """hpv16-classify + score each mix; returns the per-mix
+    (correct_primary, primary_det, secondary_det, total_err) tuples."""
     from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
     from rkmh_tpu.scripts import score_test_data
+
+    rows = []
+    for mix in mixes:
+        cls = tmp_path / "cls" / mix
+        os.makedirs(cls.parent, exist_ok=True)
+        buf = io.StringIO()
+        assert run(Hpv16Config(read_files=[mix], refpath=DATA, ks=(16,),
+                               tst_file=False), out=buf) == 0
+        with open(cls, "w") as fh:
+            fh.write(buf.getvalue())
+        sbuf = io.StringIO()
+        assert score_test_data.main([str(cls)], stdout=sbuf) == 0
+        toks = sbuf.getvalue().split()
+        rows.append((toks[0] == "True", toks[3] == "True",
+                     toks[4] == "True", float(toks[8]), sbuf.getvalue()))
+    return rows
+
+
+def test_simulated_mix_quantification_within_reference_tolerances(
+        tmp_path, monkeypatch):
     from rkmh_tpu.scripts.make_mix import main as make_mix_main
 
     table = _simulate_strain_reads(tmp_path)
@@ -69,30 +104,41 @@ def test_simulated_mix_quantification_within_reference_tolerances(
     mixes = sorted(p for p in os.listdir(tmp_path) if p.endswith("_.fq"))
     assert len(mixes) == 3
 
-    total_errs = []
-    for mix in mixes:
-        cls = tmp_path / "cls" / mix  # scorer reads truth from the name
-        os.makedirs(cls.parent, exist_ok=True)
-        buf = io.StringIO()
-        assert run(Hpv16Config(read_files=[mix], refpath=DATA, ks=(16,),
-                               tst_file=False), out=buf) == 0
-        with open(cls, "w") as fh:
-            fh.write(buf.getvalue())
-
-        sbuf = io.StringIO()
-        assert score_test_data.main([str(cls)], stdout=sbuf) == 0
-        toks = sbuf.getvalue().split()
-        correct_primary, _corr_sec, _flip, primary_det, secondary_det = [
-            t == "True" for t in toks[:5]]
-        total_err = float(toks[8])
-        assert correct_primary, (mix, sbuf.getvalue())
-        assert primary_det, (mix, sbuf.getvalue())      # >5% and ±10% abs
-        assert secondary_det, (mix, sbuf.getvalue())    # ±10% abs
-        total_errs.append(total_err)
+    rows = _score_mixes(tmp_path, mixes)
+    for mix, (cp, pd, sd, err, raw) in zip(mixes, rows):
+        assert cp, (mix, raw)
+        assert pd, (mix, raw)      # >5% and ±10% abs
+        assert sd, (mix, raw)      # ±10% abs
 
     # composition error across all 10 sublineage bins, summed |est-truth|:
     # noise-free reads should land well inside the detection tolerances
+    total_errs = [r[3] for r in rows]
     assert float(np.mean(total_errs)) < 0.25, total_errs
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("noise", [0.003, 0.01])
+def test_quant_tolerances_hold_under_substitution_noise(
+        tmp_path, monkeypatch, noise):
+    """VERDICT r4 item 5: the reference's published accuracy is on real
+    (noisy) minION reads, so 'clean reads only' was a weaker claim.
+    Assert the passing regime measured in the round-5 sweep: at 0.3%
+    and 1% i.i.d. substitution noise every detection tolerance still
+    holds and the summed composition error stays in its measured
+    envelope (0.087 / 0.104 means; see _simulate_strain_reads)."""
+    from rkmh_tpu.scripts.make_mix import main as make_mix_main
+
+    table = _simulate_strain_reads(tmp_path, noise=noise, seed=99)
+    monkeypatch.chdir(tmp_path)
+    assert make_mix_main(argv=["--random", str(table), "-n", "3",
+                               "-l", "20", "--seed", "11"]) == 0
+    mixes = sorted(p for p in os.listdir(tmp_path) if p.endswith("_.fq"))
+    assert len(mixes) == 3
+    rows = _score_mixes(tmp_path, mixes)
+    for mix, (cp, pd, sd, err, raw) in zip(mixes, rows):
+        assert cp and pd and sd, (noise, mix, raw)
+    errs = [r[3] for r in rows]
+    assert float(np.mean(errs)) < 0.20, (noise, errs)
 
 
 @pytest.mark.slow
@@ -102,8 +148,6 @@ def test_ten_mix_sweep_continuously_verified(tmp_path, monkeypatch):
     pass the reference detection tolerances, with the summed
     composition error in the recorded envelope (round-4 measured mean
     0.057, max 0.167)."""
-    from rkmh_tpu.commands.hpv16_cmd import Hpv16Config, run
-    from rkmh_tpu.scripts import score_test_data
     from rkmh_tpu.scripts.make_mix import main as make_mix_main
 
     table = _simulate_strain_reads(tmp_path)
@@ -113,22 +157,10 @@ def test_ten_mix_sweep_continuously_verified(tmp_path, monkeypatch):
     mixes = sorted(p for p in os.listdir(tmp_path) if p.endswith("_.fq"))
     assert len(mixes) == 10
 
-    total_errs = []
-    for mix in mixes:
-        cls = tmp_path / "cls" / mix
-        os.makedirs(cls.parent, exist_ok=True)
-        buf = io.StringIO()
-        assert run(Hpv16Config(read_files=[mix], refpath=DATA, ks=(16,),
-                               tst_file=False), out=buf) == 0
-        with open(cls, "w") as fh:
-            fh.write(buf.getvalue())
-        sbuf = io.StringIO()
-        assert score_test_data.main([str(cls)], stdout=sbuf) == 0
-        toks = sbuf.getvalue().split()
-        assert toks[0] == "True", (mix, sbuf.getvalue())   # correct primary
-        assert toks[3] == "True", (mix, sbuf.getvalue())   # primary detected
-        assert toks[4] == "True", (mix, sbuf.getvalue())   # secondary detected
-        total_errs.append(float(toks[8]))
+    rows = _score_mixes(tmp_path, mixes)
+    for mix, (cp, pd, sd, err, raw) in zip(mixes, rows):
+        assert cp and pd and sd, (mix, raw)
+    total_errs = [r[3] for r in rows]
     assert float(np.mean(total_errs)) < 0.12, total_errs
     assert float(np.max(total_errs)) < 0.30, total_errs
 
