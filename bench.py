@@ -202,10 +202,14 @@ def main():
                 jnp.concatenate([_padw(pm, False), _padw(sm, False)]),
                 num_refs=nt + nu)
             mreads = load_packed(f"{DATA}/minION25.fq")
-            hcodes = jnp.asarray(np.tile(mreads.codes, (8, 1)))
-            hbp = int(np.asarray(mreads.lens).sum()) * 8
+            # tile 16 (B=400): the production hpv16 drain batches at 512
+            # reads; B=200 under-amortized the step's fixed overhead
+            # (round-5 same-session sweep: 43.4 Mbp/s at B=200 vs 51.0
+            # at B=400 — scripts/bench_hpv16_r5.py, docs/ROOFLINE.md)
+            hcodes = jnp.asarray(np.tile(mreads.codes, (16, 1)))
+            hbp = int(np.asarray(mreads.lens).sum()) * 16
             hwc = engine.hpv16_compact_width(
-                np.tile(np.asarray(mreads.lens), 8), hcodes.shape[1], ks2)
+                np.tile(np.asarray(mreads.lens), 16), hcodes.shape[1], ks2)
 
             def hstep(c):
                 return engine.hpv16_batch_comb(c, comb, ks2, nt, nu, hwc)

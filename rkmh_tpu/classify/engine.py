@@ -707,7 +707,11 @@ def hpv16_packed4_batch_split(packed, vbits, L: int, type_table, uniq_table,
 # table; pad slots never do).  Wc is static (grid-rounded by the caller
 # to bound recompiles); correctness needs only Wc >= max row valid
 # count, which the window-count formula guarantees (zeros/-M masking
-# only shrink a row's valid prefix).
+# only shrink a row's valid prefix).  Round-5 measurement: because Wc
+# is the BATCH max, any bucket-filling read makes Wc = W, and length
+# bucketing groups similar lengths — so compaction measured neutral
+# (1.00-1.01x) on uniform AND skewed on-chip batches; it stays because
+# it can only shrink the probe (docs/ROOFLINE.md round-5 table).
 # ---------------------------------------------------------------------------
 
 

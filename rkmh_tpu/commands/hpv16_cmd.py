@@ -534,7 +534,13 @@ def _run(cfg: Hpv16Config, out, resume_skip: int = 0) -> int:
         if sharded_step is not None:
             return sharded_step(codes, lens)
         # single-device: ONE combined type+uniq table, probe compacted to
-        # the batch's max valid-window count (engine.hpv16_compact_width)
+        # the batch's max valid-window count (engine.hpv16_compact_width).
+        # Round-5 decision (VERDICT r4 item 4): compaction measured
+        # NEUTRAL on every on-chip batch — uniform (1.00x) and skewed
+        # (24 short + 1 bucket-filling read, 1.00-1.01x: one long read
+        # makes the batch-max width = W, and length bucketing groups
+        # similar lengths anyway) — and it can only shrink the probe, so
+        # it stays ungated (docs/ROOFLINE.md round-5 table).
         Wc = engine.hpv16_compact_width(lens, codes.shape[1], ks)
         if tb.comb_sorted is not None:
             # over-budget fallback: sorted-key panel, searchsorted probe

@@ -111,8 +111,13 @@ def pick_slots(n_entries: int, mask_words: int, forced: int | None = None,
     gathers cost ~fixed per row until the table outgrows locality, so
     total size wins (hpv16 uniq sweep: S=3/4 at 4-6 MB beat S=2 at
     34 MB by ~25%; S=4 at 2.4 GB lost to S=8 at 604 MB on the type
-    panel).  Falls back to 8 when even the best candidate busts the
-    budget (the 604 MB type panel)."""
+    panel).  When even the best candidate busts the budget (the
+    hundreds-of-MB hpv16 panels), min-bytes again decides between
+    S=8 and S=12 — the round-5 k=18 sweep measured S=12 (432 MB)
+    beating S=8 (576 MB) 44.6 vs 43.0 Mbp/s at B=200 and 51.7 vs 51.2
+    at B=400 in one session, while S=16 (288 MB but 576 B rows)
+    degraded to 33.7: row-byte cost overtakes table-size wins past
+    ~450 B rows, so wider-than-12 stays excluded."""
     if forced:
         return forced
     if _FORCED_SLOTS:
@@ -125,7 +130,13 @@ def pick_slots(n_entries: int, mask_words: int, forced: int | None = None,
             size = 4 * s * (3 + mask_words) * nb
             if best_bytes is None or size < best_bytes:
                 best, best_bytes = s, size
-        return best if best_bytes <= budget else 8
+        if best_bytes <= budget:
+            return best
+        return min(
+            (8, 12),
+            key=lambda s: 4 * s * (3 + mask_words)
+            * predicted_buckets(n_entries, s),
+        )
     for s in (2, 4):
         nb = predicted_buckets(n_entries, s)
         if 4 * s * (3 + mask_words) * nb <= budget:
