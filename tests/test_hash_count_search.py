@@ -249,3 +249,70 @@ def test_hash_count_search_devices_byte_identical(tmp_path, zika_reads):
     sharded = run_cmd(SearchConfig, search_run, ref_files=[str(reffile)],
                       read_files=[str(fq)], ks=(12,), batch_size=7, devices=8)
     assert sharded == base
+
+
+def test_hash_search_single_host_resume_byte_identical(tmp_path, zika_reads):
+    """--resume on the single-host hash/search paths (round-5 ADVICE
+    fix): a torn partial -o output resumes to bytes identical to an
+    uninterrupted run — including search's short-read line skips (reads
+    shorter than k emit nothing, so resume counts emitted LINES, not
+    reads) and hash's native multi-line block writes."""
+    import os
+
+    from rkmh_tpu.commands.hash_cmd import HashConfig
+    from rkmh_tpu.commands.hash_cmd import run as hash_run
+    from rkmh_tpu.commands.search_cmd import SearchConfig
+    from rkmh_tpu.commands.search_cmd import run as search_run
+
+    fq = tmp_path / "mix.fq"
+    with open(fq, "w") as fh:
+        for i, r in enumerate(zika_reads[:30]):
+            fh.write(f"@{r.name}\n{r.seq.decode()}\n+\n"
+                     f"{(r.qual or b'I' * len(r.seq)).decode()}\n")
+            if i % 5 == 0:  # short reads: search emits nothing for them
+                fh.write(f"@short{i}\nACGTACG\n+\nIIIIIII\n")
+
+    # hash: uninterrupted vs torn + resumed
+    p = str(tmp_path / "hash.out")
+    base = dict(read_files=[str(fq)], ks=(12,), batch_size=7, out_file=p)
+    assert hash_run(HashConfig(**base)) == 0
+    full = open(p).read()
+    lines = full.splitlines(keepends=True)
+    with open(p, "w") as fh:
+        fh.writelines(lines[:11])
+        fh.write("torn-tail-without-newline")
+    assert hash_run(HashConfig(**base, resume=True)) == 0
+    assert open(p).read() == full
+
+    # resuming a COMPLETE run is a no-op append
+    assert hash_run(HashConfig(**base, resume=True)) == 0
+    assert open(p).read() == full
+
+    # search
+    reffile = tmp_path / "kmers.txt"
+    seq = zika_reads[0].seq.decode()
+    with open(reffile, "w") as fh:
+        for i in range(0, 60, 3):
+            fh.write(seq[i:i + 12] + "\n")
+    ps = str(tmp_path / "search.out")
+    sbase = dict(ref_files=[str(reffile)], read_files=[str(fq)], ks=(12,),
+                 batch_size=7, out_file=ps)
+    assert search_run(SearchConfig(**sbase)) == 0
+    sfull = open(ps).read()
+    slines = sfull.splitlines(keepends=True)
+    assert len(slines) == 30  # short reads emitted nothing
+    with open(ps, "w") as fh:
+        fh.writelines(slines[:13])
+    assert search_run(SearchConfig(**sbase, resume=True)) == 0
+    assert open(ps).read() == sfull
+
+    # --resume without -o refuses instead of silently restarting
+    assert hash_run(HashConfig(read_files=[str(fq)], ks=(12,),
+                               resume=True)) == 1
+    assert search_run(SearchConfig(ref_files=[str(reffile)],
+                                   read_files=[str(fq)], ks=(12,),
+                                   resume=True)) == 1
+    # ... and hash's non-line modes refuse too
+    assert hash_run(HashConfig(read_files=[str(fq)], ks=(12,),
+                               out_file=p, json_out=True, resume=True)) == 1
+    assert os.path.getsize(p) > 0  # the refusal must not truncate
