@@ -158,7 +158,9 @@ def main(argv=None) -> int:
     for cmd in cmds:
         doc = json.dumps(make_tool(cmd), indent=2)
         if args.out_dir:
-            path = os.path.join(args.out_dir, f"rkmh_tpu_{cmd}.json")
+            # `stream` aliases classify: file name follows the tool id
+            name = "classify" if cmd == "stream" else cmd
+            path = os.path.join(args.out_dir, f"rkmh_tpu_{name}.json")
             with open(path, "w") as fh:
                 fh.write(doc + "\n")
             print(f"wrote {path}", file=sys.stderr)

@@ -3,7 +3,9 @@
 # (equivalent of the reference's model_docker/run_models.sh, which pipes
 # a VW-vectorized sample through vw-8.2 with 4 shipped .model files).
 #
-# Usage: run_models.sh <reads.fq> [refpath] [modeldir]
+# Usage: run_models.sh <reads.fq> [refpath] [modeldir] [refblobdir]
+#   refblobdir (default /root/reference/model_docker): dir of the
+#   reference's vw binary .model blobs, applied natively when present
 #
 # The sample is classified against the 10 HPV16 sublineage references
 # (refpath/new_refs.fa, k=18 s=4000 — the config in the reference model

@@ -84,7 +84,7 @@ def _multiset_counts(sorted_vals: list[int]) -> list[int]:
     return [c[v] for v in sorted_vals]
 
 
-def run(cfg: HashConfig, out=None) -> int:
+def run(cfg: HashConfig, out=None, _resume_skip: int = 0) -> int:
     import os
 
     if (cfg.dist_procs > 1 or cfg.dist_coordinator
@@ -106,11 +106,21 @@ def run(cfg: HashConfig, out=None) -> int:
             log("hash --resume supports the line-per-read output modes "
                 "only (not -K or the JSON/sourmash dumps)")
             return 1
-        from rkmh_tpu.commands.recovery import open_line_resume
+        # every resume-supported hash mode emits exactly one line per
+        # read, so skip the finished reads at the INPUT (no device work
+        # re-done), stream/hpv16-style — unlike search, whose
+        # short-read line skips need the line-dropping writer
+        from rkmh_tpu.commands.recovery import count_complete_lines
 
-        fh, wrapped = open_line_resume(cfg.out_file, cfg.resume)
-        with fh:
-            return run(cfg, wrapped)
+        if cfg.resume and os.path.exists(cfg.out_file):
+            skip = count_complete_lines(cfg.out_file)
+            if skip:
+                log(f"Resuming: {skip} reads already hashed in "
+                    f"{cfg.out_file}")
+            with open(cfg.out_file, "a") as fh:
+                return run(cfg, fh, _resume_skip=skip)
+        with open(cfg.out_file, "w") as fh:
+            return run(cfg, fh)
     out = out or sys.stdout
     from rkmh_tpu.commands.common import resolve_batch_size
 
@@ -135,17 +145,25 @@ def run(cfg: HashConfig, out=None) -> int:
     # rkmh.cpp:2058-2073) and per-read lines are written as each batch is
     # fetched, so memory stays constant in the file size (JSON mode is the
     # exception: the dump schema needs every record)
+    def chunks():
+        it = iter_packed_chunks(cfg.read_files, chunk_reads)
+        if _resume_skip:
+            from rkmh_tpu.commands.recovery import skip_reads
+
+            it = skip_reads(it, _resume_skip)
+        return it
+
     if cfg.output_kmers:
         # -K: raw k-mer strings need no device pass (rkmh.cpp:2078) and
         # suppress every other output mode (the pre-chunking early return)
         k = ks[0]
-        for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
+        for chunk in chunks():
             for name, seq in zip(chunk.names, chunk.seqs):
                 for i in range(max(0, len(seq) - k + 1)):
                     out.write(f"{seq[i:i + k].decode()}\t{name}\n")
         return 0
 
-    for chunk in iter_packed_chunks(cfg.read_files, chunk_reads):
+    for chunk in chunks():
         names = chunk.names
 
         for s, e, codes, lens in packed_batches(chunk, cfg.batch_size):

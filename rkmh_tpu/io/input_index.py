@@ -112,6 +112,13 @@ def save_index(path, offs: np.ndarray, lens: np.ndarray) -> bool:
                      offs=np.asarray(offs, np.int64),
                      lens=np.asarray(lens, np.int32))
         os.replace(tmp, idx)
+        # src sidecar: lets the GC check liveness without np.loading
+        # every entry (the npz keeps src too, as the fallback)
+        try:
+            with open(idx[: -len(".npz")] + ".src", "w") as fh:
+                fh.write(os.path.abspath(os.fspath(path)))
+        except OSError:
+            pass
         _gc(os.path.dirname(idx))
         return True
     except OSError:
@@ -129,11 +136,37 @@ def _max_entries() -> int:
         return 512
 
 
+def _entry_src(p: str) -> str:
+    """The recorded source path of a cache entry: the cheap .src
+    sidecar when present (GC reads every entry, so avoid np.loading
+    ~cap zip files per save), else the npz field."""
+    try:
+        with open(p[: -len(".npz")] + ".src") as fh:
+            return fh.read().strip()
+    except OSError:
+        pass
+    try:
+        with np.load(p) as z:
+            return str(z["src"]) if "src" in z.files else ""
+    except (OSError, ValueError, KeyError, EOFError):
+        return ""
+
+
+def _rm_entry(p: str) -> None:
+    for path in (p, p[: -len(".npz")] + ".src"):
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
 def _gc(cache_dir) -> None:
     """Bound the cache: past the entry cap, drop entries whose recorded
     source no longer exists (tmp-dir inputs from tests and one-off runs
-    would otherwise accumulate forever), then the oldest by mtime.
-    Best-effort — any racing deletion/unreadability is ignored."""
+    would otherwise accumulate forever), then the least recently USED
+    (load_index bumps an entry's mtime on every hit, so recency is use,
+    not build time).  Best-effort — any racing deletion/unreadability
+    is ignored."""
     cap = _max_entries()
     try:
         names = [n for n in os.listdir(cache_dir) if n.endswith(".idx.npz")]
@@ -144,16 +177,9 @@ def _gc(cache_dir) -> None:
     survivors = []
     for n in names:
         p = os.path.join(cache_dir, n)
-        try:
-            with np.load(p) as z:
-                src = str(z["src"]) if "src" in z.files else ""
-        except (OSError, ValueError, KeyError, EOFError):
-            src = ""
+        src = _entry_src(p)
         if not src or not os.path.exists(src):
-            try:
-                os.remove(p)
-            except OSError:
-                pass
+            _rm_entry(p)
             continue
         try:
             survivors.append((os.stat(p).st_mtime_ns, p))
@@ -161,10 +187,7 @@ def _gc(cache_dir) -> None:
             pass
     survivors.sort(reverse=True)
     for _, p in survivors[cap:]:
-        try:
-            os.remove(p)
-        except OSError:
-            pass
+        _rm_entry(p)
 
 
 def load_index(path):
@@ -173,13 +196,19 @@ def load_index(path):
     written)."""
     try:
         size, mtime_ns, content = _fingerprint(path)
-        with np.load(index_path(path)) as z:
+        idx = index_path(path)
+        with np.load(idx) as z:
             if int(z["version"]) != _VERSION:
                 return None
             if (int(z["size"]), int(z["mtime_ns"]),
                     str(z["content"])) != (size, mtime_ns, content):
                 return None
-            return z["offs"].astype(np.int64), z["lens"].astype(np.int32)
+            out = z["offs"].astype(np.int64), z["lens"].astype(np.int32)
+        try:
+            os.utime(idx)  # recency for the GC's LRU = last USE
+        except OSError:
+            pass
+        return out
     except (OSError, KeyError, ValueError):
         return None
 

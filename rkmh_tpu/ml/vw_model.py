@@ -229,23 +229,32 @@ def load_vw_model(path: str) -> VwModel:
 # ---------------------------------------------------------------------------
 
 
-def example_vw_features(ex) -> list[tuple[int, float]]:
-    """(64-bit feature index, value) pairs for one parsed Example,
+def example_vw_features(ex):
+    """(idx [F] uint64, val [F] float32) arrays for one parsed Example,
     hashed exactly as vw would hash the same text line (namespaces,
     numeric-name fast path, constant feature — interactions are
-    expanded separately per model)."""
-    out = [(CONSTANT_FEATURE, 1.0)]
+    expanded separately per model).  Arrays, not pair lists: the dense
+    vv-interactions model expands ~s^2 pairs per read, so the margin
+    must stay a vectorized gather-dot (see _margin)."""
+    idxs, vals = [CONSTANT_FEATURE], [1.0]
     for ns_name, fv in ex.namespaces:
         ns_hash = hashstring(ns_name, 0)
         for name, val in fv:
-            out.append((hashstring(name, ns_hash), val))
-    return out
+            idxs.append(hashstring(name, ns_hash))
+            vals.append(val)
+    return np.asarray(idxs, np.uint64), np.asarray(vals, np.float32)
 
 
-def expand_interactions(ex, specs) -> list[tuple[int, float]]:
-    """Quadratic/cubic namespace-product features (left*Q + right).
-    Namespaces are selected by first letter, as vw does; same-namespace
-    pairs generate combinations including the diagonal (j >= i)."""
+def expand_interactions(ex, specs):
+    """Quadratic namespace-product features (left*Q + right, mod 2^64)
+    as (idx uint64, val float32) arrays.  Namespaces are selected by
+    first letter, as vw does; the no-permutations expansion generates
+    combinations WITH the diagonal over the matching namespaces — both
+    within one namespace (feature pairs j >= i) and across distinct
+    namespaces sharing the letter (each unordered namespace pair once,
+    plus each namespace with itself)."""
+    from itertools import combinations_with_replacement, product
+
     spaces = []
     for ns_name, fv in ex.namespaces:
         ns_hash = hashstring(ns_name, 0)
@@ -256,55 +265,46 @@ def expand_interactions(ex, specs) -> list[tuple[int, float]]:
 
     out_idx, out_val = [], []
     for spec in specs:
-        if len(spec) == 2:
-            consts = (np.uint64(QUADRATIC_CONSTANT),)
-        elif len(spec) == 3:
-            consts = (np.uint64(CUBIC_CONSTANT), np.uint64(CUBIC_CONSTANT2))
-        else:
-            raise ValueError(f"unsupported interaction arity: {spec!r}")
+        if len(spec) != 2:
+            raise ValueError(f"unsupported interaction arity: {spec!r} "
+                             "(the shipped models use pairs only)")
         slots = [[(n, ix, v) for n, ix, v in spaces if n[:1] == ch]
                  for ch in spec]
         if any(not s for s in slots):
             continue
-        # all namespaces here are single per letter in the rkmh vectors;
-        # handle the general case by iterating the cartesian product of
-        # candidate namespace lists
-        from itertools import product
-
-        for combo in product(*slots):
-            same = all(c is combo[0] for c in combo)
-            if len(combo) == 2:
-                _, ia, va = combo[0]
-                _, ib, vb = combo[1]
-                if same:
-                    # combinations with the diagonal: j >= i
-                    iu, ju = np.triu_indices(len(ia))
-                    left, right = ia[iu], ib[ju]
-                    v = va[iu] * vb[ju]
-                else:
-                    left = np.repeat(ia, len(ib))
-                    right = np.tile(ib, len(ia))
-                    v = np.repeat(va, len(vb)) * np.tile(vb, len(va))
-                idx = left * consts[0] + right
+        if spec[0] == spec[1]:
+            # one letter twice: unordered namespace pairs incl. self
+            combos = combinations_with_replacement(slots[0], 2)
+        else:
+            combos = product(*slots)
+        Q = np.uint64(QUADRATIC_CONSTANT)
+        for combo in combos:
+            _, ia, va = combo[0]
+            _, ib, vb = combo[1]
+            if combo[0] is combo[1]:
+                # same namespace: feature pairs j >= i (diagonal incl.)
+                iu, ju = np.triu_indices(len(ia))
+                left, right = ia[iu], ib[ju]
+                v = va[iu] * vb[ju]
             else:
-                raise ValueError("cubic interactions unused by the "
-                                 "shipped models; not implemented")
-            out_idx.append(idx)
+                left = np.repeat(ia, len(ib))
+                right = np.tile(ib, len(ia))
+                v = np.repeat(va, len(vb)) * np.tile(vb, len(va))
+            out_idx.append(left * Q + right)  # uint64 wraparound = vw's
             out_val.append(v)
     if not out_idx:
-        return []
-    return list(zip(np.concatenate(out_idx).tolist(),
-                    np.concatenate(out_val).tolist()))
+        return (np.zeros(0, np.uint64), np.zeros(0, np.float32))
+    return np.concatenate(out_idx), np.concatenate(out_val)
 
 
-def _margin(model: VwModel, feats, problem: int) -> float:
-    mask = (1 << model.bits) - 1
-    w = model.weights
-    wpp = model.wpp
-    total = 0.0
-    for h, v in feats:
-        total += float(w[(int(h) * wpp + problem) & mask]) * v
-    return total
+def _margin(model: VwModel, idx: np.ndarray, val: np.ndarray,
+            problem: int) -> float:
+    """Vectorized gather-dot: w[(h*wpp + p) mod 2^18] . v (uint64
+    multiply wraps like vw's size_t arithmetic; the mask makes the
+    wrap irrelevant anyway)."""
+    mask = np.uint64((1 << model.bits) - 1)
+    slots = ((idx * np.uint64(model.wpp) + np.uint64(problem)) & mask)
+    return float(model.weights[slots.astype(np.int64)] @ val)
 
 
 # ---------------------------------------------------------------------------
@@ -331,13 +331,13 @@ def ect_bracket(k: int):
     return directions, players[0]
 
 
-def predict_ect(model: VwModel, feats) -> int:
+def predict_ect(model: VwModel, idx, val) -> int:
     directions, root = ect_bracket(model.ect_k)
     node = root
     while node >= model.ect_k:
         left, right = directions[node]
-        node = right if _margin(model, feats, node - model.ect_k) > 0 \
-            else left
+        node = right if _margin(model, idx, val,
+                                node - model.ect_k) > 0 else left
     return node + 1
 
 
@@ -351,12 +351,14 @@ def predict_examples(model: VwModel, examples, binary: bool = False):
     margin (or its sign with binary=True, vw's --binary)."""
     preds = []
     for ex in examples:
-        feats = example_vw_features(ex)
+        idx, val = example_vw_features(ex)
         if model.interactions:
-            feats = feats + expand_interactions(ex, model.interactions)
+            ii, iv = expand_interactions(ex, model.interactions)
+            idx = np.concatenate([idx, ii])
+            val = np.concatenate([val, iv])
         if model.kind == "ect":
-            preds.append(float(predict_ect(model, feats)))
+            preds.append(float(predict_ect(model, idx, val)))
         else:
-            m = _margin(model, feats, 0)
+            m = _margin(model, idx, val, 0)
             preds.append(float(1 if m > 0 else -1) if binary else m)
     return preds
