@@ -232,6 +232,34 @@ def test_hpv16_fuzz_matches_oracle(tmp_path, monkeypatch, seed):
     assert buf.getvalue().splitlines() == _oracle_hpv16_lines(
         types, subs, reads, 16)
 
+    # random sharded geometry (round-5 combined-table split dispatch,
+    # mesh.ShardedHpv16Comb): --devices [--tp] [-M] must stay
+    # byte-identical to the oracle-pinned single-device run
+    devices = int(rng.choice([2, 4, 8]))
+    tp = int(rng.choice([t for t in (1, 2, 4) if devices % t == 0]))
+    extra = {}
+    if seed % 2:
+        extra = dict(min_kmer_occ=2, counter_size=int(rng.choice(
+            [4096, 4104, 65536])))
+    sh = io.StringIO()
+    assert run(
+        Hpv16Config(read_files=[str(tmp_path / "reads.fq")],
+                    refpath=str(tmp_path), ks=(16,), batch_size=8,
+                    devices=devices, tp=tp, tst_file=False, **extra),
+        out=sh,
+    ) == 0
+    if extra:  # -M changes results vs plain: recompute the single ref
+        one = io.StringIO()
+        assert run(
+            Hpv16Config(read_files=[str(tmp_path / "reads.fq")],
+                        refpath=str(tmp_path), ks=(16,), batch_size=8,
+                        tst_file=False, **extra),
+            out=one,
+        ) == 0
+        assert sh.getvalue() == one.getvalue(), (devices, tp, extra)
+    else:
+        assert sh.getvalue() == buf.getvalue(), (devices, tp)
+
 
 def test_hpv16_min_kmer_occ(refpath, tmp_path, monkeypatch):
     """-M with a huge threshold masks every hash -> all intersections 0."""
