@@ -24,6 +24,61 @@ import time
 import numpy as np
 
 
+def hpv16_device_step() -> int:
+    """Subprocess mode (--hpv16-device-step): measure the hpv16 k=18
+    device step and print ONE float (Mbp/s).  Isolated so a tunnel
+    wedge can be killed by the parent without losing the headline."""
+    import rkmh_tpu  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+
+    from rkmh_tpu.classify import engine
+    from rkmh_tpu.commands.common import load_packed
+    from rkmh_tpu.ops.lookup import build_set_table_device
+
+    DATA = "/root/reference/data"
+    ks2 = (18,)
+    pave = load_packed(f"{DATA}/all_pave_ref.fa")
+    subs = load_packed(f"{DATA}/new_refs.fa")
+    ph, pm = engine.hash_batch_with_mask(pave.codes, pave.lens, ks2)
+    sh, sm = engine.hash_batch_with_mask(subs.codes, subs.lens, ks2)
+    nt, nu = len(pave.lens), len(subs.lens)
+    Wall = max(ph.shape[1], sh.shape[1])
+
+    def _padw(a, fill):
+        return jnp.pad(a, ((0, 0), (0, Wall - a.shape[1])),
+                       constant_values=fill)
+
+    comb = build_set_table_device(
+        jnp.concatenate([_padw(ph, 0), _padw(sh, 0)]),
+        jnp.concatenate([_padw(pm, False), _padw(sm, False)]),
+        num_refs=nt + nu)
+    mreads = load_packed(f"{DATA}/minION25.fq")
+    # tile 16 (B=400): the production hpv16 drain batches at 512
+    # reads; B=200 under-amortized the step's fixed overhead
+    # (round-5 same-session sweep: 43.4 Mbp/s at B=200 vs 51.0
+    # at B=400 — scripts/bench_hpv16_r5.py, docs/ROOFLINE.md)
+    hcodes = jnp.asarray(np.tile(mreads.codes, (16, 1)))
+    hbp = int(np.asarray(mreads.lens).sum()) * 16
+    hwc = engine.hpv16_compact_width(
+        np.tile(np.asarray(mreads.lens), 16), hcodes.shape[1], ks2)
+
+    def hstep(c):
+        return engine.hpv16_batch_comb(c, comb, ks2, nt, nu, hwc)
+
+    hstep(hcodes).block_until_ready()
+    hbest = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(8):
+            y = hstep(hcodes)
+        y.block_until_ready()
+        hbest = min(hbest, (time.perf_counter() - t0) / 8)
+    print(round(hbp / hbest / 1e6, 1))
+    return 0
+
+
 def main():
     import rkmh_tpu  # noqa: F401 (x64 on)
     import jax
@@ -175,55 +230,34 @@ def main():
     dev_reads_per_sec = batch * dev_iters / dev_best
 
     # hpv16 device step (the OTHER hot kernel: full-window multiset
-    # probe of the 604 MB combined-mask set table — type bits + uniq
+    # probe of the ~450 MB combined-mask set table — type bits + uniq
     # bits in ONE table, one gather per element, split dispatch +
     # compact probe: the production path since round 4, see
-    # docs/ROOFLINE.md).  Guarded: a failure here must not cost the
-    # headline metric (the tunnel stalls randomly; CLAUDE.md).
+    # docs/ROOFLINE.md).  Runs in a KILLABLE SUBPROCESS: the remote
+    # tunnel sometimes WEDGES a large dispatch with no error (observed
+    # round 5 — a blocked RPC no in-process guard can interrupt), and
+    # a wedge here must not cost the zika headline metric already
+    # measured above.
     hpv16_mbp = None
     if platform == "tpu":
+        import os
+        import subprocess
+
         try:
-            from rkmh_tpu.ops.lookup import build_set_table_device
-
-            ks2 = (18,)
-            pave = load_packed(f"{DATA}/all_pave_ref.fa")
-            subs = load_packed(f"{DATA}/new_refs.fa")
-            ph, pm = engine.hash_batch_with_mask(pave.codes, pave.lens, ks2)
-            sh, sm = engine.hash_batch_with_mask(subs.codes, subs.lens, ks2)
-            nt, nu = len(pave.lens), len(subs.lens)
-            Wall = max(ph.shape[1], sh.shape[1])
-
-            def _padw(a, fill):
-                return jnp.pad(a, ((0, 0), (0, Wall - a.shape[1])),
-                               constant_values=fill)
-
-            comb = build_set_table_device(
-                jnp.concatenate([_padw(ph, 0), _padw(sh, 0)]),
-                jnp.concatenate([_padw(pm, False), _padw(sm, False)]),
-                num_refs=nt + nu)
-            mreads = load_packed(f"{DATA}/minION25.fq")
-            # tile 16 (B=400): the production hpv16 drain batches at 512
-            # reads; B=200 under-amortized the step's fixed overhead
-            # (round-5 same-session sweep: 43.4 Mbp/s at B=200 vs 51.0
-            # at B=400 — scripts/bench_hpv16_r5.py, docs/ROOFLINE.md)
-            hcodes = jnp.asarray(np.tile(mreads.codes, (16, 1)))
-            hbp = int(np.asarray(mreads.lens).sum()) * 16
-            hwc = engine.hpv16_compact_width(
-                np.tile(np.asarray(mreads.lens), 16), hcodes.shape[1], ks2)
-
-            def hstep(c):
-                return engine.hpv16_batch_comb(c, comb, ks2, nt, nu, hwc)
-
-            hstep(hcodes).block_until_ready()
-            hbest = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                y = None
-                for _ in range(8):
-                    y = hstep(hcodes)
-                y.block_until_ready()
-                hbest = min(hbest, (time.perf_counter() - t0) / 8)
-            hpv16_mbp = round(hbp / hbest / 1e6, 1)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--hpv16-device-step"],
+                capture_output=True, text=True, timeout=2400,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                hpv16_mbp = float(r.stdout.strip().splitlines()[-1])
+            else:
+                print(f"# hpv16 device-step bench failed: "
+                      f"{r.stderr[-300:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print("# hpv16 device-step bench timed out (tunnel wedge); "
+                  "skipped", file=sys.stderr)
         except Exception as e:  # pragma: no cover - tunnel flake guard
             print(f"# hpv16 device-step bench skipped: {e!r}",
                   file=sys.stderr)
@@ -256,4 +290,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--hpv16-device-step" in sys.argv:
+        raise SystemExit(hpv16_device_step())
     main()
