@@ -161,7 +161,10 @@ def main():
             "reads_per_sec": round(25 * htile / dt, 1),
             "mbp_per_sec": round(mbp * htile / dt, 1),
             "platform": platform,
-            "note": "ref claims >400 reads/s, 2.5 Mbp/s (README.md:148)",
+            "note": "ref claims >400 reads/s, 2.5 Mbp/s (README.md:148); "
+                    "this row is D2H-wire-bound through the remote tunnel "
+                    "(full dump = ~8 B/bp of hashes at ~50 MB/s; "
+                    "co-located chips track the device step)",
         }), flush=True)
 
     # 5. call on hpv_16.fa + minION reads (BASELINE config 5)
