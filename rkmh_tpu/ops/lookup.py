@@ -116,8 +116,10 @@ def pick_slots(n_entries: int, mask_words: int, forced: int | None = None,
     S=8 and S=12 — the round-5 k=18 sweep measured S=12 (432 MB)
     beating S=8 (576 MB) 44.6 vs 43.0 Mbp/s at B=200 and 51.7 vs 51.2
     at B=400 in one session, while S=16 (288 MB but 576 B rows)
-    degraded to 33.7: row-byte cost overtakes table-size wins past
-    ~450 B rows, so wider-than-12 stays excluded."""
+    degraded to 33.7 (row-byte cost overtakes table-size wins past
+    ~450 B rows) and S=6 (864 MB, 4M buckets) collapsed to 11.5
+    (table locality) — so the fallback candidates stay exactly
+    {8, 12}."""
     if forced:
         return forced
     if _FORCED_SLOTS:
